@@ -1,0 +1,110 @@
+"""Table registration & statistics — the reference's catalog, Spark-first.
+
+The reference keeps its catalog as per-table files: ``<T>.md`` (serialized
+Schema, loaded at ``src/qp/optimizer/RandomInitialPlan.java:81-94``) and
+``<T>.stat`` (row count + per-column NDV, loaded at
+``src/qp/optimizer/PlanCost.java:225-269``).  Here a "database" is a directory
+of parquet files; schemas come from parquet footers and statistics from
+``ANALYZE TABLE`` feeding Catalyst CBO — the exact same role ``.stat`` plays
+for the reference's cost model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver's TPC-H-ish testdata tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor — even at
+#: 100 TB, region/nation are fixed-size lookup tables.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
+    them unless ``spark.sql.legacy.parquet.nanosAsLong`` is on, in which case
+    they surface as LongType nanos.  Footer-only read; no data I/O."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan operator: the reference's full-table ``Scan``
+    (``src/qp/operators/Scan.java:43-86``) is a parquet DataFrame source —
+    column pruning and predicate pushdown then happen at the scan, which the
+    reference never does (its projection sits only at the plan root)."""
+    path = table_path(sf_dir, name)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    for col in _nano_ts_columns(path):
+        # nanos → micros → TimestampType; DuckDB applies the same truncation
+        # (its timestamps are microsecond), keeping oracle comparison exact.
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] | None = None,
+    analyze: bool = False,
+) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view (and optionally ANALYZE).
+
+    ``analyze=True`` computes row counts + per-column NDV so Catalyst CBO can
+    cost join orders the way the reference's ``PlanCost`` does from ``.stat``
+    files.  Temp views can't carry catalog stats, so analyzed registration
+    saves as in-memory catalog tables instead — use only in long-lived
+    sessions (bench), not per-query paths.
+    """
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+        if analyze:
+            try:
+                spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+            except Exception:
+                pass  # temp views can't be analyzed on all Spark versions
+    return dfs

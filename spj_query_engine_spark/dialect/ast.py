@@ -1,0 +1,75 @@
+"""IR for the reference dialect — the analog of the reference's ``SQLQuery``
+(``src/qp/utils/SQLQuery.java:11-24``): six lists + a distinct flag, with the
+WHERE list split into selection vs join conditions by table analysis
+(``SQLQuery.java:51-68``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Attr:
+    """A ``TABLE.col`` attribute (the dialect has no bare columns —
+    ``parser.cup:193-196``)."""
+
+    table: str
+    column: str
+
+    def __str__(self) -> str:
+        return f"{self.table}.{self.column}"
+
+
+@dataclass(frozen=True)
+class SelectItem:
+    """Select-list entry: a plain attribute or ``AGG(attr)``
+    (``parser.cup:197-221``)."""
+
+    attr: Attr
+    agg: str | None = None  # MAX | MIN | SUM | COUNT | AVG | None
+
+
+@dataclass(frozen=True)
+class Condition:
+    """``lhs op rhs`` where rhs is a quoted literal or another attribute
+    (``src/qp/utils/Condition.java``)."""
+
+    lhs: Attr
+    op: str  # one of < > <= >= = !=
+    rhs: Attr | str  # Attr → attribute compare; str → literal (always quoted)
+
+    @property
+    def is_attr_compare(self) -> bool:
+        return isinstance(self.rhs, Attr)
+
+    @property
+    def is_join(self) -> bool:
+        """Cross-table attribute compares are join conditions; same-table
+        ones are selections (``SQLQuery.java:51-68``)."""
+        return self.is_attr_compare and self.rhs.table != self.lhs.table
+
+
+@dataclass
+class SQLQuery:
+    select_list: list[SelectItem]  # empty ⇒ SELECT * (parser.cup:84-89)
+    from_list: list[str]
+    conditions: list[Condition] = field(default_factory=list)
+    groupby: list[Attr] = field(default_factory=list)
+    orderby: list[Attr] = field(default_factory=list)
+    is_distinct: bool = False
+
+    @property
+    def is_star(self) -> bool:
+        return not self.select_list
+
+    @property
+    def selection_conditions(self) -> list[Condition]:
+        return [c for c in self.conditions if not c.is_join]
+
+    @property
+    def join_conditions(self) -> list[Condition]:
+        return [c for c in self.conditions if c.is_join]
+
+    @property
+    def agg_items(self) -> list[SelectItem]:
+        return [s for s in self.select_list if s.agg]

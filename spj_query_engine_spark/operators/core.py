@@ -1,0 +1,165 @@
+"""Core relational operators — the reference's full executed surface.
+
+Every function here is a *plan builder*: it composes lazy DataFrame
+transformations and returns a new DataFrame.  The reference's Volcano
+``open()/next()/close()`` page loop (``src/qp/operators/Operator.java:9-53``),
+its hand-rolled spill files and its three join algorithms (NestedJoin /
+BlockNestedJoin / grace HashJoin) have no counterpart — Catalyst + Tungsten
+pick the physical strategy (broadcast / shuffled-hash / sort-merge, AQE skew
+splitting replaces the reference's recursive re-partitioning at
+``src/qp/operators/HashJoin.java:480-506``).
+
+Reference parity map (file:line into /root/reference):
+
+* ``scan``              ← Scan                 src/qp/operators/Scan.java:19-109
+* ``filter_conditions`` ← Select (stacked)     src/qp/operators/Select.java:130-220
+* ``project``           ← Project              src/qp/operators/Project.java:95-106
+* ``equi_join``         ← Nested/BNL/Hash join src/qp/operators/{NestedJoin,BlockNestedJoin,HashJoin}.java
+* ``distinct``          ← Distinct (ext. sort) src/qp/operators/Distinct.java:8-492
+* ``groupby_distinct``  ← GroupBy (key dedup)  src/qp/operators/GroupBy.java:14-391
+* ``aggregate``         ← parsed-only agg surface (Project.java:72-75 aborts;
+                          we implement it — SURVEY.md §7 D2)
+* ``order_by``          ← parsed-only ORDERBY (RandomInitialPlan.java:50-53
+                          aborts; we implement it — D2)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.catalog import load_table
+
+# The six comparison operators of the reference dialect
+# (src/qp/utils/Condition.java:9-14).
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+#: Aggregate functions of the reference grammar
+#: (src/qp/parser/parser.cup:197-221); COUNT→long, AVG→double follow
+#: src/qp/utils/Attribute.java:113-121 (COUNT int, AVG real) widened to
+#: Spark-native types.
+AGG_FUNCS = {
+    "MAX": F.max,
+    "MIN": F.min,
+    "SUM": F.sum,
+    "COUNT": F.count,
+    "AVG": F.avg,
+}
+
+
+def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Base-table scan (reference Scan.java) as a parquet source."""
+    return load_table(spark, sf_dir, table)
+
+
+def compare(left: Column, op: str, right: Column | object) -> Column:
+    """One reference predicate ``attr op rhs`` (Select.java:130-220)."""
+    if op not in _OPS:
+        raise ValueError(f"unsupported comparison operator: {op!r}")
+    return _OPS[op](left, right if isinstance(right, Column) else F.lit(right))
+
+
+def filter_conditions(df: DataFrame, conditions: Sequence[Column]) -> DataFrame:
+    """Comma-separated WHERE conditions are implicitly ANDed; the reference
+    stacks one Select per condition (RandomInitialPlan.java:114-133) — here
+    they chain into one Filter that Catalyst pushes into the scan."""
+    for cond in conditions:
+        df = df.filter(cond)
+    return df
+
+
+def project(df: DataFrame, columns: Sequence[str | Column]) -> DataFrame:
+    """Pure column projection (Project.java:95-106).  Unlike the reference
+    (projection only at the plan root), Catalyst's ColumnPruning pushes the
+    narrow schema all the way into the parquet scan."""
+    return df.select(*columns)
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple[Column, Column]],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Inner equi-join on one or more key pairs.
+
+    The reference supports a *list* of equality conditions in NestedJoin
+    (NestedJoin.java:104-180, Tuple.checkJoin) but only the first in
+    BNLJ/HashJoin (Join.java:83-86); we always honor the full list.  Column
+    order of the result = left columns then right columns, matching
+    ``Schema.joinWith`` (Schema.java:81-90) — duplicate key columns are KEPT,
+    as the reference does for ``SELECT *``.
+
+    ``broadcast_right=True`` hints a map-side join for dimension tables —
+    the scale-out replacement for the reference's cost-based algorithm pick.
+    """
+    cond = None
+    for lcol, rcol in on:
+        clause = lcol == rcol
+        cond = clause if cond is None else (cond & clause)
+    if cond is None:
+        raise ValueError("equi_join requires at least one key pair")
+    return left.join(F.broadcast(right) if broadcast_right else right, cond, "inner")
+
+
+def theta_join(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:
+    """General theta join.  The reference PARSES cross-table theta conditions
+    but silently executes them as equality (parser.cup:175-180 +
+    Tuple.java:36-43); we execute the operator as written (SURVEY.md §7 D3 —
+    DuckDB agrees with the written semantics).  Catalyst picks
+    BroadcastNestedLoopJoin; callers should keep one side small or bucketize
+    (see operators.temporal for the range-join scale path)."""
+    return left.join(right, cond, how)
+
+
+def distinct(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """DISTINCT over the projected columns (Distinct.java's external
+    merge-sort dedup → a hash aggregate in Spark; no global sort needed)."""
+    return df.dropDuplicates(list(columns)) if columns else df.dropDuplicates()
+
+
+def groupby_distinct(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """GROUPBY with no aggregates = distinct grouping keys, dropping all
+    other columns — the reference's quirky-but-sane GroupBy semantics
+    (GroupBy.java:101-113; schema cut at RandomInitialPlan.java:188-199)."""
+    return df.select(*keys).distinct()
+
+
+def aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str | Column, str]],
+) -> DataFrame:
+    """``groupBy(keys).agg(...)`` — the declared-but-aborting reference
+    surface (Project.java:72-75), implemented (D2).
+
+    ``aggs`` entries are ``(func, column, alias)`` with func in AGG_FUNCS.
+    With empty ``keys`` this is a global aggregate.  Spark executes with
+    map-side partial aggregation, so the shuffle carries one row per
+    (partition, key) — the 100 TB-safe shape.
+    """
+    cols = []
+    for func, col, alias in aggs:
+        func = func.upper()
+        if func not in AGG_FUNCS:
+            raise ValueError(f"unsupported aggregate: {func!r}")
+        cols.append(AGG_FUNCS[func](col).alias(alias))
+    if not cols:
+        raise ValueError("aggregate requires at least one aggregation")
+    return df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
+
+
+def order_by(df: DataFrame, columns: Sequence[str | Column], ascending: bool = True) -> DataFrame:
+    """Global ORDER BY (reference parses then aborts,
+    RandomInitialPlan.java:50-53; implemented per D2).  Spark range-partitions
+    on a sampled histogram — a distributed sort, not a single-node one."""
+    return df.orderBy(*columns, ascending=ascending)

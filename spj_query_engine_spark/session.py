@@ -1,0 +1,94 @@
+"""SparkSession factory and session tuning.
+
+Replaces the reference engine's global runtime knobs — page size
+(``src/QueryMain.java:28`` → ``Batch.setPageSize``) and the buffer budget split
+across joins (``src/qp/optimizer/BufferManager.java:14-20``) — with Spark's
+own memory manager plus a small set of Catalyst/AQE switches.  The reference's
+``.stat``-driven cost model (``src/qp/optimizer/PlanCost.java``) maps onto
+Spark CBO fed by ``ANALYZE TABLE`` (see :mod:`spj_query_engine_spark.catalog`).
+
+Designed for a real cluster: every config here is also valid under a
+multi-executor master; ``local[N]`` is only the test harness default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must be set before the JVM starts.
+_BUILD_TIME_CONF = {
+    "spark.sql.shuffle.partitions": None,  # filled from env/cores at build
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+    # CBO mirrors the reference's .stat-file costing (PlanCost.java) — it only
+    # activates when tables carry ANALYZE statistics.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+}
+
+# Configs that are safe to (re)apply on an existing session — used when the
+# driver hands us a session we didn't build.
+_RUNTIME_CONF = {
+    # AQE = runtime re-planning; subsumes the reference's randomized
+    # iterative-improvement optimizer (RandomOptimizer.java) and its recursive
+    # hash-join overflow recovery (HashJoin.java:480-506 → AQE skew split).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics for oracle comparison (DuckDB is
+    # UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas_udf / mapInPandas / toPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The testdata's events table stores TIMESTAMP(NANOS) parquet, which the
+    # vectorized reader rejects; read nanos as long and let the catalog
+    # convert back to TimestampType (micros) at scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition default: env override, else 2×cores capped at 64.
+
+    At 100 TB on a 1000-executor cluster this would instead be sized so a
+    post-shuffle partition is ~128-256 MB; AQE coalescing makes the static
+    number a ceiling, not a commitment.
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return min(64, (os.cpu_count() or 8))
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable configs to an existing session (idempotent)."""
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be frozen on a foreign session; never fail a
+            # query over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "spj_query_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    conf = dict(_BUILD_TIME_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or default_parallelism())
+    conf.update(_RUNTIME_CONF)
+    conf.update(extra_conf or {})
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)
