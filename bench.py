@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: run the registered workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "workload_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"q01_scan_full": sec, ...}, "sf": 0.1}
+
+Each query executes fully through Spark's noop sink (no driver collect — the
+measurement is engine throughput, not result transfer)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spj_query_engine_spark.session import get_spark
+from spj_query_engine_spark.workload import REGISTRY
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(
+        app_name="spj-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # Warm the JVM/session on the smallest table so the first measured query
+    # doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, wq in REGISTRY.items():
+        t0 = time.time()
+        try:
+            df = wq.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        if dt == dt:  # not NaN
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+"""Parity workload — the reference's 14 executable test-query shapes plus its
+parsed-but-aborting surface (aggregates, ORDERBY), re-targeted at the driver's
+TPC-H-ish testdata (TESTDATA.md).
+
+Mapping to the reference corpus (/root/reference/test-queries):
+
+==================  =====================================================
+query1.sql          q01_scan_full            (pure scan)
+query2.sql          q02_filter_project       (σ + π)
+query3.sql          q03_join2_project        (2-table equi-join + π)
+query4.sql          q04_join3_star           (3-table chain, SELECT *)
+query5.sql          q05_join4_star           (4-table chain, SELECT *)
+query6.sql          q06_join4_filters_star   (4-table chain + 2 range σ)
+query7.sql          q07_join4_filters_proj   (same + π)
+query8.sql          q08_groupby_max          (MAX+GROUPBY; extends-reference)
+query9/_distinct    q09_distinct
+query10.sql         q10_orderby              (ORDERBY; extends-reference)
+query_groupby.sql   q11_groupby_as_distinct  (GROUPBY w/o aggs = distinct keys)
+experiment1_*.sql   q12_exp1_single_join     (single equi-join, SELECT *)
+experiment2.sql     q13_exp2_two_conditions  (3 tables, 2 join conditions)
+(D2 full surface)   q14_pricing_summary      (all five agg funcs; flagship)
+(D2 full surface)   q15_join_agg_revenue     (join + group + agg + orderby)
+(D2 full surface)   q16_global_agg           (aggregate without GROUPBY)
+==================  =====================================================
+
+Queries q01–q13 and q16 run through the DIALECT FRONT-END (parse → plan
+builder) — exercising the reference's grammar quirks end-to-end; q14/q15 use
+the DataFrame-level engine API directly (design D1's other layer).
+
+Determinism rules for the DuckDB value-hash gate:
+* never emit raw timestamps — project ``unix_millis(ts)`` (oracle:
+  ``epoch_ms(ts)``), both exact BIGINT;
+* never SUM/AVG raw doubles — cast to DECIMAL first (exact, order-independent
+  sums), divide/cast to double only at the end;
+* alias every computed column identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.dialect import parse
+from spj_query_engine_spark.plans import build_plan
+from spj_query_engine_spark.workload.registry import register
+
+
+def dialect_query(sql: str):
+    """A (spark, sf_dir) callable that runs ``sql`` through the dialect
+    front-end over the sf_dir catalog."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_plan(spark, load_tables(spark, sf_dir), parse(sql))
+
+    return fn
+
+
+def unix_millis_col(col) -> F.Column:
+    """Exact epoch-ms for TIMESTAMP and TIMESTAMP_NTZ alike (parquet ms/us
+    columns load as NTZ in Spark 4; session TZ is pinned UTC so the NTZ→LTZ
+    cast is the identity on wall-clock values)."""
+    return F.unix_millis(F.col(col).cast(T.TimestampType()) if isinstance(col, str) else col)
+
+
+def epochize(df: DataFrame) -> DataFrame:
+    """Replace every timestamp column with exact epoch-milliseconds (same
+    name) — Spark ``unix_millis`` ≡ DuckDB ``epoch_ms`` on micro-precision
+    values, keeping the oracle hash comparison integer-exact."""
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+            df = df.withColumn(field.name, unix_millis_col(field.name))
+    return df
+
+
+def _epochized(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return epochize(fn(spark, sf_dir))
+
+    return wrapped
+
+
+# --- q01: pure scan (query1.sql: SELECT * FROM CUSTOMER) ---
+register(
+    "q01_scan_full",
+    "SELECT * FROM customer",
+    doc="Full scan, SELECT * (reference Scan.java).",
+)(dialect_query("SELECT * FROM customer"))
+
+# --- q02: filter + project (query2.sql) ---
+register(
+    "q02_filter_project",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'",
+    doc="σ equality on string literal + π (reference Select/Project).",
+)(
+    dialect_query(
+        'SELECT customer.c_custkey, customer.c_name, customer.c_acctbal '
+        'FROM customer WHERE customer.c_mktsegment = "BUILDING"'
+    )
+)
+
+# --- q03: 2-table equi-join + project (query3.sql) ---
+register(
+    "q03_join2_project",
+    "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer "
+    "JOIN orders ON c_custkey = o_custkey",
+    doc="Equi-join + π (reference NestedJoin/BNLJ/HashJoin → Catalyst pick).",
+)(
+    dialect_query(
+        "SELECT customer.c_custkey, customer.c_name, orders.o_orderkey, orders.o_totalprice "
+        "FROM customer, orders WHERE customer.c_custkey = orders.o_custkey"
+    )
+)
+
+# --- q04: 3-table chain, SELECT * (query4.sql) ---
+register(
+    "q04_join3_star",
+    "SELECT customer.*, nation.*, region.* FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey",
+    doc="3-way join chain, SELECT * keeps duplicate join keys (Schema.joinWith).",
+)(
+    dialect_query(
+        "SELECT * FROM customer, nation, region "
+        "WHERE customer.c_nationkey = nation.n_nationkey, nation.n_regionkey = region.r_regionkey"
+    )
+)
+
+# --- q05: 4-table chain, SELECT * (query5.sql) ---
+register(
+    "q05_join4_star",
+    "SELECT customer.*, nation.*, region.*, supplier.* FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "JOIN supplier ON s_nationkey = n_nationkey",
+    doc="4-way join chain, SELECT *.",
+)(
+    dialect_query(
+        "SELECT * FROM customer, nation, region, supplier "
+        "WHERE customer.c_nationkey = nation.n_nationkey, "
+        "nation.n_regionkey = region.r_regionkey, "
+        "supplier.s_nationkey = nation.n_nationkey"
+    )
+)
+
+# --- q06: 4-table chain + 2 range filters, SELECT * (query6.sql) ---
+register(
+    "q06_join4_filters_star",
+    "SELECT * REPLACE (epoch_ms(o_orderdate) AS o_orderdate, epoch_ms(l_shipdate) AS l_shipdate) "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE o_totalprice < 150000 AND o_totalprice > 50000",
+    doc="4-way chain + two range predicates on quoted numeric literals "
+    "(query6.sql shape; timestamps emitted as epoch-ms for the hash gate).",
+)(
+    _epochized(
+        dialect_query(
+            "SELECT * FROM customer, orders, lineitem, supplier "
+            "WHERE customer.c_custkey = orders.o_custkey, "
+            "orders.o_orderkey = lineitem.l_orderkey, "
+            "lineitem.l_suppkey = supplier.s_suppkey, "
+            'orders.o_totalprice < "150000", orders.o_totalprice > "50000"'
+        )
+    )
+)
+
+# --- q07: same chain + projection (query7.sql) ---
+register(
+    "q07_join4_filters_proj",
+    "SELECT c_mktsegment, o_totalprice, l_quantity, s_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE o_totalprice < 150000 AND o_totalprice > 50000",
+    doc="query7.sql shape: 4-way chain + filters + narrow projection.",
+)(
+    dialect_query(
+        "SELECT customer.c_mktsegment, orders.o_totalprice, lineitem.l_quantity, supplier.s_name "
+        "FROM customer, orders, lineitem, supplier "
+        "WHERE customer.c_custkey = orders.o_custkey, "
+        "orders.o_orderkey = lineitem.l_orderkey, "
+        "lineitem.l_suppkey = supplier.s_suppkey, "
+        'orders.o_totalprice < "150000", orders.o_totalprice > "50000"'
+    )
+)
+
+# --- q08: MAX + GROUPBY (query8.sql — aborts in the reference; D2) ---
+register(
+    "q08_groupby_max",
+    "SELECT c_mktsegment, MAX(o_totalprice) AS max_o_totalprice "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_totalprice < 100000 GROUP BY c_mktsegment",
+    doc="extends-reference: the parsed-but-aborting aggregate surface "
+    "(Project.java:72-75) implemented via groupBy().agg().",
+)(
+    dialect_query(
+        "SELECT customer.c_mktsegment, MAX(orders.o_totalprice) "
+        "FROM customer, orders WHERE customer.c_custkey = orders.o_custkey, "
+        'orders.o_totalprice < "100000" GROUPBY customer.c_mktsegment'
+    )
+)
+
+# --- q09: DISTINCT (query9.sql / query_distinct.sql) ---
+register(
+    "q09_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT (reference Distinct.java external sort → hash aggregate).",
+)(dialect_query("SELECT DISTINCT customer.c_mktsegment FROM customer"))
+
+# --- q10: ORDERBY (query10.sql — aborts in the reference; D2) ---
+register(
+    "q10_orderby",
+    "SELECT c_custkey, o_totalprice FROM customer JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_totalprice < 150000 AND o_totalprice > 50000 ORDER BY o_totalprice",
+    doc="extends-reference: ORDERBY (RandomInitialPlan.java:50-53) via a "
+    "distributed range-partitioned sort.",
+)(
+    dialect_query(
+        "SELECT customer.c_custkey, orders.o_totalprice FROM customer, orders "
+        "WHERE customer.c_custkey = orders.o_custkey, "
+        'orders.o_totalprice < "150000", orders.o_totalprice > "50000" '
+        "ORDERBY orders.o_totalprice"
+    )
+)
+
+# --- q11: GROUPBY without aggregates = distinct keys (query_groupby.sql) ---
+register(
+    "q11_groupby_as_distinct",
+    "SELECT DISTINCT l_quantity FROM lineitem",
+    doc="Reference GroupBy computes NO aggregates — distinct grouping keys "
+    "only, other select columns dropped (GroupBy.java:101-113, §2.2).",
+)(
+    dialect_query(
+        "SELECT lineitem.l_orderkey, lineitem.l_quantity FROM lineitem "
+        "GROUPBY lineitem.l_quantity"
+    )
+)
+
+# --- q12: single equi-join, SELECT * (experiment1_*.sql) ---
+register(
+    "q12_exp1_single_join",
+    "SELECT supplier.*, nation.* FROM supplier JOIN nation ON s_nationkey = n_nationkey",
+    doc="experiment1 shape: one equi-join, full output.",
+)(
+    dialect_query(
+        "SELECT * FROM supplier, nation WHERE supplier.s_nationkey = nation.n_nationkey"
+    )
+)
+
+# --- q13: 3 tables, 2 join conditions sharing a table (experiment2.sql) ---
+register(
+    "q13_exp2_two_conditions",
+    "SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN customer ON c_nationkey = n_nationkey",
+    doc="experiment2 shape: join graph where the second condition attaches "
+    "to an already-joined table.",
+)(
+    dialect_query(
+        "SELECT supplier.s_name, nation.n_name FROM supplier, nation, customer "
+        "WHERE supplier.s_nationkey = nation.n_nationkey, "
+        "customer.c_nationkey = nation.n_nationkey"
+    )
+)
+
+
+# --- q14: pricing summary — all five aggregate functions (flagship) ---
+@register(
+    "q14_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_quantity < 50
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-style pricing summary: MAX/MIN/SUM/COUNT/AVG over the "
+    "biggest table; decimal-exact sums keep the value hash order-independent "
+    "(double addition is not associative across partitions).",
+)
+def q14_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- q15: join + group + agg + orderby (TPC-H-Q3-style revenue) ---
+@register(
+    "q15_join_agg_revenue",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    doc="TPC-H-Q3-style: selective dimension filter + two joins + grouped "
+    "revenue; the customer filter prunes before the join (pushdown).",
+)
+def q15_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    joined = (
+        t["orders"]
+        .join(cust, t["orders"].o_custkey == cust.c_custkey)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            unix_millis_col("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate")
+    )
+
+
+# --- q16: global aggregate without GROUPBY (dialect front-end) ---
+register(
+    "q16_global_agg",
+    "SELECT COUNT(l_orderkey) AS count_l_orderkey, "
+    "MAX(l_extendedprice) AS max_l_extendedprice, "
+    "MIN(l_extendedprice) AS min_l_extendedprice "
+    "FROM lineitem WHERE l_returnflag = 'A'",
+    doc="Global aggregate (no GROUPBY) through the dialect front-end; "
+    "COUNT/MAX/MIN only — exact regardless of partition order.",
+)(
+    dialect_query(
+        "SELECT COUNT(lineitem.l_orderkey), MAX(lineitem.l_extendedprice), "
+        'MIN(lineitem.l_extendedprice) FROM lineitem WHERE lineitem.l_returnflag = "A"'
+    )
+)
