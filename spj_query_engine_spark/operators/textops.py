@@ -1,0 +1,223 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability (the reference has NO scalar functions at all —
+its select list and predicates are bare columns, ``parser.cup:193-227``).
+These are the text-quality primitives an LLM-data pipeline runs over billions
+of documents: token statistics, heuristic language ID, quality scoring, and
+document fingerprinting.
+
+Design for 100 TB: every operator is a pure per-row projection built from
+JVM-side expressions (``regexp_count``, ``aggregate``, ``split`` — all inside
+whole-stage codegen).  No Python UDFs, no shuffles, no driver collection;
+the plans scale linearly with input splits.
+
+Each operator has a ``*_SQL`` twin generating the equivalent DuckDB oracle
+expression from the SAME constants, so the driver's value-hash gate verifies
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.functions.hashing import (
+    portable_round,
+    portable_round_sql,
+)
+
+# ---------------------------------------------------------------------------
+# shared constants (inlined into BOTH Spark and oracle SQL)
+# ---------------------------------------------------------------------------
+
+#: Heuristic language markers: tiny high-frequency stopword sets.  A real
+#: pipeline would plug a trained model in here (as a pandas_udf); the
+#: *operator shape* — argmax over per-language regex hit counts — is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+}
+LANG_FALLBACK = "und"
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_RE = r"\S+"
+PUNCT_RE = r"[.,!?;:]"
+STOPWORD_QUALITY = ("the", "a", "of", "and", "is", "to", "in")
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1, rolling polynomial base-31 hash
+
+
+def _marker_re(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# operators (DataFrame → DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: chars, whitespace words, BPE-ish
+    tokens, mean word length (rounded to 4dp for cross-engine exactness)."""
+    n_words = F.regexp_count(F.col(text_col), F.lit(WORD_RE))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_words.alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_tokens"),
+        portable_round(n_alpha / F.greatest(n_words, F.lit(1)).cast("double"), 4).alias("avg_word_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cheap quality heuristics: punctuation density, stopword ratio, mean
+    word length — combined into a [0,1]-ish score.  The exact formula is
+    arbitrary; what matters at scale is that it is a single codegen'd
+    projection over the corpus."""
+    n_words = F.greatest(F.regexp_count(F.col(text_col), F.lit(WORD_RE)), F.lit(1))
+    punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_RE))
+    stop = F.regexp_count(F.col(text_col), F.lit(_marker_re(STOPWORD_QUALITY)))
+    stop_ratio = stop / n_words
+    punct_ratio = punct / n_words
+    score = (
+        F.lit(0.5) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("n_chars_") / 1000.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio, F.lit(1.0)))
+    )
+    return (
+        docs.withColumn("n_chars_", F.length(text_col).cast("double"))
+        .select(
+            F.col(id_col),
+            portable_round(stop_ratio, 4).alias("stopword_ratio"),
+            portable_round(punct_ratio, 4).alias("punct_ratio"),
+            portable_round(score, 4).alias("quality"),
+        )
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic n-gram/stopword language ID: count marker hits per language,
+    argmax with strict-majority tie-breaking to 'und'.  Langs compare in the
+    fixed LANG_MARKERS order, so ties resolve identically in both engines."""
+    lower = F.lower(F.col(text_col))
+    counts = {
+        lang: F.regexp_count(lower, F.lit(_marker_re(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # winner = first lang (in declaration order) whose count is strictly
+    # greater than every other count; otherwise 'und'
+    pred = F.lit(LANG_FALLBACK)
+    for lang in reversed(langs):
+        others = [counts[o] for o in langs if o != lang]
+        strictly_best = (counts[lang] > F.lit(0))
+        for o in others:
+            strictly_best = strictly_best & (counts[lang] >= o)
+        earlier = [counts[o] for o in langs[: langs.index(lang)]]
+        for o in earlier:
+            strictly_best = strictly_best & (counts[lang] > o)
+        pred = F.when(strictly_best, F.lit(lang)).otherwise(pred)
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprints: a base-31 rolling polynomial hash
+    over the character stream (order-sensitive — reordered words change it)
+    plus a 32-bit md5 prefix (content hash).  Both are portable across
+    engines; at scale the md5 fp feeds exact dedup, the rolling fp cheap
+    near-ordering checks."""
+    from spj_query_engine_spark.functions.hashing import h32
+
+    chars = F.split(F.col(text_col), "")
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+    return docs.select(
+        F.col(id_col),
+        roll.alias("fp_rolling"),
+        h32(F.col(text_col)).alias("fp_md5_32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins (DuckDB dialect, same constants)
+# ---------------------------------------------------------------------------
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    n_alpha = "length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE"
+    n_words = f"greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1)"
+    avg_word_len = portable_round_sql(f"{n_alpha} / {n_words}", 4)
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens,
+           {avg_word_len} AS avg_word_len
+    FROM {table}
+    """
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stop_re = _marker_re(STOPWORD_QUALITY)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1)::DOUBLE AS n_words,
+             len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE AS punct,
+             len(regexp_extract_all(text, '{stop_re}'))::DOUBLE AS stop,
+             length(text)::DOUBLE AS n_chars
+      FROM {table}
+    )
+    SELECT doc_id,
+           {portable_round_sql('stop / n_words', 4)} AS stopword_ratio,
+           {portable_round_sql('punct / n_words', 4)} AS punct_ratio,
+           {portable_round_sql('0.5 * least(stop / n_words * 4, 1.0) + 0.3 * least(n_chars / 1000.0, 1.0) + 0.2 * (1.0 - least(punct / n_words, 1.0))', 4)} AS quality
+    FROM t
+    """
+
+
+def language_id_sql(table: str = "documents") -> str:
+    langs = list(LANG_MARKERS)
+    count_exprs = {
+        lang: f"len(regexp_extract_all(lower(text), '{_marker_re(words)}'))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    cte_cols = ",\n             ".join(f"{e} AS c_{lang}" for lang, e in count_exprs.items())
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"c_{lang} {op} c_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_FALLBACK}' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             {cte_cols}
+      FROM {table}
+    )
+    SELECT doc_id, {case_sql} AS lang_pred FROM t
+    """
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    from spj_query_engine_spark.functions.hashing import h32_sql
+
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+                          list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS fp_rolling,
+           {h32_sql('text')} AS fp_md5_32
+    FROM {table}
+    """

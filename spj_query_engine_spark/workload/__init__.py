@@ -10,3 +10,4 @@ from spj_query_engine_spark.workload.registry import (  # noqa: F401
     REGISTRY,
 )
 from spj_query_engine_spark.workload import parity  # noqa: F401  (registers itself)
+from spj_query_engine_spark.workload import text  # noqa: F401  (registers itself)

@@ -1,0 +1,54 @@
+"""Workload entries for the text-analysis operators over the documents table
+(beyond-reference training-data-pipeline surface; BASELINE.json north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.operators import textops
+from spj_query_engine_spark.workload.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@register(
+    "t01_token_stats",
+    textops.token_stats_sql(),
+    doc="Token counting: whitespace words + BPE-ish regex tokens + mean word "
+    "length; single codegen'd projection (no shuffle).",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "t02_quality_score",
+    textops.quality_score_sql(),
+    doc="Quality scoring: punctuation density, stopword ratio, length — "
+    "one pass, rounded 4dp for exact cross-engine match.",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "t03_language_id",
+    textops.language_id_sql(),
+    doc="Heuristic language ID: argmax of per-language stopword hit counts "
+    "with deterministic tie-breaking.",
+)
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "t04_fingerprint",
+    textops.fingerprint_sql(),
+    doc="Document fingerprinting: rolling base-31 polynomial hash over the "
+    "char stream + 32-bit md5 prefix; both engine-portable.",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_docs(spark, sf_dir))

@@ -1,0 +1,84 @@
+"""Text-analysis operator tests: literal-DataFrame correctness vs DuckDB, and
+plan-shape checks (these must be pure projections — zero shuffles)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from spj_query_engine_spark.operators import textops
+
+from tests.conftest import assert_same_result
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "The quick brown fox, jumps over the lazy dog!",
+            "le chat est sur la table et le chien est dans le jardin",
+            "x" * 5,
+            "der hund ist nicht ein katze und das ist gut",
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS)
+
+
+@pytest.fixture(scope="module")
+def docs_duck():
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    yield con
+    con.close()
+
+
+def test_token_stats(docs_df, docs_duck):
+    assert_same_result(textops.token_stats(docs_df), docs_duck, textops.token_stats_sql())
+
+
+def test_token_stats_values(docs_df):
+    rows = {r["doc_id"]: r for r in (r.asDict() for r in textops.token_stats(docs_df).collect())}
+    assert rows[1]["n_words"] == 9
+    assert rows[3]["n_words"] == 1 and rows[3]["n_chars"] == 5
+    # BPE-ish: words + punctuation marks tokenized separately
+    assert rows[1]["n_tokens"] == 11
+
+
+def test_quality_score(docs_df, docs_duck):
+    assert_same_result(textops.quality_score(docs_df), docs_duck, textops.quality_score_sql())
+
+
+def test_language_id(docs_df, docs_duck):
+    assert_same_result(textops.language_id(docs_df), docs_duck, textops.language_id_sql())
+
+
+def test_language_id_values(docs_df):
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(docs_df).collect()}
+    assert got[1] == "en" and got[2] == "fr" and got[4] == "de" and got[3] == "und"
+
+
+def test_fingerprint(docs_df, docs_duck):
+    assert_same_result(textops.fingerprint(docs_df), docs_duck, textops.fingerprint_sql())
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "b a"]})
+    )
+    fps = [r["fp_rolling"] for r in textops.fingerprint(df).collect()]
+    assert fps[0] != fps[1]
+
+
+@pytest.mark.parametrize(
+    "op", [textops.token_stats, textops.quality_score, textops.language_id, textops.fingerprint]
+)
+def test_no_shuffle_in_plan(docs_df, op):
+    """100 TB design check: these are per-row projections — a shuffle in the
+    plan would mean an accidental wide dependency."""
+    plan = op(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
