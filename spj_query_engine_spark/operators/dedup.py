@@ -1,0 +1,479 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star).  Five dedup families,
+each expressed Spark-first (JVM expressions + shuffle-conscious joins; no
+Python in the hot path) with a DuckDB oracle twin generated from the SAME
+constants so the driver's value-hash gate verifies them exactly:
+
+* exact        — hash-groupBy on md5(text); shuffles 16-byte keys, not bodies.
+* MinHash+LSH  — shingle → minhash signature → banded bucket join → verified
+                 Jaccard.  The classic near-dup pipeline (Broder 1997;
+                 Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3).
+* SimHash      — 60-bit hyperplane-free fingerprint (Charikar 2002), banded
+                 join + Hamming verify.
+* n-gram Jaccard — direct shingle-inverted-index join with a document-
+                 frequency cap (stop-shingle pruning).
+* embedding cosine — blocked brute-force within a coarse partition key.
+
+100 TB scale notes (these shapes are what survive 1000 executors):
+
+* Signatures/fingerprints are per-row projections — embarrassingly parallel.
+* All candidate generation is equi-join on short keys (band hash / shingle
+  hash / block id), never a cross product.  Catalyst shuffles both sides on
+  the key; AQE splits skewed buckets.
+* Hot buckets (boilerplate shingles, empty-text signatures) are the classic
+  skew source — the DF cap drops shingles shared by > MAX_DF docs, exactly
+  the "stop-shingle" trick production pipelines use.
+* Pair verification joins signatures back by doc id — a narrow shuffle of
+  (id, sig) pairs, not document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.functions.hashing import (
+    MERSENNE61,
+    h32,
+    h32_sql,
+    minhash_params,
+    minhash_perm,
+    minhash_perm_sql,
+    portable_round,
+    portable_round_sql,
+)
+
+# shared constants — inlined into BOTH engines
+SHINGLE_N = 3  # word shingles
+MINHASH_K = 12  # signature length
+LSH_BANDS = 6  # 6 bands × 2 rows
+LSH_ROWS = 2
+JACCARD_T = 0.2  # verify threshold for minhash/ngram pairs
+NGRAM_MAX_DF = 20  # stop-shingle cap for the inverted-index join
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands × 15 bits
+SIMHASH_MAX_HAMMING = 10
+COSINE_T = 0.4  # embedding near-dup threshold
+
+_MINHASH_AB = minhash_params(MINHASH_K, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by md5(text).  Shuffle key = 32-hex
+    digest, so the exchange carries ~40 B/row regardless of document size —
+    the reason to hash before grouping at 100 TB."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM {table} GROUP BY md5(text)
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by minhash + ngram jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text: Column) -> Column:
+    """Distinct uint32 hashes of word SHINGLE_N-grams (JVM higher-order
+    functions only).  Docs shorter than SHINGLE_N words → empty array."""
+    words = F.split(text, r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_N),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(SHINGLE_N)]
+        ),
+    )
+    grams = F.when(n >= SHINGLE_N, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(grams, h32))
+
+
+def _shingle_hashes_sql() -> str:
+    """DuckDB twin of shingle_hashes (1-based list indexing; range() already
+    yields [] for negative sizes)."""
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(SHINGLE_N))
+    return (
+        "list_distinct(list_transform("
+        f"list_transform(range(len(w) - {SHINGLE_N - 1}), i -> {gram}),"
+        f" s -> {h32_sql('s')}))"
+    )
+
+
+def _words_cte(table: str) -> str:
+    return f"SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """MinHash signature: array of MINHASH_K minima of universal-hash
+    permutations; empty shingle set → sentinel p (consistent both engines)."""
+    def perm_fn(a: int, b: int):
+        # closure factory: a plain single-arg lambda — default-arg captures
+        # would change the arity pyspark infers for the HOF
+        return lambda x: minhash_perm(x, a, b)
+
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, perm_fn(a, b))),
+            F.lit(MERSENNE61),
+        )
+        for a, b in _MINHASH_AB
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
+    on the shingle-hash sets.
+
+    Plan shape: per-row signature → explode LSH_BANDS band keys per doc →
+    self-equi-join on (band, key) → distinct candidate pairs → join shingle
+    sets back by id → Jaccard filter.  Every join is an equi-join on a short
+    hash key; at 100 TB the band join dominates and AQE's skew splitting
+    handles hot buckets (plus: identical empty-signature docs all land in one
+    bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col)).alias("sh")
+    ).persist()
+    sigs = base.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(F.col("sig"), b * LSH_ROWS + r + 1)
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", portable_round(jacc, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def minhash_lsh_pairs_sql(table: str = "documents") -> str:
+    perm_mins = ",\n             ".join(
+        f"coalesce(list_min(list_transform(sh, x -> {minhash_perm_sql('x', a, b)})), "
+        f"{MERSENNE61}) AS m{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + " AS key FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    jacc = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)::DOUBLE"
+    )
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    sigs AS (SELECT doc_id,
+             {perm_mins}
+             FROM shset),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT cand.doc_a, cand.doc_b,
+           {portable_round_sql(jacc, 6)} AS jaccard
+    FROM cand
+    JOIN shset sa ON sa.doc_id = cand.doc_a
+    JOIN shset sb ON sb.doc_id = cand.doc_b
+    WHERE {portable_round_sql(jacc, 6)} >= {JACCARD_T}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column) -> Column:
+    """SIMHASH_BITS-bit SimHash over word tokens (with multiplicity): bit j
+    is set iff more than half the tokens have bit j set in their 60-bit md5
+    hash.  Pure JVM higher-order expressions — wide but shuffle-free."""
+    words = F.split(text, r"\s+")
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
+    n = F.size(hashes)
+
+    def bit_test(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        s_j = F.size(F.filter(hashes, bit_test(j)))
+        out = out + F.when(s_j * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60 bits into SIMHASH_BANDS chunks
+    (pigeonhole: Hamming ≤ k pairs share ≥1 of k+1 bands — with 4 bands this
+    is exact for Hamming ≤ 3 and a high-recall heuristic above), equi-join on
+    (band, chunk), verify with bit_count(xor) ≤ SIMHASH_MAX_HAMMING."""
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = fp.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _simhash_sql_expr() -> str:
+    h60 = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT doc_id, ({bit_terms}) AS simhash FROM "
+        f"(SELECT doc_id, list_transform(w, x -> {h60}) AS hs FROM words) _hs"
+    )
+
+
+def simhash_fingerprints_sql(table: str = "documents") -> str:
+    return f"WITH words AS ({_words_cte(table)}) {_simhash_sql_expr()}"
+
+
+def simhash_pairs_sql(table: str = "documents") -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    fp AS ({_simhash_sql_expr()}),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs Jaccard ≥ JACCARD_T via a shingle inverted index:
+    explode distinct shingle hashes → drop shingles in > NGRAM_MAX_DF docs
+    (stop-shingle skew control — THE lever that keeps the self-join from
+    quadratic blowup at 100 TB) → self-join on shingle → count common
+    shingles per pair → join set sizes → Jaccard filter."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col)).alias("sh")
+    ).persist()
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = base.select("doc_id", F.explode("sh").alias("g"))
+    df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= NGRAM_MAX_DF
+    )
+    inv = inv.join(df_ok.select("g"), "g")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", portable_round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents") -> str:
+    jacc = "n_common::DOUBLE / greatest(len(sa.sh) + len(sb.sh) - n_common, 1)::DOUBLE"
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, {portable_round_sql(jacc, 6)} AS jaccard
+    FROM common
+    JOIN shset sa ON sa.doc_id = doc_a
+    JOIN shset sb ON sb.doc_id = doc_b
+    WHERE {portable_round_sql(jacc, 6)} >= {JACCARD_T}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (blocked brute force)
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity as an explicit left-to-right fold in double
+    precision — the SAME evaluation order as the oracle twin, so results are
+    bit-identical."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_sim_sql(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(len({x})), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: brute-force cosine WITHIN a coarse
+    blocking key (here the label column; in production an IVF/LSH bucket —
+    see operators.similarity).  The block equi-join keeps the pair count at
+    sum(block²) instead of n² and shuffles on the block key."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    sim = portable_round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+def embedding_near_dup_sql(table: str = "embeddings") -> str:
+    sim = portable_round_sql(cosine_sim_sql("a.embedding", "b.embedding"), 6)
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine
+    FROM {table} a JOIN {table} b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sim} >= {COSINE_T}
+    """

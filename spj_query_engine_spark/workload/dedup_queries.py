@@ -1,0 +1,72 @@
+"""Workload entries for the deduplication operators (documents/embeddings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.operators import dedup
+from spj_query_engine_spark.workload.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@register(
+    "d01_exact_dedup",
+    dedup.exact_dedup_sql(),
+    doc="Exact dedup: hash-groupBy on md5(text); shuffles digests, not bodies.",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "d02_minhash_lsh",
+    dedup.minhash_lsh_pairs_sql(),
+    doc="MinHash(12)+LSH(6×2) candidate pairs verified by exact shingle "
+    "Jaccard ≥ %s; banded equi-joins only, no cross product." % dedup.JACCARD_T,
+)
+def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d03_simhash_fp",
+    dedup.simhash_fingerprints_sql(),
+    doc="60-bit SimHash fingerprints (Charikar) — per-row JVM expressions.",
+)
+def d03_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "d04_simhash_pairs",
+    dedup.simhash_pairs_sql(),
+    doc="SimHash near-dup pairs: 4×15-bit band join + Hamming ≤ %s verify."
+    % dedup.SIMHASH_MAX_HAMMING,
+)
+def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d05_ngram_jaccard",
+    dedup.ngram_jaccard_pairs_sql(),
+    doc="n-gram Jaccard all-pairs via shingle inverted index with DF cap "
+    "≤ %s (stop-shingle skew control)." % dedup.NGRAM_MAX_DF,
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d06_embedding_near_dup",
+    dedup.embedding_near_dup_sql(),
+    doc="Embedding cosine near-dup pairs ≥ %s, blocked by label (coarse IVF "
+    "stand-in); explicit same-order double fold both engines." % dedup.COSINE_T,
+)
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup.embedding_near_dup(emb)

@@ -1,0 +1,36 @@
+"""Workload entries for similarity search over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.operators import similarity
+from spj_query_engine_spark.workload.registry import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+@register(
+    "s01_ann_bruteforce",
+    similarity.brute_force_topk_sql(),
+    doc="Exact top-%s cosine neighbors for %s query vectors: broadcast "
+    "query join, per-query window with deterministic tie-break."
+    % (similarity.TOP_K, similarity.N_QUERIES),
+)
+def s01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "s02_ann_lsh",
+    similarity.lsh_topk_sql(),
+    doc="Random-hyperplane LSH ANN (%s bits, %s bands): bucket projection + "
+    "equi-join candidates + exact rerank — the 100 TB scale path; even the "
+    "approximation is oracle-verified (portable md5-derived hyperplanes)."
+    % (similarity.SIGN_BITS, similarity.SIGN_BANDS),
+)
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir))

@@ -1,0 +1,107 @@
+"""Behavioral tests for dedup + similarity operators on constructed data:
+known duplicates must be found, unrelated items must not pair, and the LSH
+path must recover the planted nearest neighbor."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.operators import dedup, similarity
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = BASE.replace("lazy", "sleepy")  # one word changed → high Jaccard
+OTHER = "completely different content about spark query engines and distributed joins at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [BASE, NEAR, OTHER, BASE],  # 4 is an exact dup of 1
+            }
+        )
+    )
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["fp"]: r for r in dedup.exact_dedup(docs).collect()}
+    counts = sorted(r["n_copies"] for r in got.values())
+    assert counts == [1, 1, 2]
+    dup_group = next(r for r in got.values() if r["n_copies"] == 2)
+    assert dup_group["keep_id"] == 1
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[4]
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # vec 0 and 10 nearly identical; 20 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (10, [0.99, 0.1, 0.0, 0.0], 0),
+        (20, [0.0, 1.0, 0.0, 0.0], 0),
+        (30, [0.0, 0.0, 1.0, 0.0], 1),
+        (40, [0.0, 0.0, 0.98, 0.15], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_near_dup(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in dedup.embedding_near_dup(emb).collect()}
+    assert (0, 10) in pairs and pairs[(0, 10)] > 0.9
+    assert (30, 40) in pairs
+    assert (0, 30) not in pairs  # cross-block pairs are never considered
+
+
+def test_brute_force_topk_order(emb):
+    got = similarity.brute_force_topk(emb, k=2, n_queries=1).collect()
+    by_rank = {r["rank"]: r["cand_id"] for r in got}
+    assert by_rank[1] == 10  # closest first
+    assert len(got) == 2
+
+
+def test_lsh_topk_finds_planted_neighbor(emb):
+    got = similarity.lsh_topk(emb, k=1, n_queries=1).collect()
+    assert got and got[0]["cand_id"] == 10
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """On clustered data the LSH top-1 must equal the exact top-1 for most
+    queries (here: identical twin vectors — recall must be 100%)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((100 + i, [float(x) for x in v * 1.001], 0))  # twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.lsh_topk(df, k=1, n_queries=20).collect()
+    top1 = {r["query_id"]: r["cand_id"] for r in got}
+    hits = sum(1 for q, c in top1.items() if c == 100 + q)
+    assert hits == 20, top1
