@@ -71,7 +71,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nano_ts_columns(path):
         # nanos → micros → TimestampType; DuckDB applies the same truncation
         # (its timestamps are microsecond), keeping oracle comparison exact.
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")))
+        # Integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double division
+        # silently rounds by up to 1 µs.
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
 
 

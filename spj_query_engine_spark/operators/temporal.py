@@ -1,0 +1,292 @@
+"""Temporal operators: as-of join, range join, tumbling rollup, sessionize.
+
+Beyond-reference capability — the reference has no time type at all (INT /
+STRING / REAL only, ``src/qp/utils/Attribute.java:11-13``).  These are the
+event-time primitives a training-data/feature pipeline needs; batch forms
+here, streaming variants in :mod:`spj_query_engine_spark.streaming`.
+
+Spark has no native AS-OF join (Flink's temporal join / DuckDB's ASOF JOIN /
+pandas merge_asof are the reference points), so it is built as a composition:
+equi-join on the entity key + time-inequality filter + per-left-row top-1
+window — all shuffle-on-key operations Catalyst handles.  For very large
+builds where one event matches thousands of historical orders, the
+``applyInPandas`` + ``pd.merge_asof`` per-key variant (``asof_join_pandas``)
+avoids the intermediate blowup; both produce identical results.
+
+100 TB notes: every operator shuffles exactly once on its natural key
+(entity id or time bucket).  The tumbling rollup pre-aggregates map-side;
+sessionization is one window pass per entity partition; the range join's
+candidate set is bounded by the equi key plus the time band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spj_query_engine_spark.functions.hashing import portable_round, portable_round_sql
+
+ROLLUP_HOURS = 6  # tumbling window width for the batch rollup
+SESSION_GAP_MIN = 30  # sessionization inactivity gap
+RANGE_DAYS = 7  # ± band for the range join
+
+
+def _ts_seconds(col: str) -> F.Column:
+    """Exact epoch seconds for TIMESTAMP / TIMESTAMP_NTZ columns."""
+    return (F.unix_millis(F.col(col).cast(T.TimestampType())) / 1000.0)
+
+
+def tumbling_rollup(events: DataFrame, hours: int = ROLLUP_HOURS) -> DataFrame:
+    """Tumbling event-time window aggregate: floor(epoch/width) buckets per
+    event_type; decimal-exact value sums.  Map-side partial aggregation means
+    the shuffle carries one row per (task, bucket, type) — at 100 TB this is
+    the canonical pre-aggregated rollup shape.  (The streaming twin uses
+    ``F.window`` + watermark; same semantics.)"""
+    width = hours * 3600
+    bucket = F.floor(F.unix_millis(F.col("ts").cast(T.TimestampType())) / F.lit(width * 1000))
+    return (
+        events.groupBy(
+            bucket.cast("long").alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .withColumn("window_start_ms", F.col("bucket") * (width * 1000))
+    )
+
+
+def tumbling_rollup_sql(table: str = "events", hours: int = ROLLUP_HOURS) -> str:
+    width_ms = hours * 3600 * 1000
+    return f"""
+    SELECT floor(epoch_ms(ts) / {width_ms})::BIGINT AS bucket,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           floor(epoch_ms(ts) / {width_ms})::BIGINT * {width_ms} AS window_start_ms
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization: per user, a new session starts after an inactivity gap.
+    One shuffle (partition by user), one sort per partition, two window
+    passes — the classic lag+cumsum formulation.  Ordering ties break on
+    event_id so both engines number sessions identically."""
+    gap_ms = gap_minutes * 60 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        F.col("value"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    with_sid = with_gap.withColumn(
+        "session_no",
+        F.sum(F.when(F.lag("ts_ms").over(w).isNull(), 1).otherwise(F.col("new_session"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_no").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def sessionize_sql(table: str = "events", gap_minutes: int = SESSION_GAP_MIN) -> str:
+    gap_ms = gap_minutes * 60 * 1000
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM {table}
+    ),
+    gapped AS (
+      SELECT *,
+             CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+                  WHEN ts_ms - lag(ts_ms) OVER w > {gap_ms} THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sid AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gapped
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sid GROUP BY user_id, session_no
+    """
+
+
+def asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """AS-OF join: for each event, the latest order of the same customer at
+    or before the event time (inner flavor: unmatched events drop).
+
+    Composition: equi-join on the entity key, time filter, then top-1 per
+    event via a window ordered (o_orderdate DESC, o_orderkey DESC) — the
+    explicit tie-break DuckDB's native ASOF JOIN leaves unspecified, which is
+    why the oracle uses the same window formulation.  Shuffles: one hash join
+    on user_id/custkey + one window exchange on event_id."""
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("odate_ms"),
+        "o_totalprice",
+    )
+    joined = e.join(o, (e.user_id == o.o_custkey) & (o.odate_ms <= e.ts_ms))
+    w = Window.partitionBy("event_id").orderBy(F.desc("odate_ms"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            "o_orderkey",
+            "odate_ms",
+            portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+def asof_join_sql(events: str = "events", orders: str = "orders") -> str:
+    price = portable_round_sql("o_totalprice", 2)
+    return f"""
+    WITH j AS (
+      SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+             o.o_orderkey, epoch_ms(o.o_orderdate) AS odate_ms, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM {events} e JOIN {orders} o
+        ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+    )
+    SELECT event_id, user_id, ts_ms, o_orderkey, odate_ms, {price} AS o_totalprice
+    FROM j WHERE rn = 1
+    """
+
+
+def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Same AS-OF semantics via ``applyInPandas`` + ``pd.merge_asof`` per
+    customer partition — the variant to prefer when each event would match a
+    deep order history (avoids the join-then-filter intermediate).  Arrow
+    batches; one shuffle on the entity key."""
+    import pandas as pd
+
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("odate_ms"),
+        "o_totalprice",
+    )
+    both = e.withColumn("side", F.lit("e")).unionByName(
+        o.select(
+            F.col("o_orderkey").alias("event_id"),
+            "user_id",
+            F.col("odate_ms").alias("ts_ms"),
+        ).withColumn("side", F.lit("o")),
+        allowMissingColumns=True,
+    )
+
+    # carry order payloads through a second frame keyed the same way
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ev = pdf[pdf.side == "e"][["event_id", "user_id", "ts_ms"]].sort_values(
+            ["ts_ms", "event_id"]
+        )
+        od = pdf[pdf.side == "o"][["event_id", "ts_ms"]].rename(
+            columns={"event_id": "o_orderkey", "ts_ms": "odate_ms"}
+        )
+        od = od.sort_values(["odate_ms", "o_orderkey"], ascending=[True, True])
+        # merge_asof keeps the LAST row per time among ties → ties break on
+        # the highest o_orderkey, matching the window formulation
+        out = pd.merge_asof(
+            ev,
+            od,
+            left_on="ts_ms",
+            right_on="odate_ms",
+            direction="backward",
+        )
+        return out.dropna(subset=["o_orderkey"])
+
+    schema = "event_id long, user_id long, ts_ms long, o_orderkey double, odate_ms double"
+    return (
+        both.groupBy("user_id")
+        .applyInPandas(lambda key, pdf: merge(key, pdf), schema)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("odate_ms").cast("long").alias("odate_ms"),
+        )
+    )
+
+
+RANGE_MINUTES = 60  # ± band for the event-to-event range join
+
+
+def range_join(events: DataFrame, minutes: int = RANGE_MINUTES) -> DataFrame:
+    """Range join (self): per 'purchase' event, aggregate the same user's
+    OTHER events inside ts ± minutes.  The equi key (user_id) bounds the
+    candidates; the time band is a residual filter evaluated inside the hash
+    join.  For a pure range join with no equi key, bucketize the time axis to
+    band-width buckets and equi-join on bucket∈{b-1,b,b+1} — same template."""
+    band_ms = minutes * 60 * 1000
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "value",
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ts"),
+    )
+    joined = p.join(
+        e,
+        (p.p_user == e.user_id)
+        & (e.ts_ms >= p.p_ts - band_ms)
+        & (e.ts_ms <= p.p_ts + band_ms)
+        & (e.event_id != p.p_id),
+    )
+    return joined.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def range_join_sql(events: str = "events", minutes: int = RANGE_MINUTES) -> str:
+    band_ms = minutes * 60 * 1000
+    return f"""
+    SELECT p.event_id AS p_id,
+           count(*) AS n_nearby,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {events} p JOIN {events} e
+      ON p.user_id = e.user_id
+     AND epoch_ms(e.ts) >= epoch_ms(p.ts) - {band_ms}
+     AND epoch_ms(e.ts) <= epoch_ms(p.ts) + {band_ms}
+     AND e.event_id != p.event_id
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """

@@ -13,3 +13,4 @@ from spj_query_engine_spark.workload import parity  # noqa: F401  (registers its
 from spj_query_engine_spark.workload import text  # noqa: F401  (registers itself)
 from spj_query_engine_spark.workload import dedup_queries  # noqa: F401  (registers itself)
 from spj_query_engine_spark.workload import similarity_queries  # noqa: F401  (registers itself)
+from spj_query_engine_spark.workload import temporal_queries  # noqa: F401  (registers itself)

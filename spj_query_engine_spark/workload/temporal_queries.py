@@ -1,0 +1,54 @@
+"""Workload entries for the temporal operators over events/orders."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.operators import temporal
+from spj_query_engine_spark.workload.registry import register
+
+
+@register(
+    "e01_tumbling_rollup",
+    temporal.tumbling_rollup_sql(),
+    doc="Tumbling %sh event-time rollup per event_type; map-side partial agg."
+    % temporal.ROLLUP_HOURS,
+)
+def e01_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.tumbling_rollup(ev)
+
+
+@register(
+    "e02_sessionize",
+    temporal.sessionize_sql(),
+    doc="Sessionization (gap %s min): lag+cumsum windows, one shuffle on "
+    "user_id, deterministic tie-break on event_id." % temporal.SESSION_GAP_MIN,
+)
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.sessionize(ev)
+
+
+@register(
+    "e03_asof_join",
+    temporal.asof_join_sql(),
+    doc="AS-OF join events→orders (latest order per customer at event time); "
+    "equi-join + top-1 window with explicit tie-break (DuckDB ASOF JOIN "
+    "equivalent but deterministic).",
+)
+def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    return temporal.asof_join(t["events"], t["orders"])
+
+
+@register(
+    "e04_range_join",
+    temporal.range_join_sql(),
+    doc="Self range join: per purchase event, same-user events within ±%s "
+    "min; equi key + time-band residual." % temporal.RANGE_MINUTES,
+)
+def e04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.range_join(ev)

@@ -1,0 +1,91 @@
+"""Temporal operator tests on constructed event/order data, plus the
+equivalence of the two AS-OF join implementations (DataFrame composition vs
+applyInPandas + merge_asof)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from spj_query_engine_spark.operators import temporal
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions separated by > 30 min
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 1, _ts(5), "purchase", 2.0),
+        (3, 1, _ts(50), "view", 3.0),
+        # user 2: one session
+        (4, 2, _ts(10), "purchase", 4.0),
+        (5, 2, _ts(20), "view", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    rows = [
+        (100, 1, dt.datetime(2023, 12, 1), 10.0),
+        (101, 1, dt.datetime(2023, 12, 25), 20.0),
+        (102, 1, dt.datetime(2023, 12, 25), 30.0),  # tie on date with 101
+        (103, 2, dt.datetime(2024, 1, 1, 0, 15), 40.0),  # after user 2's first event
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+
+
+def test_sessionize_gap_split(events):
+    got = {(r["user_id"], r["session_no"]): r for r in temporal.sessionize(events).collect()}
+    assert len(got) == 3  # user 1 → 2 sessions, user 2 → 1
+    assert got[(1, 1)]["n_events"] == 2 and got[(1, 2)]["n_events"] == 1
+    assert got[(2, 1)]["n_events"] == 2
+
+
+def test_tumbling_rollup_counts(events):
+    got = temporal.tumbling_rollup(events, hours=1).collect()
+    assert sum(r["n_events"] for r in got) == 5
+    # all five events fall in the same 1h bucket → one row per event_type
+    assert {r["event_type"] for r in got} == {"view", "purchase"}
+
+
+def test_asof_picks_latest_with_tiebreak(events, orders):
+    got = {r["event_id"]: r for r in temporal.asof_join(events, orders).collect()}
+    # user 1 events: latest order at/before is 2023-12-25; tie → higher key 102
+    assert got[1]["o_orderkey"] == 102
+    # user 2 event 4 (00:10): order 103 is at 00:15 → NO order before → dropped
+    assert 4 not in got
+    # user 2 event 5 (00:20): order 103 (00:15) matches
+    assert got[5]["o_orderkey"] == 103
+
+
+def test_asof_pandas_variant_matches(events, orders):
+    a = {
+        (r["event_id"], r["o_orderkey"], r["odate_ms"])
+        for r in temporal.asof_join(events, orders).collect()
+    }
+    b = {
+        (r["event_id"], r["o_orderkey"], r["odate_ms"])
+        for r in temporal.asof_join_pandas(events, orders).collect()
+    }
+    assert a == b
+
+
+def test_range_join_window(events):
+    got = {r["p_id"]: r for r in temporal.range_join(events, minutes=10).collect()}
+    # purchase 2 (00:05): user-1 events within ±10min → event 1 only
+    assert got[2]["n_nearby"] == 1
+    # purchase 4 (00:10): user-2 event 5 at 00:20 is inside ±10
+    assert got[4]["n_nearby"] == 1
