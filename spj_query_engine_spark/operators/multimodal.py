@@ -1,0 +1,159 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference capability.  The pattern for image/audio/video at 100 TB:
+
+* the payload is an opaque ``binary`` column (or a (path, offset, length)
+  pointer into an object store for very large assets);
+* typed metadata (byte size, content hash, modality tag) rides alongside in
+  a struct so filtering/routing never touches the bytes;
+* decode / feature-extraction / frame-sampling run as Arrow-batched
+  ``mapInPandas`` stages — the ONLY place Python touches data, sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+* batches stay balanced by repartitioning on a hash of the id, not by file
+  layout (decode cost is per-byte, file layout is per-document count).
+
+The real decoders (PIL / torchaudio / ffmpeg) are NOT in this container, so
+``decode_features`` STUBS them: if the library import fails it falls back to
+a DETERMINISTIC fake feature extractor (md5-seeded) whose values the DuckDB
+oracle reproduces — the Spark-side plumbing (schema, Arrow batching, UDF
+signature, partitioning) is real and oracle-tested end-to-end; only the
+pixel math is fake.  The documents table's text bytes stand in for payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.functions.hashing import h32_sql
+
+FEAT_DIM = 8
+FRAME_COUNT = 4
+CHECKSUM_MOD = 2147483647
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a source column as a multimodal (payload, metadata) pair.  With
+    real assets this is the ingestion boundary (read bytes / object-store
+    pointers); here the UTF-8 text bytes stand in."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.lit("text/utf-8").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an image/audio feature extractor: FEAT_DIM
+    md5-derived floats in [0, 1).  Replace with the real model when the
+    decode libraries exist; the surrounding plumbing does not change."""
+    try:
+        import PIL.Image  # noqa: F401  — not in this container
+
+        raise NotImplementedError(
+            "real image decode is stubbed in this environment; "
+            "plug PIL/torchvision in here"
+        )
+    except ImportError:
+        pass
+    out = []
+    for k in range(FEAT_DIM):
+        h = hashlib.md5(str(k).encode() + payload).hexdigest()
+        out.append(int(h[:8], 16) / 4294967296.0)
+    return out
+
+
+def decode_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction over (payload, meta) rows —
+    the mapInPandas stage a real image pipeline would use.  Output: id,
+    byte stats, FEAT_DIM-dim feature vector."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(lambda b: sum(b) % CHECKSUM_MOD),
+                    "feat": payloads.map(_fake_features),
+                }
+            )
+
+    return mm.mapInPandas(
+        decode, schema="doc_id long, n_bytes int, checksum long, feat array<double>"
+    )
+
+
+def decode_features_sql(table: str = "documents") -> str:
+    """Oracle twin of the fake extractor (documents text is plain ASCII, so
+    UTF-8 payload bytes == ascii codes)."""
+    feats = ", ".join(
+        f"(('0x' || substr(md5({k}::VARCHAR || text), 1, 8))::BIGINT::DOUBLE / 4294967296.0)"
+        for k in range(FEAT_DIM)
+    )
+    return f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                       (a, x) -> a + x) % {CHECKSUM_MOD} AS checksum,
+           [{feats}] AS feat
+    FROM {table}
+    """
+
+
+def frame_sample(mm: DataFrame, n_frames: int = FRAME_COUNT) -> DataFrame:
+    """Frame sampling for video-like payloads: split the byte stream into
+    ``n_frames`` contiguous chunks and fingerprint each — the shape of a
+    keyframe extractor (seek offsets + per-frame decode) with the codec
+    stubbed to md5.  mapInPandas keeps per-frame work Arrow-batched."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for f in range(n_frames):
+                    lo = (n * f) // n_frames
+                    hi = (n * (f + 1)) // n_frames
+                    chunk = payload[lo:hi]
+                    rows.append(
+                        (
+                            doc_id,
+                            f,
+                            len(chunk),
+                            int(hashlib.md5(chunk).hexdigest()[:8], 16),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_fp"]
+            )
+
+    return mm.mapInPandas(
+        sample, schema="doc_id long, frame_no int, frame_bytes int, frame_fp long"
+    )
+
+
+def frame_sample_sql(table: str = "documents", n_frames: int = FRAME_COUNT) -> str:
+    """Oracle twin: same integer chunk boundaries via substr (ASCII text →
+    byte offsets == char offsets)."""
+    selects = []
+    for f in range(n_frames):
+        lo = f"(length(text) * {f}) // {n_frames}"
+        hi = f"(length(text) * {f + 1}) // {n_frames}"
+        chunk = f"substr(text, ({lo}) + 1, ({hi}) - ({lo}))"
+        selects.append(
+            f"SELECT doc_id, {f} AS frame_no, length({chunk}) AS frame_bytes, "
+            f"{h32_sql(chunk)} AS frame_fp FROM {table}"
+        )
+    return " UNION ALL ".join(selects)

@@ -1,0 +1,99 @@
+"""Structured Streaming ingest + windowed aggregation.
+
+Beyond-reference capability: the reference is strictly batch (nothing
+streaming anywhere in its 7.3k LoC — SURVEY.md §1.2).  This module gives the
+engine a streaming variant of the scan + tumbling-rollup path:
+
+    readStream(parquet) → event-time window agg → sink
+
+Semantics contract: the streaming rollup over a FINITE input (complete mode,
+``processAllAvailable``) must equal the batch ``operators.temporal
+.tumbling_rollup`` exactly — which is how the driver's oracle verifies it
+(same DuckDB SQL as the batch rollup).
+
+Production shape at scale: file/Kafka source, ``withWatermark`` + append
+mode so state is bounded and late data beyond the watermark drops, output to
+an idempotent sink (``foreachBatch`` + MERGE).  The memory sink here exists
+so a finite parquet directory can drive the query to completion inside a
+test harness.  Custom stateful operators (streaming sessionization via
+``applyInPandasWithState``) are the designated next extension.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.catalog import table_path
+from spj_query_engine_spark.operators.temporal import ROLLUP_HOURS
+
+WATERMARK = "1 hour"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table.  Schema comes from a batch read;
+    the TIMESTAMP(NANOS) column arrives as long nanos (nanosAsLong) and is
+    converted with integer div — same rule as the batch catalog."""
+    path = table_path(sf_dir, "events")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory: stream the sf dir with a glob
+    # pinned to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def streaming_rollup(events: DataFrame, hours: int = ROLLUP_HOURS) -> DataFrame:
+    """Event-time tumbling window aggregate on a stream: watermark + window.
+    Emits (bucket, event_type, n_events, sum_value, window_start_ms) — the
+    exact schema of the batch rollup so results are comparable."""
+    width_ms = hours * 3600 * 1000
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", f"{hours} hours"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            (F.unix_millis(F.col("window.start")) / F.lit(width_ms))
+            .cast("long")
+            .alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        )
+    )
+
+
+def run_streaming_rollup(
+    spark: SparkSession, sf_dir: str, hours: int = ROLLUP_HOURS
+) -> DataFrame:
+    """Drive the streaming rollup over the finite events directory to
+    completion (memory sink, complete mode) and return the result as a
+    batch DataFrame."""
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_rollup(stream_events(spark, sf_dir), hours)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

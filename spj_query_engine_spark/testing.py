@@ -19,6 +19,12 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[col] = pdf[col].astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(pdf[col]):
             pdf[col] = pd.to_datetime(pdf[col]).astype("datetime64[us]")
+        elif pdf[col].dtype == object:
+            # array<...> columns arrive as numpy arrays / lists — make them
+            # hashable + comparable
+            pdf[col] = pdf[col].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
     if len(pdf.columns):
         pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
     return pdf

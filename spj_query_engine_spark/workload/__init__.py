@@ -14,3 +14,4 @@ from spj_query_engine_spark.workload import text  # noqa: F401  (registers itsel
 from spj_query_engine_spark.workload import dedup_queries  # noqa: F401  (registers itself)
 from spj_query_engine_spark.workload import similarity_queries  # noqa: F401  (registers itself)
 from spj_query_engine_spark.workload import temporal_queries  # noqa: F401  (registers itself)
+from spj_query_engine_spark.workload import pipeline_queries  # noqa: F401  (registers itself)

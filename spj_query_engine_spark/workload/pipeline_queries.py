@@ -1,0 +1,48 @@
+"""Workload entries: streaming ingest + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.operators import multimodal, temporal
+from spj_query_engine_spark.streaming import ingest
+from spj_query_engine_spark.workload.registry import register
+
+
+@register(
+    "e05_streaming_rollup",
+    temporal.tumbling_rollup_sql(),
+    doc="Structured Streaming tumbling rollup (readStream parquet → "
+    "watermark+window agg → memory sink, driven to completion); oracle = the "
+    "batch rollup SQL, proving stream/batch semantic equality.",
+)
+def e05_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_streaming_rollup(spark, sf_dir)
+
+
+def _mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return multimodal.attach_payload(docs)
+
+
+@register(
+    "m01_decode_features",
+    multimodal.decode_features_sql(),
+    doc="Multimodal decode + feature extraction: binary payload column → "
+    "Arrow-batched mapInPandas → 8-dim features (decoder stubbed "
+    "deterministically; plumbing real and oracle-verified).",
+)
+def m01_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_features(_mm(spark, sf_dir))
+
+
+@register(
+    "m02_frame_sample",
+    multimodal.frame_sample_sql(),
+    doc="Frame sampling: payload byte stream → %s contiguous chunks → "
+    "per-frame fingerprint via mapInPandas (codec stubbed to md5)."
+    % multimodal.FRAME_COUNT,
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(_mm(spark, sf_dir))
