@@ -163,3 +163,22 @@ def order_by(df: DataFrame, columns: Sequence[str | Column], ascending: bool = T
     RandomInitialPlan.java:50-53; implemented per D2).  Spark range-partitions
     on a sampled histogram — a distributed sort, not a single-node one."""
     return df.orderBy(*columns, ascending=ascending)
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a DataFrame whose physical partition count is far below
+    the session's parallelism, so downstream CPU-heavy stages (pairwise
+    joins, shingle explodes) use every core.
+
+    At production scale inputs arrive in hundreds of splits and this is a
+    no-op; it only fires for small files that parquet reads as one split —
+    without it a broadcast-join pair loop runs on a single task no matter
+    how many executors exist (there is no shuffle to rebalance it).  The
+    guard makes the extra shuffle conditional, so a 100 TB input never pays
+    a gratuitous full-table exchange.
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

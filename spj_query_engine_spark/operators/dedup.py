@@ -132,8 +132,12 @@ def shingle_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     from pyspark.sql import Window as W
 
+    from spj_query_engine_spark.operators.core import spread
+
     words = F.split(F.col(text_col), r"\s+")
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok"))
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok")
+    )
     w = W.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SHINGLE_N)]
     # the last lead is NULL for the trailing (SHINGLE_N-1) positions — and for
@@ -308,7 +312,9 @@ def simhash_fingerprints(
     """Fingerprints via explode + 60 codegen'd SUM aggregates (one shuffle on
     doc_id, map-side partials) — ~10× the throughput of the per-row HOF
     formulation (`simhash`), identical results."""
-    toks = docs.select(
+    from spj_query_engine_spark.operators.core import spread
+
+    toks = spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).select(
@@ -533,7 +539,9 @@ def embedding_near_dup(
     def dot(x: Column, y: Column) -> Column:
         return dot_product(x, y, dim)
 
-    base = embeddings.select(
+    from spj_query_engine_spark.operators.core import spread
+
+    base = spread(embeddings, id_col).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -112,8 +112,11 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
     The query side is tiny → broadcast; the corpus never shuffles until the
     per-query k-row window."""
+    from spj_query_engine_spark.operators.core import spread
+
     dim = dim_of(embeddings, vec_col)
     norm = F.sqrt(dot_product(F.col(vec_col), F.col(vec_col), dim))
+    embeddings = spread(embeddings, id_col)
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         norm.alias("q_norm"),
@@ -170,25 +173,44 @@ def lsh_topk(
     with the query (banded random-hyperplane LSH), then exact cosine + window
     within candidates only.  This is the 100 TB path: bucket assignment is a
     projection, candidate generation an equi-join on a few-bit key."""
-    dim = dim_of(embeddings, vec_col)
-    # two-step bucket: 12 plane-dot columns in one projection (each a
-    # moderate codegen'd expression — a single combined expression exceeds
-    # JIT method limits and falls back to interpretation), then the bit-pack
-    plane_dots = embeddings.select(
+    from spj_query_engine_spark.operators.core import spread
+
+    dim = dim_of(embeddings, vec_col) or EMB_DIM
+    # Bucket assignment as a matrix product in aggregate form: explode the
+    # vector to (vid, pos, val) rows, broadcast-join the 64×12 plane matrix
+    # on pos, then 13 codegen'd SUM aggregates per vid (12 plane dots + the
+    # squared norm).  Row count = n_vectors × dim — linear, map-side partial
+    # sums, one shuffle on vid.  The per-row unrolled alternative (12 × dim
+    # literal-product chains) exceeds janino's 64 KB method limit and falls
+    # back to interpreted eval with multi-MiB task binaries.  Sign of a plane
+    # dot is order-insensitive in practice (|dot| ≫ 1e-15 accumulation
+    # noise), so buckets match the oracle's sequential-fold twin.
+    spark = embeddings.sparkSession
+    planes = _planes(dim)
+    pl = spark.createDataFrame(
+        [(i, *[planes[j][i] for j in range(SIGN_BITS)]) for i in range(dim)],
+        ["pos"] + [f"p{j}" for j in range(SIGN_BITS)],
+    )
+    el = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col), dim)).alias("norm"),
-        *[
-            _plane_dot(F.col(vec_col), plane).alias(f"pd{j}")
-            for j, plane in enumerate(_planes(dim or EMB_DIM))
-        ],
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    sums = (
+        el.join(F.broadcast(pl), "pos")
+        .groupBy("vid")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"),
+            *[F.sum(F.col("val") * F.col(f"p{j}")).alias(f"pd{j}") for j in range(SIGN_BITS)],
+        )
     )
     bucket = F.lit(0).cast("long")
     for j in range(SIGN_BITS):
         bucket = bucket + F.when(
             F.col(f"pd{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    with_bucket = plane_dots.select("vid", "vec", "norm", bucket.alias("bucket"))
+    with_bucket = sums.select("vid", "vec", "norm", bucket.alias("bucket"))
     mask = (1 << _BAND_WIDTH) - 1
     chunks = with_bucket.select(
         "vid",

@@ -69,4 +69,6 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return dedup.embedding_near_dup(emb)
+    from spj_query_engine_spark.operators.similarity import dim_of
+
+    return dedup.embedding_near_dup(emb, dim=dim_of(emb, "embedding"))
