@@ -1,0 +1,218 @@
+"""Sources & sinks: .det schema DSL, deterministic distributed generator,
+tab-text/CSV readers, and the reference-format result sink.
+
+Covers the reference's data-preparation path (SURVEY.md §3.2):
+RandomDB (src/RandomDB.java) -> ConvertTxtToTbl (src/ConvertTxtToTbl.java)
+-> Scan, and the QueryMain result format (src/QueryMain.java:230-244).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spj_query_engine_spark.dialect import parse
+from spj_query_engine_spark.plans import build_plan
+from spj_query_engine_spark.sources import (
+    collect_result,
+    compute_stats,
+    generate_table,
+    parse_det,
+    read_csv,
+    read_tab_text,
+    result_lines,
+    spec_to_struct,
+    write_result_text,
+)
+from spj_query_engine_spark.sources.generator import stat_text
+
+from tests.conftest import assert_same_result
+
+# Transcribed from FIXTURES.md (reference CUSTOMER.det / CART.det shapes).
+CUSTOMER_DET = """
+5
+100
+cid INTEGER 200 PK 4
+gender INTEGER 2 NK 4
+firstname STRING 10 NK 20
+lastname STRING 10 NK 20
+address STRING 26 NK 52
+"""
+
+CART_DET = """
+4
+92
+cartid INTEGER 200 PK 4
+cid INTEGER 200 FK 4
+status STRING 8 NK 16
+remarks STRING 38 NK 76
+"""
+
+
+@pytest.fixture(scope="module")
+def customer_spec():
+    return parse_det("CUSTOMER", CUSTOMER_DET)
+
+
+@pytest.fixture(scope="module")
+def cart_spec():
+    return parse_det("CART", CART_DET)
+
+
+def test_parse_det(customer_spec):
+    assert [c.name for c in customer_spec.columns] == [
+        "cid", "gender", "firstname", "lastname", "address",
+    ]
+    assert customer_spec.tuple_size == 100
+    assert customer_spec.column("cid").key == "PK"
+    assert customer_spec.column("gender").range == 2
+    struct = spec_to_struct(customer_spec)
+    assert struct["cid"].dataType == T.IntegerType()
+    assert struct["firstname"].dataType == T.StringType()
+    assert not struct["cid"].nullable
+
+
+def test_parse_det_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_det("X", "1\n4\na BLOB 4 NK 4")
+    with pytest.raises(ValueError):
+        parse_det("X", "1\n4\na INTEGER 4 XX 4")
+
+
+def test_generator_pk_distinct_and_deterministic(spark, customer_spec):
+    df = generate_table(spark, customer_spec, 200, seed=7)
+    rows = df.collect()
+    assert len(rows) == 200
+    cids = [r["cid"] for r in rows]
+    assert len(set(cids)) == 200  # PK distinct (draw without replacement)
+    assert all(0 <= c < 200 for c in cids)
+    assert all(r["gender"] in (0, 1) for r in rows)
+    assert all(len(r["firstname"]) == 10 for r in rows)
+    assert all(len(r["address"]) == 26 for r in rows)
+    again = generate_table(spark, customer_spec, 200, seed=7).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    other = generate_table(spark, customer_spec, 200, seed=8).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_generator_fk_referential_integrity(spark, customer_spec, cart_spec):
+    cart = generate_table(
+        spark, cart_spec, 200, seed=11,
+        fk_parents={"cid": (customer_spec, "cid", 200, 7)},
+    )
+    customer = generate_table(spark, customer_spec, 200, seed=7)
+    orphans = cart.join(customer, "cid", "left_anti").count()
+    assert orphans == 0
+
+
+def test_generator_pk_range_too_small(spark, customer_spec):
+    with pytest.raises(ValueError, match="PK range"):
+        generate_table(spark, customer_spec, 500, seed=1)
+
+
+def test_generator_real_type(spark):
+    spec = parse_det("M", "2\n8\nmid INTEGER 100 PK 4\nscore REAL 5 NK 4")
+    df = generate_table(spark, spec, 50, seed=3)
+    assert dict(df.dtypes)["score"] == "double"
+    vals = [r["score"] for r in df.collect()]
+    assert all(0.0 <= v < 5.0 for v in vals)
+    assert len(set(vals)) > 10  # actually varies
+
+
+def test_stats_match_duckdb(spark, customer_spec, tmp_path):
+    """compute_stats row-count/NDV agree with an independent DuckDB count on
+    the same parquet — the .stat twin is trustworthy input for CBO."""
+    df = generate_table(spark, customer_spec, 200, seed=7)
+    path = str(tmp_path / "customer.parquet")
+    df.write.mode("overwrite").parquet(path)
+    stats = compute_stats(spark.read.parquet(path))
+    con = duckdb.connect()
+    rows, ndv_cid, ndv_gender = con.execute(
+        f"SELECT count(*), count(DISTINCT cid), count(DISTINCT gender) "
+        f"FROM read_parquet('{path}/*.parquet')"
+    ).fetchone()
+    assert stats["rows"] == rows == 200
+    assert stats["ndv"]["cid"] == ndv_cid == 200
+    assert stats["ndv"]["gender"] == ndv_gender == 2
+    text = stat_text(stats, [c.name for c in customer_spec.columns])
+    assert text.splitlines()[0] == "200"
+    assert text.splitlines()[1].split()[0] == "200"
+
+
+def test_tab_text_roundtrip(spark, customer_spec, tmp_path):
+    """generator -> .txt (tab-separated, the RandomDB output format) ->
+    read_tab_text -> identical table (the ConvertTxtToTbl path)."""
+    df = generate_table(spark, customer_spec, 100, seed=5)
+    txt_dir = str(tmp_path / "customer_txt")
+    result_lines(df).coalesce(1).write.mode("overwrite").text(txt_dir)
+    back = read_tab_text(spark, txt_dir, customer_spec)
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in spec_to_struct(customer_spec).fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_read_csv_with_spec(spark, customer_spec, tmp_path):
+    df = generate_table(spark, customer_spec, 50, seed=5)
+    path = str(tmp_path / "customer_csv")
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path, schema=customer_spec)
+    # header row parses as nulls under the int schema in PERMISSIVE mode
+    back = back.filter(F.col("cid").isNotNull())
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sink_format(spark, tmp_path):
+    """Tab-separated, -NULL- for nulls (QueryMain.java:230-244), header
+    sidecar; distributed write then a driver-side render."""
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, None)], ["id", "name", "score"]
+    )
+    out = str(tmp_path / "result")
+    write_result_text(df, out, single_file=True)
+    with open(f"{out}/_header", encoding="utf-8") as fh:
+        assert fh.read().strip() == "id\tname\tscore"
+    import glob
+
+    [part] = glob.glob(f"{out}/part-*.txt")
+    lines = sorted(open(part, encoding="utf-8").read().splitlines())
+    assert lines == ["1\ta\t2.5", "2\t-NULL-\t-NULL-"]
+    rendered = collect_result(df.orderBy("id"))
+    assert rendered.splitlines()[0] == "id\tname\tscore"
+    assert "2\t-NULL-\t-NULL-" in rendered
+
+
+def test_generated_fixture_through_dialect(spark, customer_spec, cart_spec, tmp_path):
+    """Full data-prep parity loop: .det specs -> generator -> parquet ->
+    dialect query (query3.sql shape) -> DuckDB oracle on the same parquet."""
+    customer = generate_table(spark, customer_spec, 200, seed=7)
+    cart = generate_table(
+        spark, cart_spec, 200, seed=11,
+        fk_parents={"cid": (customer_spec, "cid", 200, 7)},
+    )
+    paths = {}
+    for name, df in [("CUSTOMER", customer), ("CART", cart)]:
+        paths[name] = str(tmp_path / f"{name.lower()}.parquet")
+        df.write.mode("overwrite").parquet(paths[name])
+    tables = {name: spark.read.parquet(p) for name, p in paths.items()}
+    result = build_plan(
+        spark,
+        tables,
+        parse(
+            "SELECT CUSTOMER.cid, CUSTOMER.firstname, CART.cartid "
+            "FROM CUSTOMER,CART WHERE CUSTOMER.cid=CART.cid"
+        ),
+    )
+    con = duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    assert_same_result(
+        result,
+        con,
+        "SELECT CUSTOMER.cid AS CUSTOMER_cid, firstname, cartid "
+        "FROM CUSTOMER JOIN CART ON CUSTOMER.cid = CART.cid",
+    )
