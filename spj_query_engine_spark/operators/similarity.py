@@ -286,3 +286,115 @@ def lsh_topk_sql(table: str = "embeddings", k: int = TOP_K, n_queries: int = N_Q
     )
     SELECT query_id, cand_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed cells
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16  # coarse-quantizer cell count
+N_PROBE = 2  # cells probed per query
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of ``n_cells``
+    centroid cells (coarse quantizer), probe the ``n_probe`` nearest cells
+    per query, exact-rerank only within probed cells.
+
+    Centroids are the first ``n_cells`` vectors (deterministic seed
+    selection — k-means|| initialization truncated at iteration 0 — so the
+    DuckDB oracle can replay cell assignment exactly; a trained k-means
+    drops in without changing any join shape).  Scale anatomy: assignment
+    is a broadcast nested-loop over n×C pairs (map-only, no shuffle of the
+    corpus), the candidate join is an equi-join on cell id, and the rerank
+    touches ``n_probe/n_cells`` of the corpus per query instead of all of
+    it — the IVF trade the reference engine has no analog for.
+    """
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    pair_sim = cosine_sim(F.col("vec"), F.col("c_vec"))
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "vec", "cid", pair_sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    cells = ranked.filter(F.col("rnk") == 1).select("vid", F.col("cid").alias("cell"))
+    probes = ranked.filter((F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)).select(
+        F.col("vid").alias("query_id"), F.col("cid").alias("cell")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
+    c = emb.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "cv.embedding"), 6)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    cells AS (SELECT vid, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vid AS query_id, cid AS cell FROM ranked
+      WHERE vid < {n_queries} AND rnk <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS cand_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vid != p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.cand_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.query_id
+      JOIN {table} cv ON cv.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -221,3 +221,47 @@ def fingerprint_sql(table: str = "documents") -> str:
            {h32_sql('text')} AS fp_md5_32
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# PII detection flags
+# ---------------------------------------------------------------------------
+
+#: Deliberately simple, engine-portable patterns (no lookaround, no \b —
+#: identical semantics in Java regex and DuckDB's RE2): the shapes a
+#: training-data pipeline redacts before anything else.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "n_ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "n_ipv4s": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_flags(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts + an any-PII flag.  Pure ``regexp_count``
+    projections (codegen, no shuffle); the redaction step in a real pipeline
+    is ``regexp_replace`` over the same patterns — same scan shape."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def pii_flags_sql(table: str = "documents") -> str:
+    cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    flag = " OR ".join(f"{name} > 0" for name in PII_PATTERNS)
+    return f"""
+    SELECT doc_id, {cols},
+           ({flag}) AS has_pii
+    FROM {table}
+    """

@@ -34,3 +34,15 @@ def s01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "s03_ann_ivf",
+    similarity.ivf_topk_sql(),
+    doc="IVF ANN: %s-cell coarse quantizer (deterministic seed centroids), "
+    "%s probed cells per query, exact rerank within probed cells only — "
+    "broadcast assignment, equi-join candidates."
+    % (similarity.N_CELLS, similarity.N_PROBE),
+)
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir))

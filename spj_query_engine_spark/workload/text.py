@@ -52,3 +52,13 @@ def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "t05_pii_flags",
+    textops.pii_flags_sql(),
+    doc="PII hit counts (email/phone/SSN/IPv4) + any-PII flag; portable "
+    "regexp_count projections — the pre-redaction scan of a data pipeline.",
+)
+def t05_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.pii_flags(_docs(spark, sf_dir))

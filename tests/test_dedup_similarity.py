@@ -105,3 +105,19 @@ def test_lsh_recall_vs_bruteforce(spark):
     top1 = {r["query_id"]: r["cand_id"] for r in got}
     hits = sum(1 for q, c in top1.items() if c == 100 + q)
     assert hits == 20, top1
+
+
+def test_ivf_topk_matches_bruteforce_in_probed_cells(emb):
+    """With 2 cells over 5 vectors, every near-neighbor shares a cell with
+    its query, so IVF top-k must contain the planted pairs."""
+    res = similarity.ivf_topk(emb, n_cells=2, n_probe=1, n_queries=1, k=2)
+    got = {(r["query_id"], r["cand_id"]) for r in res.collect()}
+    assert (0, 10) in got  # the planted near-duplicate of vec 0
+
+
+def test_ivf_rank_deterministic(emb):
+    res = similarity.ivf_topk(emb, n_cells=2, n_probe=2, n_queries=2, k=5).collect()
+    for r in res:
+        assert 1 <= r["rank"] <= 5
+    again = similarity.ivf_topk(emb, n_cells=2, n_probe=2, n_queries=2, k=5).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))

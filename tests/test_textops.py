@@ -82,3 +82,48 @@ def test_no_shuffle_in_plan(docs_df, op):
     plan would mean an accidental wide dependency."""
     plan = op(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pii_flags(docs_df, docs_duck):
+    assert_same_result(textops.pii_flags(docs_df), docs_duck, textops.pii_flags_sql())
+
+
+def test_pii_flags_positives(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "contact bob@example.com or alice@test.org today",
+                    "call 555-123-4567 maybe",
+                    "ssn 078-05-1120 leaked from 192.168.0.1",
+                    "nothing sensitive here",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r.asDict() for r in textops.pii_flags(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["has_pii"]
+    assert rows[2]["n_phones"] == 1
+    assert rows[3]["n_ssns"] == 1 and rows[3]["n_ipv4s"] == 1
+    assert rows[4]["has_pii"] is False
+
+
+def test_pii_flags_oracle_on_positives(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["mail x@y.io, ip 10.0.0.1", "math 3.14 is not an ip"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        textops.pii_flags(spark.createDataFrame(pdf)), con, textops.pii_flags_sql()
+    )
+    con.close()
+
+
+def test_pii_no_shuffle(docs_df):
+    plan = textops.pii_flags(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
