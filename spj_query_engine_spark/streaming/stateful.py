@@ -1,0 +1,137 @@
+"""Custom stateful streaming operator: sessionization with
+``applyInPandasWithState``.
+
+The batch sessionizer (``operators.temporal.sessionize``) is a lag+cumsum
+window pass; on an unbounded stream the same semantics need explicit state —
+the open session per user survives across micro-batches.  This is the
+surface Structured Streaming reserves for custom state machines, and the one
+operator family the DataFrame API alone cannot express on a stream.
+
+Contract (how the driver's oracle verifies a streaming operator at all):
+driven over a finite input (``processAllAvailable``) the emitted rows equal
+the batch ``sessionize`` exactly — same session numbering, same aggregates —
+so the DuckDB twin is the batch ``sessionize_sql``.
+
+Determinism note: session aggregates accumulate in event-time order inside
+each group, and ``value`` sums ride on integer micros (``round(v·10⁶)``)
+matching the batch path's ``decimal(18,6)`` arithmetic — float accumulation
+order can therefore never flip a hash comparison.
+
+Production shape: add ``withWatermark`` + ``GroupStateTimeout.EventTimeTimeout``
+so idle sessions close and state stays bounded; emission then happens on
+timeout instead of per-batch (exactly-once sinks via ``foreachBatch`` MERGE).
+State size = one open session tail per active user — O(active users), not
+O(events): the property that makes this run forever on a 1000-executor
+cluster.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
+from spj_query_engine_spark.streaming.ingest import stream_events
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+#: open-session tail carried across micro-batches
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_micros", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        if state.exists:
+            sno, start, end, n, micros = state.get
+        else:
+            sno, start, end, n, micros = 0, None, None, 0, 0
+        out: list[tuple[Any, ...]] = []
+        for ts, val in zip(rows["ts_ms"].astype("int64"), rows["value"]):
+            ts = int(ts)
+            if start is None or ts - end > gap_ms:
+                if start is not None:
+                    out.append((user_id, sno, start, end, n, micros / 1e6))
+                sno += 1
+                start, end, n, micros = ts, ts, 0, 0
+            end = ts
+            n += 1
+            micros += int(round(float(val) * 1_000_000))
+        # emit the still-open session too (update semantics: a later batch
+        # may extend and re-emit it); its tail is the ONLY carried state
+        out.append((user_id, sno, start, end, n, micros / 1e6))
+        state.update((sno, start, end, n, micros))
+        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return fn
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Streaming sessionize over (user_id, ts, event_id, value) — works on a
+    stream OR a batch frame (Spark runs the same state function once)."""
+    gap_ms = gap_minutes * 60 * 1000
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "value",
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Drive the stateful sessionizer over the finite events directory to
+    completion and return the final per-session rows (update-mode memory
+    sink; the finite input arrives as one micro-batch, so each session is
+    emitted exactly once and the result equals batch ``sessionize``)."""
+    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_sessionize(stream_events(spark, sf_dir), gap_minutes)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

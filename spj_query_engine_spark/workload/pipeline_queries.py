@@ -46,3 +46,17 @@ def m01_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(_mm(spark, sf_dir))
+
+
+@register(
+    "e06_stream_sessionize",
+    temporal.sessionize_sql(),
+    doc="Custom stateful streaming operator: sessionization via "
+    "applyInPandasWithState (open-session tail per user carried across "
+    "micro-batches, O(active users) state); oracle = the batch sessionize "
+    "SQL — stream/batch equality on finite replay.",
+)
+def e06_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.stateful import run_stateful_sessionize
+
+    return run_stateful_sessionize(spark, sf_dir)

@@ -52,3 +52,71 @@ def test_frame_sample_partitions_payload(mm):
     assert len(out) == multimodal.FRAME_COUNT
     assert sum(r["frame_bytes"] for r in out) == 8
     assert len({r["frame_fp"] for r in out}) == multimodal.FRAME_COUNT  # chunks differ
+
+
+def test_stateful_sessionize_equals_batch(spark):
+    from spj_query_engine_spark.streaming.stateful import run_stateful_sessionize
+
+    batch = temporal.sessionize(load_table(spark, SF_DIR, "events")).toPandas()
+    stream = run_stateful_sessionize(spark, SF_DIR).toPandas()
+    assert not compare_frames(stream, batch)
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Split one user's events across two micro-batches at mid-session: the
+    open-session tail must carry in state, and the re-emitted (extended)
+    session must supersede the first emission."""
+    from pyspark.sql import functions as F
+    from spj_query_engine_spark.streaming.stateful import stateful_sessionize
+
+    gap_min = 30
+    ms = 60_000
+    # user 7: events at t=0,10min (batch 1) and 20min, 3h (batch 2)
+    # → one session {0,10,20min} spanning the batch boundary, one {3h}
+    b1 = [(7, 1, 0 * ms, 1.5), (7, 2, 10 * ms, 2.5)]
+    b2 = [(7, 3, 20 * ms, 3.0), (7, 4, 180 * ms, 4.0)]
+    cols = "user_id long, event_id long, ts_ms long, value double"
+    in_dir = str(tmp_path / "in")
+
+    def write_batch(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .drop("ts_ms")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+
+    write_batch(b1)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double, ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        stateful_sessionize(stream, gap_minutes=gap_min)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("carrytest")
+        .start()
+    )
+    try:
+        # b2 lands only after b1 is fully processed → guaranteed two
+        # micro-batches in order, session 1 open across the boundary
+        q.processAllAvailable()
+        write_batch(b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table("carrytest").toPandas()
+    # latest emission per (user, session) = the one with the most events
+    final = emitted.sort_values("n_events").groupby(["user_id", "session_no"]).last()
+    sessions = {
+        sno: row for (_, sno), row in final.iterrows()
+    }
+    assert len(sessions) == 2
+    assert sessions[1]["n_events"] == 3  # spans the batch boundary
+    assert sessions[1]["session_end_ms"] == 20 * ms
+    assert sessions[1]["sum_value"] == pytest.approx(7.0)
+    assert sessions[2]["n_events"] == 1
+    assert sessions[2]["sum_value"] == pytest.approx(4.0)
