@@ -157,3 +157,56 @@ def frame_sample_sql(table: str = "documents", n_frames: int = FRAME_COUNT) -> s
             f"{h32_sql(chunk)} AS frame_fp FROM {table}"
         )
     return " UNION ALL ".join(selects)
+
+
+RESIZE_TARGET = 64  # resized payload length in bytes
+
+
+def resize_payload(mm: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize for image-like payloads: nearest-neighbor resampling of the
+    byte stream to ``target`` bytes — the shape of an image resize (decode →
+    sample grid → re-encode) with the pixel codec stubbed to byte indexing.
+    Output keeps the resized payload (as ASCII-safe string) plus refreshed
+    metadata, so downstream stages chain on the new payload exactly as they
+    would after a real thumbnail pass."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n:
+                    out = bytes(payload[(n * i) // target] for i in range(target))
+                else:
+                    out = b""
+                rows.append(
+                    (
+                        doc_id,
+                        out.decode("latin-1"),
+                        len(out),
+                        int(hashlib.md5(out).hexdigest()[:8], 16),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "resized", "r_bytes", "r_fp"]
+            )
+
+    return mm.mapInPandas(
+        resize, schema="doc_id long, resized string, r_bytes int, r_fp long"
+    )
+
+
+def resize_payload_sql(table: str = "documents", target: int = RESIZE_TARGET) -> str:
+    """Oracle twin: same nearest-neighbor indices via substr (ASCII text, so
+    byte indexing == char indexing)."""
+    resized = (
+        f"CASE WHEN length(text) = 0 THEN '' ELSE "
+        f"array_to_string(list_transform(range({target}), "
+        f"i -> substr(text, ((length(text) * i) // {target}) + 1, 1)), '') END"
+    )
+    return f"""
+    SELECT doc_id, {resized} AS resized,
+           length({resized})::INT AS r_bytes,
+           {h32_sql(resized)} AS r_fp
+    FROM {table}
+    """

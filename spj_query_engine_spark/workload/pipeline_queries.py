@@ -60,3 +60,14 @@ def e06_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.stateful import run_stateful_sessionize
 
     return run_stateful_sessionize(spark, sf_dir)
+
+
+@register(
+    "m03_resize",
+    multimodal.resize_payload_sql(),
+    doc="Multimodal resize: nearest-neighbor byte-stream resample to %s "
+    "bytes via Arrow-batched mapInPandas (codec stubbed, plumbing real); "
+    "refreshed payload + metadata chain downstream." % multimodal.RESIZE_TARGET,
+)
+def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_payload(_mm(spark, sf_dir))

@@ -120,3 +120,20 @@ def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
     assert sessions[1]["sum_value"] == pytest.approx(7.0)
     assert sessions[2]["n_events"] == 1
     assert sessions[2]["sum_value"] == pytest.approx(4.0)
+
+
+def test_resize_payload(mm):
+    rows = {r["doc_id"]: r for r in multimodal.resize_payload(mm, target=4).collect()}
+    # "abcdefgh" (8 bytes) -> indices 0,2,4,6 -> "aceg"
+    assert rows[1]["resized"] == "aceg"
+    assert rows[1]["r_bytes"] == 4
+    # "spark engine" (12 bytes) -> indices 0,3,6,9 -> "srei"
+    assert rows[2]["resized"] == "srei"
+
+
+def test_resize_empty_payload(spark):
+    mm_empty = multimodal.attach_payload(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [""]}))
+    )
+    [r] = multimodal.resize_payload(mm_empty, target=4).collect()
+    assert r["resized"] == "" and r["r_bytes"] == 0
