@@ -1,0 +1,112 @@
+"""Property tests (SURVEY.md §5/§7 step 7): hypothesis-generated random
+filters and joins over the fixture schemas, dialect-parsed, built, and
+checked against DuckDB on identical data.
+
+These sweep the predicate/join space the 16 hand-written corpus queries
+sample only pointwise: every comparison operator × every column type ×
+random literals (including out-of-range ones that select nothing), and every
+FK edge of the e-commerce schema with a random extra filter stacked on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spj_query_engine_spark.dialect import parse
+from spj_query_engine_spark.plans import build_plan
+
+from tests.conftest import assert_same_result
+
+OPS = ["<", ">", "<=", ">=", "=", "!="]
+
+#: (table, int column, literal range incl. out-of-domain values)
+INT_COLS = [
+    ("CUSTOMER", "cid", 220),
+    ("CUSTOMER", "gender", 3),
+    ("CARTDETAILS", "qty", 55),
+    ("BILL", "amount", 2600),
+]
+
+#: FK edges of the e-commerce schema (child, child col, parent, parent col)
+JOIN_EDGES = [
+    ("CART", "cid", "CUSTOMER", "cid"),
+    ("CARTDETAILS", "cartid", "CART", "cartid"),
+    ("BILL", "iid", "CARTDETAILS", "iid"),
+]
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck_ecom(ecommerce_pdf):
+    con = duckdb.connect()
+    for name, pdf in ecommerce_pdf.items():
+        con.register(name, pdf)
+    yield con
+    con.close()
+
+
+@given(
+    pick=st.sampled_from(INT_COLS),
+    op=st.sampled_from(OPS),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_random_filters(spark, ecommerce, duck_ecom, pick, op, frac):
+    table, col, hi = pick
+    lit = int(frac * hi)
+    sql = f'SELECT {table}.{col} FROM {table} WHERE {table}.{col}{op}"{lit}"'
+    oracle = f"SELECT {col} FROM {table} WHERE {col} {'<>' if op == '!=' else op} {lit}"
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle)
+
+
+@given(
+    edge=st.sampled_from(JOIN_EDGES),
+    op=st.sampled_from(OPS),
+    pick=st.sampled_from(INT_COLS),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_random_join_plus_filter(spark, ecommerce, duck_ecom, edge, op, pick, frac):
+    child, ckey, parent, pkey = edge
+    ftable, fcol, hi = pick
+    lit = int(frac * hi)
+    if ftable not in (child, parent):
+        ftable, fcol, hi = child, ckey, 220
+        lit = int(frac * hi)
+    sql = (
+        f"SELECT {child}.{ckey} FROM {child},{parent} "
+        f'WHERE {child}.{ckey}={parent}.{pkey},{ftable}.{fcol}{op}"{lit}"'
+    )
+    oracle = (
+        f"SELECT {child}.{ckey} AS {child}_{ckey} FROM {child} JOIN {parent} "
+        f"ON {child}.{ckey} = {parent}.{pkey} "
+        f"WHERE {ftable}.{fcol} {'<>' if op == '!=' else op} {lit}"
+    )
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle)
+
+
+@given(
+    edge=st.sampled_from(JOIN_EDGES),
+    distinct=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_random_join_projection_distinct(spark, ecommerce, duck_ecom, edge, distinct):
+    child, ckey, parent, pkey = edge
+    kw = "DISTINCT " if distinct else ""
+    sql = f"SELECT {kw}{parent}.{pkey} FROM {child},{parent} WHERE {child}.{ckey}={parent}.{pkey}"
+    oracle = (
+        f"SELECT {kw}{parent}.{pkey} AS {parent}_{pkey} FROM {child} JOIN {parent} "
+        f"ON {child}.{ckey} = {parent}.{pkey}"
+    )
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle)
