@@ -362,3 +362,33 @@ register(
         'MIN(lineitem.l_extendedprice) FROM lineitem WHERE lineitem.l_returnflag = "A"'
     )
 )
+
+
+# --- q17: salted skew join (scale lever, plain-join oracle) ---
+@register(
+    "q17_salted_join_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Salted skew join (operators.scale.salted_join, 8 salts): fact side "
+    "salted, dimension side replicated; identical semantics to the plain "
+    "equi-join, proven by the plain-join oracle.",
+)
+def q17_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.scale import salted_join
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    joined = salted_join(
+        t["lineitem"], t["orders"].select("o_orderkey", "o_orderpriority"),
+        "l_orderkey", "o_orderkey", n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
