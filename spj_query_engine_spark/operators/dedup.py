@@ -574,3 +574,88 @@ def embedding_near_dup_sql(table: str = "embeddings") -> str:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {sim} >= {COSINE_T}
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 6  # min-label propagation rounds (graph diameter bound)
+
+
+def dup_clusters(pairs: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by ``rounds``
+    of min-label propagation: every doc's cluster id converges to the
+    smallest doc_id reachable within ``rounds`` hops.  Output
+    (doc_id, cluster_id, is_canonical) for every doc in the graph; a dedup
+    pipeline keeps ``is_canonical`` rows and drops the rest.
+
+    A FIXED round count (not run-to-convergence) keeps the result a pure
+    deterministic function of the input, so the DuckDB oracle can replay it
+    as unrolled CTEs; near-dup graphs are overwhelmingly short chains
+    (diameter ≤ 3 in practice), so ``rounds=6`` is the true components for
+    any real corpus.  Cost: ``rounds`` × (one broadcast/shuffle join on the
+    edge list + one min-aggregate).  At 100 TB the same loop applies with
+    the large-star/small-star optimization (alternate joining on the high
+    and low endpoint) to bound the per-round shuffle — same join shapes.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("lbl")
+    )
+    for r in range(rounds - 1):
+        # each round references `labels` twice (self + neighbor side);
+        # checkpoint to truncate the lineage — without it the logical plan
+        # doubles per round and the base pair query re-optimizes/re-executes
+        # 2^rounds times.  localCheckpoint = executor-storage materialization,
+        # the standard iteration barrier (GraphX/GraphFrames do the same).
+        # Every OTHER round: between barriers the plan grows only 4×over a
+        # cheap in-memory leaf, and half the barrier jobs disappear.
+        if r % 2 == 0:
+            labels = labels.localCheckpoint(eager=True)
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("u") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def dup_clusters_sql(pairs_cte_body: str, rounds: int = CC_ROUNDS) -> str:
+    """Oracle twin: the same propagation as ``rounds`` unrolled CTEs over any
+    pair-producing query (passed in as a CTE body returning doc_a, doc_b)."""
+    ctes = [
+        f"pairs AS ({pairs_cte_body})",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+        "lab0 AS (SELECT u, least(u, min(v)) AS lbl FROM edges GROUP BY u)",
+    ]
+    prev = "lab0"
+    for r in range(1, rounds):
+        ctes.append(
+            f"lab{r} AS (SELECT l.u, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl "
+            f"FROM {prev} l LEFT JOIN edges e ON e.u = l.u "
+            f"LEFT JOIN {prev} n ON n.u = e.v GROUP BY l.u, l.lbl)"
+        )
+        prev = f"lab{r}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT u AS doc_id, lbl AS cluster_id, (u = lbl) AS is_canonical FROM {prev}
+    """
+    )

@@ -72,3 +72,15 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.operators.similarity import dim_of
 
     return dedup.embedding_near_dup(emb, dim=dim_of(emb, "embedding"))
+
+
+@register(
+    "d07_dup_clusters",
+    dedup.dup_clusters_sql(dedup.minhash_lsh_pairs_sql()),
+    doc="Near-dup clustering: connected components over the MinHash pair "
+    "graph via %s rounds of min-label propagation; keep is_canonical rows "
+    "to dedup.  Oracle replays the propagation as unrolled CTEs."
+    % dedup.CC_ROUNDS,
+)
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_clusters(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))

@@ -121,3 +121,23 @@ def test_ivf_rank_deterministic(emb):
         assert 1 <= r["rank"] <= 5
     again = similarity.ivf_topk(emb, n_cells=2, n_probe=2, n_queries=2, k=5).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_dup_clusters_chain_and_canonical(spark):
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # a 4-hop chain (10-11-12-13-14) exercises multi-round
+                # propagation, plus an isolated pair (20, 21)
+                "doc_a": [10, 11, 12, 13, 20],
+                "doc_b": [11, 12, 13, 14, 21],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in dedup.dup_clusters(pairs).collect()}
+    assert {rows[d]["cluster_id"] for d in (10, 11, 12, 13, 14)} == {10}
+    assert rows[20]["cluster_id"] == rows[21]["cluster_id"] == 20
+    canon = {d for d, r in rows.items() if r["is_canonical"]}
+    assert canon == {10, 20}
