@@ -97,16 +97,20 @@ def register_tables(
 
     ``analyze=True`` computes row counts + per-column NDV so Catalyst CBO can
     cost join orders the way the reference's ``PlanCost`` does from ``.stat``
-    files.  Temp views can't carry catalog stats, so analyzed registration
-    saves as in-memory catalog tables instead — use only in long-lived
-    sessions (bench), not per-query paths.
+    files.  Temp views cannot carry catalog statistics, so analyzed
+    registration creates EXTERNAL catalog tables over the same parquet (no
+    data copy) and analyzes those; tables whose parquet needs the nano-
+    timestamp conversion fall back to an unanalyzed temp view (external
+    tables bypass the conversion).
     """
     dfs = load_tables(spark, sf_dir, names)
     for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
-        if analyze:
-            try:
-                spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
-            except Exception:
-                pass  # temp views can't be analyzed on all Spark versions
+        path = table_path(sf_dir, name)
+        if analyze and not _nano_ts_columns(path):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+            dfs[name] = spark.table(name)
+        else:
+            df.createOrReplaceTempView(name)
     return dfs

@@ -31,3 +31,25 @@ def test_report_on_parquet_scan_shows_pushed_filters(spark, tmp_path):
     rep = plan_report(df)
     assert any("id" in p for p in rep.pushed_filters)
     assert "pushed:" in explain_report(df)
+
+
+def test_analyzed_tables_feed_cbo_rowcounts(spark, tmp_path):
+    """The .stat parity claim (SURVEY.md §4/D4): after register_tables with
+    analyze=True, Catalyst carries exact row counts into plan estimates."""
+    from spj_query_engine_spark.catalog import register_tables
+
+    from tests.conftest import SF_DIR
+
+    register_tables(spark, SF_DIR, names=("region", "nation"), analyze=True)
+    try:
+        df = spark.sql(
+            "SELECT n.n_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+        )
+        rep = plan_report(spark.table("nation"))
+        # exact row count only exists when ANALYZE ran (CBO stats present)
+        assert rep.estimated_rows is not None
+        assert int(rep.estimated_rows) == spark.table("nation").count()
+        assert plan_report(df).estimated_size is not None
+    finally:
+        for t in ("region", "nation"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
