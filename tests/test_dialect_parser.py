@@ -64,3 +64,16 @@ def test_quoted_literals_only():
 def test_unqualified_attr_rejected():
     with pytest.raises(DialectParseError):
         parse("SELECT a FROM T")
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        'SELECT T.a FROM T WHERE T.a="1" OR T.b="2"',  # no OR (comma = AND)
+        "SELECT t.a FROM CUSTOMER t",  # no table aliases (parser.cup:142-153)
+        "SELECT T.a FROM T LIMIT 5",  # no LIMIT token in the grammar
+    ],
+)
+def test_out_of_grammar_rejected(sql):
+    with pytest.raises(DialectParseError):
+        parse(sql)
