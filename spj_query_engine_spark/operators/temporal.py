@@ -290,3 +290,62 @@ def range_join_sql(events: str = "events", minutes: int = RANGE_MINUTES) -> str:
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id
     """
+
+
+def asof_join_locf(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """AS-OF via union + last-observation-carried-forward — the 100 TB shape.
+
+    The join-then-top-1 formulation (:func:`asof_join`) materializes every
+    (event, earlier-order) pair before pruning: for a customer with k orders
+    that is O(events_u * k) intermediate rows per user.  Here both inputs
+    union into one stream, ONE shuffle partitions by user, and a running
+    ``last(ignorenulls)`` window carries the latest order onto each event —
+    O(events + orders) rows end to end, no pair blowup, no Python.
+
+    Ordering (ts_ms, is_event, o_orderkey) reproduces the exact tie-break of
+    the window formulation: at equal timestamps orders sort before events
+    (as-of is at-or-before) and the LAST same-ts order wins = max
+    o_orderkey.  Inner flavor: events before any order drop.
+    """
+    e = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("odate_ms"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("ts_ms"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("odate_ms"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = e.unionByName(o).select(
+        "user_id",
+        "ts_ms",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("odate_ms", ignorenulls=True).over(w).alias("odate_ms"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("o_totalprice"),
+    )
+    return carried.filter(
+        (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "o_orderkey",
+        "odate_ms",
+        portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )

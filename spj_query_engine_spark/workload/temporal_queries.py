@@ -34,13 +34,14 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e03_asof_join",
     temporal.asof_join_sql(),
-    doc="AS-OF join events→orders (latest order per customer at event time); "
-    "equi-join + top-1 window with explicit tie-break (DuckDB ASOF JOIN "
-    "equivalent but deterministic).",
+    doc="AS-OF join events→orders (latest order per customer at event "
+    "time) in LOCF form: union + one shuffle on user + running "
+    "last(ignorenulls) — no per-pair intermediate; same tie-break as the "
+    "join+window oracle.",
 )
 def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events", "orders"))
-    return temporal.asof_join(t["events"], t["orders"])
+    return temporal.asof_join_locf(t["events"], t["orders"])
 
 
 @register(

@@ -89,3 +89,13 @@ def test_range_join_window(events):
     assert got[2]["n_nearby"] == 1
     # purchase 4 (00:10): user-2 event 5 at 00:20 is inside ±10
     assert got[4]["n_nearby"] == 1
+
+
+def test_asof_locf_equals_join_formulation(spark):
+    from spj_query_engine_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    t = load_tables(spark, SF_DIR, ("events", "orders"))
+    a = temporal.asof_join(t["events"], t["orders"])
+    b = temporal.asof_join_locf(t["events"], t["orders"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
