@@ -54,3 +54,15 @@ def collect_result(df: DataFrame, limit: int | None = None) -> str:
         df = df.limit(limit)
     rows = [r["value"] for r in result_lines(df).collect()]
     return "\n".join(["\t".join(df.columns)] + rows)
+
+
+def write_result_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink (deterministic column order = plan order; one file per
+    partition — the scalable shape)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_result_parquet(df: DataFrame, path: str) -> None:
+    """Parquet sink — the hand-off format for downstream pipeline stages
+    (keeps types exactly; no text round-trip)."""
+    df.write.mode("overwrite").parquet(path)

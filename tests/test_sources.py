@@ -216,3 +216,19 @@ def test_generated_fixture_through_dialect(spark, customer_spec, cart_spec, tmp_
         "SELECT CUSTOMER.cid AS CUSTOMER_cid, firstname, cartid "
         "FROM CUSTOMER JOIN CART ON CUSTOMER.cid = CART.cid",
     )
+
+
+def test_csv_parquet_sinks_roundtrip(spark, tmp_path):
+    from spj_query_engine_spark.sources.sink import (
+        write_result_csv,
+        write_result_parquet,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    pq = str(tmp_path / "pq")
+    write_result_parquet(df, pq)
+    assert sorted(map(tuple, spark.read.parquet(pq).collect())) == [(1, "a"), (2, "b")]
+    cv = str(tmp_path / "cv")
+    write_result_csv(df, cv)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(cv)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
