@@ -40,6 +40,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, wq in REGISTRY.items():
+        if not wq.bench:
+            continue
         t0 = time.time()
         try:
             df = wq.fn(spark, sf_dir)

@@ -304,28 +304,30 @@ def ivf_topk(
     n_queries: int = N_QUERIES,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of ``n_cells``
     centroid cells (coarse quantizer), probe the ``n_probe`` nearest cells
     per query, exact-rerank only within probed cells.
 
-    Centroids are the first ``n_cells`` vectors (deterministic seed
+    Default centroids are the first ``n_cells`` vectors (deterministic seed
     selection — k-means|| initialization truncated at iteration 0 — so the
-    DuckDB oracle can replay cell assignment exactly; a trained k-means
-    drops in without changing any join shape).  Scale anatomy: assignment
-    is a broadcast nested-loop over n×C pairs (map-only, no shuffle of the
-    corpus), the candidate join is an equi-join on cell id, and the rerank
-    touches ``n_probe/n_cells`` of the corpus per query instead of all of
-    it — the IVF trade the reference engine has no analog for.
+    DuckDB oracle can replay cell assignment exactly); pass ``centroids``
+    (cid, c_vec) to drop in trained ones (:func:`ivf_topk_trained`) without
+    changing any join shape.  Scale anatomy: assignment is a broadcast
+    nested-loop over n×C pairs (map-only, no shuffle of the corpus), the
+    candidate join is an equi-join on cell id, and the rerank touches
+    ``n_probe/n_cells`` of the corpus per query instead of all of it — the
+    IVF trade the reference engine has no analog for.
     """
     from spj_query_engine_spark.operators.core import spread
 
     emb = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    cent = emb.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
-    )
+    cent = centroids if centroids is not None else emb.filter(
+        F.col("vid") < n_cells
+    ).select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
     pair_sim = cosine_sim(F.col("vec"), F.col("c_vec"))
     aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
     ranked = (
@@ -398,3 +400,53 @@ def ivf_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    max_iter: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: seeded Spark MLlib k-means fits
+    the cell centroids, then the same probe/rerank pipeline as
+    :func:`ivf_topk` runs against them.
+
+    Trained cells track the data distribution, so recall at equal n_probe
+    beats seed-vector cells; the cost is one k-means fit (distributed
+    Lloyd iterations — each a broadcast-assign + groupBy-mean, the exact
+    join shapes the rest of this module uses).  No DuckDB oracle: k-means
+    is iterative floating-point optimization whose tie-breaks are not
+    replayable in SQL — the driver records a rows-only check for this
+    entry (the oracle-checked s03 covers the pipeline's correctness).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col)
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, maxIter=max_iter, initSteps=1, seed=seed).fit(feats)
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, c_vec array<double>",
+    )
+    return ivf_topk(
+        embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        n_queries=n_queries,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=cent,
+    )

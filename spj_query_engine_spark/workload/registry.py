@@ -16,16 +16,19 @@ class WorkloadQuery:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    bench: bool = True  # include in bench.py's headline set
 
 
 REGISTRY: dict[str, WorkloadQuery] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", bench: bool = True):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
 
     def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = WorkloadQuery(name=name, fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = WorkloadQuery(
+            name=name, fn=fn, oracle=oracle, doc=doc, bench=bench
+        )
         return fn
 
     return wrap

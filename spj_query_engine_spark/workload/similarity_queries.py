@@ -46,3 +46,14 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "s04_ann_ivf_trained",
+    None,  # k-means tie-breaks aren't SQL-replayable → driver rows-only check
+    doc="IVF ANN with a trained coarse quantizer (seeded MLlib k-means, "
+    "k=%s); same probe/rerank pipeline as s03." % similarity.N_CELLS,
+    bench=False,  # the k-means fit is model training, not query throughput
+)
+def s04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk_trained(_emb(spark, sf_dir))

@@ -23,6 +23,14 @@ def run(spark, ecommerce, sql: str):
 # (name, dialect SQL, duckdb oracle SQL)
 CASES = [
     (
+        "same_table_col_col_filter",
+        # same-table attr-op-attr goes to the SELECTION list and honors the
+        # operator (SQLQuery.java:62-64, Select.java:142-199) — unlike the
+        # cross-table case, which the reference degrades to equality
+        'SELECT CART.cartid, CART.cid FROM CART WHERE CART.cartid>CART.cid',
+        "SELECT cartid, cid FROM CART WHERE cartid > cid",
+    ),
+    (
         "query1_scan",
         "SELECT * FROM CUSTOMER",
         "SELECT * FROM CUSTOMER",

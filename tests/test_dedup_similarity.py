@@ -141,3 +141,16 @@ def test_dup_clusters_chain_and_canonical(spark):
     assert rows[20]["cluster_id"] == rows[21]["cluster_id"] == 20
     canon = {d for d, r in rows.items() if r["is_canonical"]}
     assert canon == {10, 20}
+
+
+def test_ivf_trained_returns_ranked_topk(emb):
+    res = similarity.ivf_topk_trained(
+        emb, n_cells=2, n_probe=2, n_queries=1, k=3, max_iter=2
+    ).collect()
+    assert len(res) >= 1
+    assert all(r["rank"] >= 1 and -1.0 <= r["cosine"] <= 1.0 for r in res)
+    # seeded fit → deterministic output
+    again = similarity.ivf_topk_trained(
+        emb, n_cells=2, n_probe=2, n_queries=1, k=3, max_iter=2
+    ).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
