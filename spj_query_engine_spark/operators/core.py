@@ -89,8 +89,11 @@ def equi_join(
     right: DataFrame,
     on: Sequence[tuple[Column, Column]],
     broadcast_right: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join on one or more key pairs.
+    """Equi-join on one or more key pairs (inner by default — the only
+    flavor the reference executes; ``how`` opens the standard Spark
+    left/right/full/semi/anti surface beyond it).
 
     The reference supports a *list* of equality conditions in NestedJoin
     (NestedJoin.java:104-180, Tuple.checkJoin) but only the first in
@@ -108,7 +111,7 @@ def equi_join(
         cond = clause if cond is None else (cond & clause)
     if cond is None:
         raise ValueError("equi_join requires at least one key pair")
-    return left.join(F.broadcast(right) if broadcast_right else right, cond, "inner")
+    return left.join(F.broadcast(right) if broadcast_right else right, cond, how)
 
 
 def theta_join(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:

@@ -659,3 +659,34 @@ def dup_clusters_sql(pairs_cte_body: str, rounds: int = CC_ROUNDS) -> str:
     SELECT u AS doc_id, lbl AS cluster_id, (u = lbl) AS is_canonical FROM {prev}
     """
     )
+
+
+def apply_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The end-product dedup pass: surviving doc_ids after dropping (a) exact
+    duplicates (keep the min doc_id per md5 group) and (b) non-canonical
+    members of MinHash near-duplicate clusters.
+
+    Composition of :func:`exact_dedup` + :func:`minhash_lsh_pairs` +
+    :func:`dup_clusters`: survivors = exact keepers ANTI-JOIN near-dup
+    losers.  Both inputs to the anti-join are id-only frames — at 100 TB
+    the anti-join shuffles longs, never text.
+    """
+    keepers = exact_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    losers = dup_clusters(minhash_lsh_pairs(docs, text_col, id_col)).filter(
+        ~F.col("is_canonical")
+    ).select(F.col("doc_id").alias(id_col))
+    return keepers.join(losers, id_col, "left_anti")
+
+
+def apply_dedup_sql(table: str = "documents") -> str:
+    clusters = dup_clusters_sql(minhash_lsh_pairs_sql(table))
+    return f"""
+    SELECT keep_id AS doc_id FROM (
+      SELECT min(doc_id) AS keep_id FROM {table} GROUP BY md5(text)
+    )
+    WHERE keep_id NOT IN (
+      SELECT doc_id FROM ({clusters}) WHERE NOT is_canonical
+    )
+    """

@@ -84,3 +84,15 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
+@register(
+    "d08_apply_dedup",
+    dedup.apply_dedup_sql(),
+    doc="End-product dedup: surviving doc_ids = exact keepers anti-join "
+    "non-canonical near-dup cluster members; id-only anti-join, text never "
+    "shuffles.",
+    bench=False,  # composition of d01+d02+d07, all three already benched
+)
+def d08_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.apply_dedup(_docs(spark, sf_dir))

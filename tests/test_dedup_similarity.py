@@ -154,3 +154,26 @@ def test_ivf_trained_returns_ranked_topk(emb):
         emb, n_cells=2, n_probe=2, n_queries=1, k=3, max_iter=2
     ).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_apply_dedup_drops_exact_and_near(spark):
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base,
+                    base,  # exact duplicate of 1 -> dropped
+                    base + " extra",  # near-duplicate of 1 -> non-canonical
+                    "completely different content about spark engines at scale",
+                ],
+            }
+        )
+    )
+    survivors = {r["doc_id"] for r in dedup.apply_dedup(docs).collect()}
+    assert 1 in survivors and 4 in survivors
+    assert 2 not in survivors  # exact dup
+    assert 3 not in survivors  # near-dup, cluster canonical is 1
