@@ -1,0 +1,34 @@
+"""Plan hygiene across the entire registry: no accidental cartesian
+products, nested-loop joins only where deliberately chosen.
+
+This is the automated version of the '.explain and iterate' discipline —
+a regression here means a join lost its equi-key or a broadcast hint."""
+
+from __future__ import annotations
+
+import pytest
+
+from spj_query_engine_spark.workload import REGISTRY
+
+from tests.conftest import SF_DIR
+
+#: streaming entries execute to completion during build (their final plan is
+#: a memory-sink scan); s04 fits a model.  Plan inspection is meaningless.
+SKIP = {"e05_streaming_rollup", "e06_stream_sessionize", "s04_ann_ivf_trained"}
+
+#: deliberate broadcast nested-loop joins:
+#: - s03: the centroid assignment crossJoin (16 broadcast centroids/vector)
+#: - s01: broadcast query set joined on an inequality (no equi key by design)
+BNLJ_OK = {"s03_ann_ivf", "s01_ann_bruteforce"}
+
+
+@pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])
+def test_no_cartesian_and_bounded_nlj(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unexpected nested-loop join"
+        )
+    spark.catalog.clearCache()
