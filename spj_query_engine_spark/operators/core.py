@@ -185,3 +185,34 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def _check_compat(left: DataFrame, right: DataFrame) -> None:
+    """Union-compatibility check — the reference ships the same helper
+    (`Schema.checkCompat`, src/qp/utils/Schema.java:114-126) but never wires
+    it to an operator; here it guards the set operations it was meant for."""
+    lt = [f.dataType for f in left.schema.fields]
+    rt = [f.dataType for f in right.schema.fields]
+    if lt != rt:
+        raise ValueError(
+            f"set operation on incompatible schemas: {left.schema.simpleString()} "
+            f"vs {right.schema.simpleString()}"
+        )
+
+
+def union(left: DataFrame, right: DataFrame, all: bool = False) -> DataFrame:
+    """UNION [ALL] by position (SQL semantics: dedup unless ``all``)."""
+    _check_compat(left, right)
+    out = left.union(right)
+    return out if all else out.distinct()
+
+
+def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
+    _check_compat(left, right)
+    return left.intersect(right)
+
+
+def except_(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SQL EXCEPT (distinct-set difference)."""
+    _check_compat(left, right)
+    return left.subtract(right)

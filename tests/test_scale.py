@@ -66,3 +66,18 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(4))
     n_salts_used = left.select(salt.alias("s")).distinct().count()
     assert n_salts_used > 1
+
+
+def test_set_operations(spark):
+    from spj_query_engine_spark.operators import core
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["x"])
+    assert sorted(r["x"] for r in core.union(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r["x"] for r in core.union(a, b, all=True).collect()) == [1, 2, 2, 2, 3, 3, 4]
+    assert sorted(r["x"] for r in core.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r["x"] for r in core.except_(a, b).collect()) == [1]
+    import pytest as pt
+
+    with pt.raises(ValueError, match="incompatible"):
+        core.union(a, spark.createDataFrame([("s",)], ["x"]))
