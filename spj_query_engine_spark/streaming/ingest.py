@@ -97,3 +97,31 @@ def run_streaming_rollup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on a stream keeps one row
+    per key in state and emits it once — the streaming twin of the batch
+    DISTINCT operator.  Driven over the finite events directory the result
+    equals batch ``SELECT DISTINCT event_id``, which is how the oracle
+    checks it.
+
+    Production shape: ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    so the key state expires instead of growing forever — the bounded-state
+    variant of the same plan.
+    """
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_id")
+        .dropDuplicates(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -71,3 +71,13 @@ def e06_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payload(_mm(spark, sf_dir))
+
+
+@register(
+    "e07_stream_dedup",
+    "SELECT DISTINCT event_id FROM events",
+    doc="Streaming exact dedup (dropDuplicates keyed state on a stream); "
+    "finite replay equals batch DISTINCT — the oracle.",
+)
+def e07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_streaming_dedup(spark, sf_dir)
