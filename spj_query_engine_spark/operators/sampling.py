@@ -1,0 +1,66 @@
+"""Deterministic sampling & dataset splitting.
+
+Beyond-reference capability: a training-data pipeline's last step is almost
+always a reproducible split (train/val/test) or a down-sample.  Spark's
+``df.sample`` is seed-stable only per partitioning, which breaks
+reproducibility under repartition/AQE; these operators derive the decision
+from a PORTABLE hash of the row key instead — the same row lands in the same
+split on any cluster layout, any engine (the DuckDB oracle replays the hash
+exactly), any day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.functions.hashing import h32, h32_sql
+
+SPLIT_BUCKETS = 100
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    return F.pmod(h32(F.concat(key.cast("string"), F.lit(f"#{seed}"))), F.lit(SPLIT_BUCKETS))
+
+
+def _bucket_sql(key: str, seed: int) -> str:
+    keyed = f"({key}::VARCHAR || '#{seed}')"
+    return f"{h32_sql(keyed)} % {SPLIT_BUCKETS}"
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Label every row train/val/test by hash bucket of its key — a pure
+    projection (no shuffle, no sampling state), reproducible across engines
+    and cluster layouts.  Filter on ``split`` downstream; at 100 TB the
+    filter pushes into the scan of any materialized copy."""
+    b = _bucket(F.col(key_col), seed)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(key_col), b.cast("int").alias("bucket"), split.alias("split"))
+
+
+def train_split_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 42,
+) -> str:
+    b = _bucket_sql(key_col, seed)
+    return f"""
+    SELECT {key_col},
+           CAST({b} AS INT) AS bucket,
+           CASE WHEN {b} < {train_pct} THEN 'train'
+                WHEN {b} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM {table}
+    """

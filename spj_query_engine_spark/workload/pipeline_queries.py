@@ -81,3 +81,19 @@ def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "p01_train_split",
+    __import__(
+        "spj_query_engine_spark.operators.sampling", fromlist=["train_split_sql"]
+    ).train_split_sql(),
+    doc="Deterministic 80/10/10 train/val/test split by portable hash bucket "
+    "of the row key — reproducible across engines and cluster layouts; pure "
+    "projection, no shuffle.",
+)
+def p01_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.sampling import train_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return train_split(docs)

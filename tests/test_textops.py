@@ -7,6 +7,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
 from spj_query_engine_spark.operators import textops
 
 from tests.conftest import assert_same_result
@@ -127,3 +128,21 @@ def test_pii_flags_oracle_on_positives(spark):
 def test_pii_no_shuffle(docs_df):
     plan = textops.pii_flags(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_train_split_deterministic_and_proportional(spark):
+    from spj_query_engine_spark.operators import sampling
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_split(df).cache()
+    frac = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.75 < frac["train"] / 10_000 < 0.85
+    assert 0.07 < frac["val"] / 10_000 < 0.13
+    assert 0.07 < frac["test"] / 10_000 < 0.13
+    # repartitioning must NOT change any row's split (the df.sample failure mode)
+    again = sampling.train_split(df.repartition(7))
+    joined = out.select("doc_id", F.col("split").alias("a")).join(
+        again.select("doc_id", F.col("split").alias("b")), "doc_id"
+    )
+    assert joined.filter(F.col("a") != F.col("b")).count() == 0
+    out.unpersist()
