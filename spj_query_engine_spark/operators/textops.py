@@ -265,3 +265,70 @@ def pii_flags_sql(table: str = "documents") -> str:
            ({flag}) AS has_pii
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization before hashing/dedup: lowercase, collapse
+    whitespace runs, strip.  Pure codegen projection; at 100 TB this runs
+    fused into whatever scan feeds the dedup/fingerprint stage."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+    SELECT doc_id, {norm} AS norm_text, length({norm})::INT AS norm_len
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Windowed composition: top-quality docs per predicted language
+# ---------------------------------------------------------------------------
+
+TOP_PER_LANG = 3
+
+
+def top_quality_per_lang(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = TOP_PER_LANG
+) -> DataFrame:
+    """Composition query: language-ID + quality-score + per-language top-k
+    window — the 'pick the best documents per language' selection step of a
+    corpus curation pipeline.  Demonstrates window functions (a category the
+    reference lacks entirely, SURVEY.md §2.3) over other operators' output;
+    one shuffle on lang_pred for the window."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs, text_col, id_col)
+    lang = language_id(docs, text_col, id_col)
+    joined = q.join(lang, id_col)
+    w = Window.partitionBy("lang_pred").orderBy(F.desc("quality"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "lang_pred", "quality", "rank")
+    )
+
+
+def top_quality_per_lang_sql(table: str = "documents", k: int = TOP_PER_LANG) -> str:
+    return f"""
+    WITH q AS ({quality_score_sql(table)}),
+    l AS ({language_id_sql(table)}),
+    j AS (
+      SELECT q.doc_id, l.lang_pred, q.quality,
+             row_number() OVER (PARTITION BY l.lang_pred
+                                ORDER BY q.quality DESC, q.doc_id ASC) AS rank
+      FROM q JOIN l ON q.doc_id = l.doc_id
+    )
+    SELECT doc_id, lang_pred, quality, rank::BIGINT AS rank FROM j WHERE rank <= {k}
+    """

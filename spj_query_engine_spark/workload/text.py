@@ -62,3 +62,24 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pii_flags(_docs(spark, sf_dir))
+
+
+@register(
+    "t06_normalize",
+    textops.normalize_text_sql(),
+    doc="Text normalization (lowercase, whitespace collapse, trim) — the "
+    "canonicalization pass before hashing/dedup; pure codegen projection.",
+)
+def t06_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.normalize_text(_docs(spark, sf_dir))
+
+
+@register(
+    "t07_top_quality_per_lang",
+    textops.top_quality_per_lang_sql(),
+    doc="Corpus curation composition: language-ID + quality score + "
+    "per-language top-%s window (window functions over operator output)."
+    % textops.TOP_PER_LANG,
+)
+def t07_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_quality_per_lang(_docs(spark, sf_dir))

@@ -146,3 +146,22 @@ def test_train_split_deterministic_and_proportional(spark):
     )
     assert joined.filter(F.col("a") != F.col("b")).count() == 0
     out.unpersist()
+
+
+def test_normalize_text(docs_df, docs_duck):
+    assert_same_result(textops.normalize_text(docs_df), docs_duck, textops.normalize_text_sql())
+
+
+def test_normalize_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["  The   QUICK\t\tFox  "]})
+    )
+    [r] = textops.normalize_text(df).collect()
+    assert r["norm_text"] == "the quick fox"
+    assert r["norm_len"] == 13
+
+
+def test_top_quality_per_lang(docs_df, docs_duck):
+    assert_same_result(
+        textops.top_quality_per_lang(docs_df), docs_duck, textops.top_quality_per_lang_sql()
+    )
