@@ -349,3 +349,106 @@ def asof_join_locf(events: DataFrame, orders: DataFrame) -> DataFrame:
         "odate_ms",
         portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> DataFrame:
+    """Ordered funnel conversion: per user, did step₁ → step₂ → … happen in
+    order, each within ``window_hours`` of the first step?
+
+    Formulation: one conditional aggregation per user computes the earliest
+    qualifying timestamp of every step (step k's min ts among events AFTER
+    step k-1's earliest) — expressed as chained conditional MINs over ONE
+    groupBy, i.e. a single shuffle carrying one row per user.  The naive
+    k-way self-join is O(events^k); this is O(events).  Output: one row per
+    funnel step with the user count that reached it.
+    """
+    window_ms = window_hours * 3600 * 1000
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    )
+    # earliest ts of step 0 per user
+    agg = [
+        F.min(F.when(F.col("event_type") == steps[0], F.col("ts_ms"))).alias("t0")
+    ]
+    per_user = e.groupBy("user_id").agg(*agg)
+    # chain: step k's earliest ts strictly after step k-1's, within window.
+    # Each pass is a semi-join back to events + conditional min — still one
+    # row per user, equi-join on user_id.
+    for k in range(1, len(steps)):
+        prev = f"t{k - 1}"
+        cur = f"t{k}"
+        nxt = (
+            e.join(per_user.select("user_id", prev), "user_id")
+            .filter(
+                (F.col("event_type") == steps[k])
+                & F.col(prev).isNotNull()
+                & (F.col("ts_ms") > F.col(prev))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_ms").alias(cur))
+        )
+        per_user = per_user.join(nxt, "user_id", "left")
+    reached = []
+    for k, step in enumerate(steps):
+        cond = F.col(f"t{k}").isNotNull()
+        if k > 0:
+            cond = cond & ((F.col(f"t{k}") - F.col("t0")) <= window_ms)
+        reached.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{step}")
+        )
+    wide = per_user.agg(*reached)
+    parts = [
+        F.struct(F.lit(k).alias("step_no"), F.lit(s).alias("step"), F.col(f"n_{s}").alias("n_users"))
+        for k, s in enumerate(steps)
+    ]
+    return wide.select(F.explode(F.array(*parts)).alias("r")).select(
+        F.col("r.step_no").alias("step_no"),
+        F.col("r.step").alias("step"),
+        F.col("r.n_users").alias("n_users"),
+    )
+
+
+def funnel_sql(
+    table: str = "events",
+    steps: tuple = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> str:
+    window_ms = window_hours * 3600 * 1000
+    ctes = [
+        f"e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM {table})",
+        f"u0 AS (SELECT user_id, min(CASE WHEN event_type = '{steps[0]}' THEN ts_ms END) AS t0 "
+        "FROM e GROUP BY user_id)",
+    ]
+    prev_cte, prev_col = "u0", "t0"
+    for k in range(1, len(steps)):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts_ms) AS t{k} FROM e "
+            f"JOIN {prev_cte} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[k]}' AND p.{prev_col} IS NOT NULL "
+            f"AND e.ts_ms > p.{prev_col} GROUP BY e.user_id)"
+        )
+        ctes.append(
+            f"u{k} AS (SELECT p.*, s{k}.t{k} FROM {prev_cte} p "
+            f"LEFT JOIN s{k} ON p.user_id = s{k}.user_id)"
+        )
+        prev_cte, prev_col = f"u{k}", f"t{k}"
+    conds = []
+    for k, s in enumerate(steps):
+        c = f"t{k} IS NOT NULL"
+        if k > 0:
+            c += f" AND (t{k} - t0) <= {window_ms}"
+        conds.append(
+            f"SELECT {k} AS step_no, '{s}' AS step, "
+            f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM {prev_cte}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + " UNION ALL ".join(conds)

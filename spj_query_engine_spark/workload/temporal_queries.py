@@ -53,3 +53,15 @@ def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.range_join(ev)
+
+
+@register(
+    "e08_funnel",
+    temporal.funnel_sql(),
+    doc="Ordered funnel conversion (%s within %sh): chained conditional MINs "
+    "over per-user aggregates — O(events), never the O(events^k) k-way "
+    "self-join." % (" → ".join(temporal.FUNNEL_STEPS), temporal.FUNNEL_WINDOW_HOURS),
+)
+def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.funnel(ev)

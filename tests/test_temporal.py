@@ -99,3 +99,28 @@ def test_asof_locf_equals_join_formulation(spark):
     a = temporal.asof_join(t["events"], t["orders"])
     b = temporal.asof_join_locf(t["events"], t["orders"])
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_funnel_ordering_and_window(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    hr = 3_600_000
+    rows = [
+        # user 1: full ordered funnel within 24h
+        (1, "view", 0), (1, "click", 1 * hr), (1, "purchase", 2 * hr),
+        # user 2: purchase BEFORE view/click -> only counts view+click
+        (2, "purchase", 0), (2, "view", 1 * hr), (2, "click", 2 * hr),
+        # user 3: ordered but purchase outside the 24h window
+        (3, "view", 0), (3, "click", 1 * hr), (3, "purchase", 30 * hr),
+        # user 4: never viewed
+        (4, "click", 0), (4, "purchase", 1 * hr),
+    ]
+    ev = (
+        spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withColumn("value", F.lit(1.0))
+        .withColumn("event_id", F.col("ts_ms"))
+    )
+    got = {r["step"]: r["n_users"] for r in temporal.funnel(ev).collect()}
+    assert got == {"view": 3, "click": 3, "purchase": 1}
