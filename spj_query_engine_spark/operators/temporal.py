@@ -452,3 +452,37 @@ def funnel_sql(
             f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM {prev_cte}"
         )
     return "WITH " + ",\n    ".join(ctes) + "\n" + " UNION ALL ".join(conds)
+
+
+PCT_POINTS = (0.5, 0.95, 0.99)
+
+
+def value_percentiles(events: DataFrame, points: tuple = PCT_POINTS) -> DataFrame:
+    """Exact per-group percentiles of the value column (linear
+    interpolation — identical to DuckDB's quantile_cont).
+
+    Exact percentile is a sort-based aggregate; at 100 TB swap in
+    ``approx_percentile`` (t-digest, single pass, mergeable partials) and
+    accept the documented error bound — the query shape (one groupBy
+    shuffle) does not change.
+    """
+    aggs = [
+        portable_round(F.expr(f"percentile(value, {p})"), 4).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in points
+    ]
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+
+
+def value_percentiles_sql(table: str = "events", points: tuple = PCT_POINTS) -> str:
+    cols = ", ".join(
+        f"{portable_round_sql(f'quantile_cont(value, {p})', 4)} AS p{str(p).replace('0.', '')}"
+        for p in points
+    )
+    return f"""
+    SELECT event_type, count(*) AS n, {cols}
+    FROM {table} GROUP BY event_type
+    """

@@ -65,3 +65,14 @@ def e04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.funnel(ev)
+
+
+@register(
+    "e09_percentiles",
+    temporal.value_percentiles_sql(),
+    doc="Exact per-type value percentiles (p50/p95/p99, linear "
+    "interpolation); approx_percentile is the documented 100 TB swap-in.",
+)
+def e09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.value_percentiles(ev)
