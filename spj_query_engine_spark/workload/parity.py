@@ -392,3 +392,58 @@ def q17_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- q18: top-k (LIMIT) — no LIMIT token in the reference grammar
+# (scaner.lex); Spark executes it as TakeOrderedAndProject, which never
+# materializes the full sort (per-partition top-k, merge on the driver) ---
+@register(
+    "q18_topk_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k: ORDER BY + LIMIT with a total order (tie-break on the key) "
+    "so the row set is deterministic; plans as TakeOrderedAndProject — "
+    "per-partition top-k, no global sort materialization.",
+)
+def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- q19: HAVING — aggregate-predicate filter, absent from the reference
+# grammar (parser.cup); in Spark just a filter above the aggregate, which
+# Catalyst keeps above the shuffle (it cannot push through) ---
+@register(
+    "q19_groupby_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 20
+    """,
+    doc="GROUP BY + HAVING (aggregate predicate) — filter composed above "
+    "the aggregate; map-side partial agg unchanged.",
+)
+def q19_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 20)
+    )
