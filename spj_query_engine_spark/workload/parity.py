@@ -447,3 +447,31 @@ def q19_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 20)
     )
+
+
+# --- q20: ROLLUP grouping sets — another surface the reference lacks
+# (§2.3); Spark expands the grouping sets before the aggregate, so the
+# shuffle still carries map-side partials per (set, key) ---
+@register(
+    "q20_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP grouping sets (priority, status) with subtotals and a grand "
+    "total; NULL-marked rollup rows hash-compare exactly across engines.",
+)
+def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
