@@ -475,3 +475,45 @@ def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# --- q21/q22: outer + anti join — beyond the reference's inner-only
+# execution (§2.3); both hit the how= surface of operators.core.equi_join ---
+@register(
+    "q21_left_join_agg",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="LEFT OUTER join + count: zero-order customers survive with n=0 "
+    "(COUNT over the null-extended side).",
+)
+def q21_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import equi_join
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    joined = equi_join(c, o, [(c.c_custkey, o.o_custkey)], how="left")
+    return joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@register(
+    "q22_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+    doc="LEFT ANTI join: customers with no big-ticket order — the id-only "
+    "anti-join shape dedup/filter pipelines use everywhere.",
+)
+def q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import equi_join
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return equi_join(c, o, [(c.c_custkey, o.o_custkey)], how="left_anti")
