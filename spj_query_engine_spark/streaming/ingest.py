@@ -32,26 +32,30 @@ from spj_query_engine_spark.operators.temporal import ROLLUP_HOURS
 WATERMARK = "1 hour"
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table.  Schema comes from a batch read;
-    the TIMESTAMP(NANOS) column arrives as long nanos (nanosAsLong) and is
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of any catalog table.  Schema comes from a batch read;
+    TIMESTAMP(NANOS) columns arrive as long nanos (nanosAsLong) and are
     converted with integer div — same rule as the batch catalog."""
-    path = table_path(sf_dir, "events")
+    path = table_path(sf_dir, name)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory: stream the sf dir with a glob
-    # pinned to the events table
+    # pinned to one table
     stream = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_table(spark, sf_dir, "events")
 
 
 def streaming_rollup(events: DataFrame, hours: int = ROLLUP_HOURS) -> DataFrame:

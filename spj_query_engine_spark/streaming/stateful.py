@@ -135,3 +135,106 @@ def run_stateful_sessionize(
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming AS-OF join: events enriched with the latest order per user
+# ---------------------------------------------------------------------------
+
+ASOF_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("odate_ms", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+#: last observed order per user (the LOCF carry)
+ASOF_STATE = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("odate_ms", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def _asof_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+    """Merge the tagged (order|event) stream per user in time order,
+    carrying the latest order; emit one enriched row per event.  Within a
+    batch rows sort (ts, is_event, o_orderkey) — identical tie-break to the
+    batch LOCF formulation, so finite replay equals `asof_join`."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "is_event", "o_orderkey"], kind="mergesort", na_position="first"
+    )
+    if state.exists:
+        okey, odate, oprice = state.get
+    else:
+        okey = odate = oprice = None
+    out = []
+    for r in rows.itertuples(index=False):
+        if r.is_event == 0:
+            okey, odate, oprice = int(r.o_orderkey), int(r.ts_ms), float(r.o_totalprice)
+        elif okey is not None:
+            out.append(
+                (int(r.event_id), user_id, int(r.ts_ms), okey, odate, round(oprice, 2))
+            )
+    if okey is not None:
+        state.update((okey, odate, oprice))
+    yield pd.DataFrame(out, columns=[f.name for f in ASOF_OUTPUT.fields])
+
+
+def stateful_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Streaming AS-OF: the union-LOCF formulation
+    (:func:`operators.temporal.asof_join_locf`) with the carry held in
+    explicit per-user state so it survives across micro-batches.  `events`
+    may be a stream; `orders` a static frame (the common enrich-stream-with-
+    dimension-history case) or a second stream unioned in upstream."""
+    e = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("ts_ms"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    return e.unionByName(o).groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUTPUT,
+        stateStructType=ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming as-of over the finite events directory (orders
+    static) to completion; equals batch ``asof_join`` on the same input."""
+    from spj_query_engine_spark.streaming.ingest import stream_table
+
+    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    orders = stream_table(spark, sf_dir, "orders")
+    q = (
+        stateful_asof_join(stream_events(spark, sf_dir), orders)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

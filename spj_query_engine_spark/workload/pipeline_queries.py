@@ -97,3 +97,16 @@ def p01_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return train_split(docs)
+
+
+@register(
+    "e10_stream_asof",
+    temporal.asof_join_sql(),
+    doc="Streaming AS-OF join via applyInPandasWithState: last-order-per-"
+    "user carried in state (LOCF on a stream); finite replay equals the "
+    "batch as-of join — the oracle.",
+)
+def e10_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.stateful import run_stateful_asof
+
+    return run_stateful_asof(spark, sf_dir)

@@ -189,3 +189,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(bucket0) == 1
     assert bucket0.iloc[0]["n_events"] == 2
     assert bucket0.iloc[0]["sum_value"] == pytest.approx(2.0)
+
+
+def test_stateful_asof_state_carries_across_batches(spark, tmp_path):
+    """Orders arrive in micro-batch 1, events in micro-batch 2 — the
+    last-order state must carry so batch-2 events still enrich."""
+    from pyspark.sql import functions as F
+    from spj_query_engine_spark.streaming.stateful import stateful_asof_join
+
+    hr = 3_600_000
+    odir, edir = str(tmp_path / "orders"), str(tmp_path / "events")
+    (
+        spark.createDataFrame(
+            [(100, 7, 1 * hr, 50.0), (101, 7, 2 * hr, 60.0)],
+            "o_orderkey long, o_custkey long, ts_ms long, o_totalprice double",
+        )
+        .withColumn("o_orderdate", F.timestamp_millis(F.col("ts_ms")))
+        .drop("ts_ms")
+        .coalesce(1)
+        .write.parquet(odir)
+    )
+    import os
+
+    os.makedirs(edir, exist_ok=True)
+    orders = spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).parquet(odir)
+    events = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(edir)
+    q = (
+        stateful_asof_join(events, orders)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asofcarry")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: orders only -> state primed
+        (
+            spark.createDataFrame([(1, 7, 5 * hr)], "event_id long, user_id long, ts_ms long")
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .drop("ts_ms")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(edir)
+        )
+        q.processAllAvailable()  # batch 2: event joins against carried state
+    finally:
+        q.stop()
+    rows = spark.table("asofcarry").collect()
+    assert len(rows) == 1
+    assert rows[0]["o_orderkey"] == 101  # the LATEST carried order
+    assert rows[0]["o_totalprice"] == 60.0
