@@ -661,6 +661,110 @@ def dup_clusters_sql(pairs_cte_body: str, rounds: int = CC_ROUNDS) -> str:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its larger neighbors to the
+    minimum of its closed neighborhood.  Emits (v, m) for v ∈ Γ(u), v > u,
+    m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge toward its larger endpoint, then
+    every node connects its smaller neighbors (and itself) to the minimum.
+    Emits (v, m) for v ∈ Γ⁻(u) ∪ {u}, v ≠ m."""
+    oriented = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    m = oriented.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    return (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def cc_alternating(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    — the at-scale replacement for :func:`dup_clusters`' fixed-round label
+    propagation.  Converges in O(log² n) rounds REGARDLESS of component
+    diameter, and each round's shuffle is bounded by the current edge count
+    (which only shrinks: both stars contract edges toward component minima),
+    so a 100 TB pair graph with a pathological million-doc chain still
+    terminates; plain propagation would need diameter-many rounds.
+
+    Runs to a detected fixed point (edge multiset stable round-over-round,
+    checked with a cheap count+checksum aggregate) — at the fixed point the
+    edge set IS the star forest (node → component min), so labels fall out
+    without any extra join.  Output matches :func:`dup_clusters`:
+    (doc_id, cluster_id, is_canonical) for every node of the pair graph; the
+    oracle is TRUE transitive connectivity (recursive CTE), which both this
+    and — for diameter ≤ CC_ROUNDS graphs — d07 agree with.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for r in range(max_rounds):
+        edges = _small_star(_large_star(edges))
+        # iteration barrier: truncate lineage every round (two join+agg
+        # stages per round; without this the plan doubles — see dup_clusters)
+        edges = edges.localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") * 7 + F.col("v")).alias("chk"),
+        ).first()
+        sig = (sig["n"], sig["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return (
+        members.union(roots)
+        .distinct()
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+def cc_alternating_sql(pairs_cte_body: str) -> str:
+    """Oracle: TRUE connected components — min reachable node per node via a
+    recursive CTE (terminates because UNION deduplicates the frontier)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_cte_body}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs WHERE doc_a <> doc_b
+              UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, min(lbl) AS cluster_id, (u = min(lbl)) AS is_canonical
+    FROM reach GROUP BY u
+    """
+
+
 def apply_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The end-product dedup pass: surviving doc_ids after dropping (a) exact
     duplicates (keep the min doc_id per md5 group) and (b) non-canonical

@@ -196,6 +196,70 @@ def resize_payload(mm: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     )
 
 
+AUDIO_WIN = 32  # analysis window length in samples (bytes)
+AUDIO_HOP = 16  # hop between window starts (50% overlap)
+
+
+def audio_windows(mm: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP) -> DataFrame:
+    """Audio-shaped analysis: treat the payload byte stream as PCM samples
+    and emit overlapping (``win``, ``hop``) analysis windows with per-window
+    energy (Σ sample²) and peak — the shape of an STFT/VAD front-end with
+    the codec stubbed to byte values.  Window count varies per document
+    (unlike :func:`frame_sample`'s fixed grid), so this exercises the
+    fan-out mapInPandas shape: one input row → ceil(n/hop) output rows,
+    Arrow-batched, partitioned by doc hash so decode cost stays balanced
+    regardless of file layout."""
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range((n + hop - 1) // hop):
+                    chunk = payload[i * hop : i * hop + win]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            len(chunk),
+                            sum(b * b for b in chunk),
+                            max(chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_no", "n_samples", "energy", "peak"]
+            )
+
+    return mm.mapInPandas(
+        analyze,
+        schema="doc_id long, win_no int, n_samples int, energy long, peak long",
+    )
+
+
+def audio_windows_sql(
+    table: str = "documents", win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> str:
+    """Oracle twin: same window grid over ascii codes (ASCII text ⇒ byte
+    values == char codes); unnest(range(...)) reproduces the variable
+    per-document fan-out."""
+    chunk = f"list_slice(s, i*{hop} + 1, i*{hop} + {win})"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS s
+      FROM {table} WHERE length(text) > 0
+    ),
+    wins AS (
+      SELECT doc_id, s, unnest(range((len(s) + {hop - 1}) // {hop})) AS i FROM base
+    )
+    SELECT doc_id, i::INT AS win_no, len({chunk})::INT AS n_samples,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform({chunk}, x -> x*x)), (a, b) -> a + b) AS energy,
+           list_max({chunk}) AS peak
+    FROM wins
+    """
+
+
 def resize_payload_sql(table: str = "documents", target: int = RESIZE_TARGET) -> str:
     """Oracle twin: same nearest-neighbor indices via substr (ASCII text, so
     byte indexing == char indexing)."""

@@ -486,3 +486,49 @@ def value_percentiles_sql(table: str = "events", points: tuple = PCT_POINTS) -> 
     SELECT event_type, count(*) AS n, {cols}
     FROM {table} GROUP BY event_type
     """
+
+
+MOV_WINDOW = 5  # trailing-rows frame width for the moving average
+
+
+def moving_stats(events: DataFrame, window: int = MOV_WINDOW) -> DataFrame:
+    """Per-entity ordered-window statistics: trailing ``window``-row moving
+    average of value plus inter-event gap (LAG) — the feature-engineering
+    shape (rolling signals over an event stream per user).
+
+    One shuffle on user_id, then a per-partition sort feeds BOTH window
+    specs (same partitioning + ordering ⇒ Spark evaluates them in a single
+    Window physical node, one sort).  No global sort, no driver state; at
+    100 TB this scales with the per-user event count like sessionize.
+    Ordering is total (ts_ms, event_id) so frames are engine-independent.
+    """
+    order = [F.col("ts_ms"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    frame = w.rowsBetween(-(window - 1), 0)
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "value",
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        portable_round(F.avg("value").over(frame), 4).alias("mov_avg"),
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+    )
+
+
+def moving_stats_sql(table: str = "events", window: int = MOV_WINDOW) -> str:
+    over = "PARTITION BY user_id ORDER BY ts_ms, event_id"
+    avg = portable_round_sql(
+        f"avg(value) OVER ({over} ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)",
+        4,
+    )
+    return f"""
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM {table})
+    SELECT user_id, event_id, ts_ms, {avg} AS mov_avg,
+           ts_ms - lag(ts_ms) OVER ({over}) AS gap_ms
+    FROM e
+    """

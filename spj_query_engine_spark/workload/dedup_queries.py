@@ -87,6 +87,19 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d09_cc_alternating",
+    dedup.cc_alternating_sql(dedup.minhash_lsh_pairs_sql()),
+    doc="Connected components over the MinHash pair graph via alternating "
+    "large-star/small-star contraction (Kiveris et al. SoCC'14) — O(log² n) "
+    "rounds independent of component diameter, the 100 TB-scale path d07's "
+    "fixed-round propagation documents.  Oracle = true transitive "
+    "connectivity (recursive CTE).",
+)
+def d09_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cc_alternating(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
+@register(
     "d08_apply_dedup",
     dedup.apply_dedup_sql(),
     doc="End-product dedup: surviving doc_ids = exact keepers anti-join "

@@ -517,3 +517,24 @@ def q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].select("c_custkey")
     o = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_custkey")
     return equi_join(c, o, [(c.c_custkey, o.o_custkey)], how="left_anti")
+
+
+@register(
+    "q23_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="LEFT SEMI join: customers with at least one urgent order — EXISTS "
+    "without duplication; completes the inner/outer/anti/semi how= surface.",
+)
+def q23_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import equi_join
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return equi_join(c, o, [(c.c_custkey, o.o_custkey)], how="left_semi")

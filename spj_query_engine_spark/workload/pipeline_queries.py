@@ -74,6 +74,18 @@ def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m04_audio_windows",
+    multimodal.audio_windows_sql(),
+    doc="Audio-shaped analysis: payload bytes as PCM samples → overlapping "
+    "(win=%s, hop=%s) windows → per-window energy + peak via mapInPandas; "
+    "variable fan-out (one row → ceil(n/hop) rows), codec stubbed."
+    % (multimodal.AUDIO_WIN, multimodal.AUDIO_HOP),
+)
+def m04_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.audio_windows(_mm(spark, sf_dir))
+
+
+@register(
     "e07_stream_dedup",
     "SELECT DISTINCT event_id FROM events",
     doc="Streaming exact dedup (dropDuplicates keyed state on a stream); "

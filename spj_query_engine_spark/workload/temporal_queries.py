@@ -76,3 +76,15 @@ def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.value_percentiles(ev)
+
+
+@register(
+    "e11_moving_stats",
+    temporal.moving_stats_sql(),
+    doc="Rolling feature engineering: per-user trailing %s-row moving average "
+    "of value + LAG inter-event gap; both window specs share one shuffle + "
+    "sort (single Window physical node)." % temporal.MOV_WINDOW,
+)
+def e11_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.moving_stats(ev)

@@ -143,6 +143,35 @@ def test_dup_clusters_chain_and_canonical(spark):
     assert canon == {10, 20}
 
 
+def test_cc_alternating_long_chain_and_agreement(spark):
+    import pandas as pd
+
+    # a 12-hop chain (diameter > CC_ROUNDS) — alternating star contraction
+    # converges where fixed-round propagation would not — plus a triangle
+    # and an isolated pair
+    chain = [(i, i + 1) for i in range(100, 112)]
+    extra = [(200, 201), (201, 202), (200, 202), (300, 301)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + extra, columns=["doc_a", "doc_b"])
+    )
+    rows = {r["doc_id"]: r for r in dedup.cc_alternating(pairs).collect()}
+    assert {rows[d]["cluster_id"] for d in range(100, 113)} == {100}
+    assert {rows[d]["cluster_id"] for d in (200, 201, 202)} == {200}
+    assert rows[300]["cluster_id"] == rows[301]["cluster_id"] == 300
+    assert {d for d, r in rows.items() if r["is_canonical"]} == {100, 200, 300}
+
+
+def test_cc_alternating_matches_propagation_on_short_graph(spark):
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [10, 11, 12, 13, 20], "doc_b": [11, 12, 13, 14, 21]})
+    )
+    alt = sorted(map(tuple, dedup.cc_alternating(pairs).collect()))
+    prop = sorted(map(tuple, dedup.dup_clusters(pairs).collect()))
+    assert alt == prop
+
+
 def test_ivf_trained_returns_ranked_topk(emb):
     res = similarity.ivf_topk_trained(
         emb, n_cells=2, n_probe=2, n_queries=1, k=3, max_iter=2

@@ -54,6 +54,21 @@ def test_frame_sample_partitions_payload(mm):
     assert len({r["frame_fp"] for r in out}) == multimodal.FRAME_COUNT  # chunks differ
 
 
+def test_audio_windows_fanout_energy_overlap(mm):
+    # doc 1: 8-byte payload, win=4 hop=2 → ceil(8/2)=4 windows
+    out = sorted(
+        (r for r in multimodal.audio_windows(mm, win=4, hop=2).collect()
+         if r["doc_id"] == 1),
+        key=lambda r: r["win_no"],
+    )
+    assert [r["win_no"] for r in out] == [0, 1, 2, 3]
+    p = b"abcdefgh"
+    assert out[0]["energy"] == sum(b * b for b in p[0:4])
+    assert out[1]["energy"] == sum(b * b for b in p[2:6])  # 50% overlap
+    assert out[3]["n_samples"] == 2  # tail window is short
+    assert out[0]["peak"] == p[3]  # 'd'
+
+
 def test_stateful_sessionize_equals_batch(spark):
     from spj_query_engine_spark.streaming.stateful import run_stateful_sessionize
 

@@ -124,3 +124,14 @@ def test_funnel_ordering_and_window(spark):
     )
     got = {r["step"]: r["n_users"] for r in temporal.funnel(ev).collect()}
     assert got == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_moving_stats_frame_and_gaps(events):
+    got = {r["event_id"]: r for r in temporal.moving_stats(events, window=2).collect()}
+    # user 1: values 1, 2, 3 at minutes 0, 5, 50
+    assert got[1]["mov_avg"] == 1.0 and got[1]["gap_ms"] is None
+    assert got[2]["mov_avg"] == 1.5 and got[2]["gap_ms"] == 5 * 60_000
+    assert got[3]["mov_avg"] == 2.5 and got[3]["gap_ms"] == 45 * 60_000
+    # user 2: values 4, 5 at minutes 10, 20 — frames never cross users
+    assert got[4]["mov_avg"] == 4.0 and got[4]["gap_ms"] is None
+    assert got[5]["mov_avg"] == 4.5 and got[5]["gap_ms"] == 10 * 60_000
