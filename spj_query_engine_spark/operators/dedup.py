@@ -718,6 +718,11 @@ def cc_alternating(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize BEFORE iterating: each star round references the edge
+        # frame four times (symmetrized union joined against its own
+        # aggregate) — without a barrier here the upstream pair query
+        # (MinHash etc.) would execute 4× in round 1
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for r in range(max_rounds):
