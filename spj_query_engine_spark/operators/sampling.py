@@ -48,6 +48,40 @@ def train_split(
     return df.select(F.col(key_col), b.cast("int").alias("bucket"), split.alias("split"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    pct: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic ``pct``% sample WITHIN each stratum: the hash is salted
+    with the stratum value, so the kept set in one stratum is statistically
+    independent of every other stratum (a single global hash would keep the
+    same keys everywhere, correlating strata that share keys).  Like
+    :func:`train_split` this is a pure projection + filter — no shuffle, no
+    sampling state, reproducible on any cluster layout, and the filter
+    pushes to the scan of a materialized copy."""
+    b = _bucket(F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(key_col).cast("string")), seed)
+    return df.select(
+        F.col(key_col), F.col(strata_col), b.cast("int").alias("bucket")
+    ).filter(F.col("bucket") < pct)
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    pct: int = 10,
+    seed: int = 7,
+) -> str:
+    b = _bucket_sql(f"({strata_col}::VARCHAR || '|' || {key_col}::VARCHAR)", seed)
+    return f"""
+    SELECT {key_col}, {strata_col}, CAST({b} AS INT) AS bucket
+    FROM {table} WHERE {b} < {pct}
+    """
+
+
 def train_split_sql(
     table: str = "documents",
     key_col: str = "doc_id",

@@ -332,3 +332,43 @@ def top_quality_per_lang_sql(table: str = "documents", k: int = TOP_PER_LANG) ->
     )
     SELECT doc_id, lang_pred, quality, rank::BIGINT AS rank FROM j WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level term document frequency (the vocabulary/IDF building block)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS = 25
+
+
+def term_doc_freq(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = TOP_TERMS
+) -> DataFrame:
+    """Top-``k`` terms by document frequency: lowercase whitespace tokens,
+    deduped per document (array_distinct BEFORE explode — the per-doc dedup
+    happens map-side, so the shuffle carries one row per (doc, distinct
+    term), never per occurrence), then a count-distinct-free groupBy count.
+    The vocabulary/IDF step of a text pipeline; at 100 TB the top-k is a
+    TakeOrderedAndProject over the term counts — no global sort."""
+    term = F.explode(
+        F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    ).alias("term")
+    return (
+        docs.select(F.col(id_col), term)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def term_doc_freq_sql(table: str = "documents", k: int = TOP_TERMS) -> str:
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS term
+      FROM {table}
+    )
+    SELECT term, count(*) AS doc_freq FROM terms WHERE term <> ''
+    GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT {k}
+    """

@@ -538,3 +538,59 @@ def q23_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].select("c_custkey", "c_mktsegment")
     o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return equi_join(c, o, [(c.c_custkey, o.o_custkey)], how="left_semi")
+
+
+# --- q24–q26: set operations — the reference ships only an unused schema
+# compat check (Schema.checkCompat, SURVEY.md §2.3); these exercise
+# operators/core.py's union/intersect/except_ builders.  Both input sets are
+# key-only projections, so at scale the set op shuffles longs ---
+
+
+def _custkey_sets(spark: SparkSession, sf_dir: str):
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a, b
+
+_SET_A = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+_SET_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000"
+
+
+@register(
+    "q24_union",
+    f"{_SET_A} UNION {_SET_B}",
+    doc="UNION (distinct): customers with an urgent OR a big-ticket order.",
+)
+def q24_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import union
+
+    a, b = _custkey_sets(spark, sf_dir)
+    return union(a, b)
+
+
+@register(
+    "q25_intersect",
+    f"{_SET_A} INTERSECT {_SET_B}",
+    doc="INTERSECT: customers with an urgent AND a big-ticket order.",
+)
+def q25_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import intersect
+
+    a, b = _custkey_sets(spark, sf_dir)
+    return intersect(a, b)
+
+
+@register(
+    "q26_except",
+    f"{_SET_A} EXCEPT {_SET_B}",
+    doc="EXCEPT: customers with an urgent but no big-ticket order.",
+)
+def q26_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import except_
+
+    a, b = _custkey_sets(spark, sf_dir)
+    return except_(a, b)

@@ -122,3 +122,19 @@ def e10_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.stateful import run_stateful_asof
 
     return run_stateful_asof(spark, sf_dir)
+
+
+@register(
+    "p02_stratified_sample",
+    __import__(
+        "spj_query_engine_spark.operators.sampling", fromlist=["stratified_sample_sql"]
+    ).stratified_sample_sql(),
+    doc="Deterministic 10% stratified sample: hash salted with the stratum "
+    "(lang), so per-stratum kept sets are independent; pure projection + "
+    "filter, reproducible on any cluster layout.",
+)
+def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.sampling import stratified_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return stratified_sample(docs)

@@ -83,3 +83,14 @@ def t06_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t07_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.top_quality_per_lang(_docs(spark, sf_dir))
+
+
+@register(
+    "t08_term_doc_freq",
+    textops.term_doc_freq_sql(),
+    doc="Top-%s terms by document frequency (vocabulary/IDF building block): "
+    "per-doc dedup map-side before the explode, term counts shuffle once, "
+    "top-k via TakeOrderedAndProject." % textops.TOP_TERMS,
+)
+def t08_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.term_doc_freq(_docs(spark, sf_dir))

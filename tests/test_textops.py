@@ -165,3 +165,39 @@ def test_top_quality_per_lang(docs_df, docs_duck):
     assert_same_result(
         textops.top_quality_per_lang(docs_df), docs_duck, textops.top_quality_per_lang_sql()
     )
+
+
+def test_term_doc_freq(docs_df, docs_duck):
+    assert_same_result(textops.term_doc_freq(docs_df), docs_duck, textops.term_doc_freq_sql())
+
+
+def test_term_doc_freq_counts_docs_not_occurrences(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["cat cat cat dog", "cat bird"]})
+    )
+    got = {r["term"]: r["doc_freq"] for r in textops.term_doc_freq(df).collect()}
+    assert got == {"cat": 2, "dog": 1, "bird": 1}  # per-doc dedup before count
+
+
+def test_stratified_sample_per_stratum_independence(spark):
+    from spj_query_engine_spark.operators import sampling
+
+    df = (
+        spark.range(20_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr"))
+    )
+    out = sampling.stratified_sample(df, pct=10).cache()
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.07 < by_lang["en"] / 10_000 < 0.13
+    assert 0.07 < by_lang["fr"] / 10_000 < 0.13
+    # stratum-salted hash: a key kept in one stratum must not be forced to
+    # the same decision in the other (a global hash correlates them)
+    en_keys = {r["doc_id"] // 2 for r in out.filter(F.col("lang") == "en").collect()}
+    fr_keys = {r["doc_id"] // 2 for r in out.filter(F.col("lang") == "fr").collect()}
+    assert en_keys != fr_keys
+    # layout-independent (the df.sample failure mode)
+    again = sampling.stratified_sample(df.repartition(7), pct=10)
+    assert again.count() == out.count()
+    assert again.join(out.select("doc_id"), "doc_id").count() == out.count()
+    out.unpersist()
