@@ -594,3 +594,29 @@ def q26_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a, b = _custkey_sets(spark, sf_dir)
     return except_(a, b)
+
+
+@register(
+    "q27_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE grouping sets: all four grouping combinations of (priority, "
+    "status) in one partial-aggregatable pass — like q20's ROLLUP, one Expand "
+    "+ one shuffle regardless of data size.",
+)
+def q27_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
