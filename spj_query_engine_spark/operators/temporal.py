@@ -204,16 +204,17 @@ def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
             F.col("o_orderkey").alias("event_id"),
             "user_id",
             F.col("odate_ms").alias("ts_ms"),
+            "o_totalprice",
         ).withColumn("side", F.lit("o")),
         allowMissingColumns=True,
     )
 
-    # carry order payloads through a second frame keyed the same way
+    # carry order payloads through the same keyed frame (null on event rows)
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ev = pdf[pdf.side == "e"][["event_id", "user_id", "ts_ms"]].sort_values(
             ["ts_ms", "event_id"]
         )
-        od = pdf[pdf.side == "o"][["event_id", "ts_ms"]].rename(
+        od = pdf[pdf.side == "o"][["event_id", "ts_ms", "o_totalprice"]].rename(
             columns={"event_id": "o_orderkey", "ts_ms": "odate_ms"}
         )
         od = od.sort_values(["odate_ms", "o_orderkey"], ascending=[True, True])
@@ -228,7 +229,10 @@ def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
         )
         return out.dropna(subset=["o_orderkey"])
 
-    schema = "event_id long, user_id long, ts_ms long, o_orderkey double, odate_ms double"
+    schema = (
+        "event_id long, user_id long, ts_ms long, o_orderkey double, "
+        "odate_ms double, o_totalprice double"
+    )
     return (
         both.groupBy("user_id")
         .applyInPandas(lambda key, pdf: merge(key, pdf), schema)
@@ -238,6 +242,7 @@ def asof_join_pandas(events: DataFrame, orders: DataFrame) -> DataFrame:
             "ts_ms",
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.col("odate_ms").cast("long").alias("odate_ms"),
+            portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
         )
     )
 

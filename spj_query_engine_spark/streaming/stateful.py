@@ -27,6 +27,7 @@ cluster.
 
 from __future__ import annotations
 
+import math
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -180,8 +181,18 @@ def _asof_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
         if r.is_event == 0:
             okey, odate, oprice = int(r.o_orderkey), int(r.ts_ms), float(r.o_totalprice)
         elif okey is not None:
+            # floor(x*100+0.5)/100 — the portable_round formulation used
+            # engine-wide; Python's round() is banker's half-even and can
+            # diverge from the batch path on exact .xx5 midpoints
             out.append(
-                (int(r.event_id), user_id, int(r.ts_ms), okey, odate, round(oprice, 2))
+                (
+                    int(r.event_id),
+                    user_id,
+                    int(r.ts_ms),
+                    okey,
+                    odate,
+                    math.floor(oprice * 100 + 0.5) / 100,
+                )
             )
     if okey is not None:
         state.update((okey, odate, oprice))

@@ -64,8 +64,11 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d06_embedding_near_dup",
     dedup.embedding_near_dup_sql(),
-    doc="Embedding cosine near-dup pairs ≥ %s, blocked by label (coarse IVF "
-    "stand-in); explicit same-order double fold both engines." % dedup.COSINE_T,
+    doc="Embedding cosine near-dup pairs ≥ %s, blocked by IVF quantizer cell "
+    "(top-%s of %s seed centroids, multi-probe) — bounded-size blocks under "
+    "engine control instead of a data-dependent column; explicit same-order "
+    "double fold both engines."
+    % (dedup.COSINE_T, dedup.NEARDUP_ASSIGN, dedup.NEARDUP_CELLS),
 )
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]

@@ -57,3 +57,16 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_trained(_emb(spark, sf_dir))
+
+
+@register(
+    "s05_ivf_trained_recall",
+    similarity.ivf_trained_recall_sql(),
+    doc="Recall gate for s04: recall@%s of trained-IVF ANN vs s01's exact "
+    "top-k, asserted ≥ %s in-engine against a constant oracle — the "
+    "driver-provable form of 'the trained quantizer works'."
+    % (similarity.TOP_K, similarity.RECALL_MIN),
+    bench=False,  # self-check over two already-benched pipelines
+)
+def s05_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_trained_recall(_emb(spark, sf_dir))

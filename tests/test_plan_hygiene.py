@@ -14,12 +14,18 @@ from tests.conftest import SF_DIR
 
 #: streaming entries execute to completion during build (their final plan is
 #: a memory-sink scan); s04 fits a model.  Plan inspection is meaningless.
-SKIP = {"e05_streaming_rollup", "e06_stream_sessionize", "s04_ann_ivf_trained"}
+SKIP = {
+    "e05_streaming_rollup",
+    "e06_stream_sessionize",
+    "s04_ann_ivf_trained",
+    "s05_ivf_trained_recall",  # composes s04 (model fit) + s01 (whitelisted BNLJ)
+}
 
 #: deliberate broadcast nested-loop joins:
 #: - s03: the centroid assignment crossJoin (16 broadcast centroids/vector)
 #: - s01: broadcast query set joined on an inequality (no equi key by design)
-BNLJ_OK = {"s03_ann_ivf", "s01_ann_bruteforce"}
+#: - d06: the IVF blocking reuses s03's centroid-assignment crossJoin
+BNLJ_OK = {"s03_ann_ivf", "s01_ann_bruteforce", "d06_embedding_near_dup"}
 
 
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])

@@ -73,14 +73,17 @@ def test_asof_picks_latest_with_tiebreak(events, orders):
 
 def test_asof_pandas_variant_matches(events, orders):
     a = {
-        (r["event_id"], r["o_orderkey"], r["odate_ms"])
+        (r["event_id"], r["o_orderkey"], r["odate_ms"], r["o_totalprice"])
         for r in temporal.asof_join(events, orders).collect()
     }
     b = {
-        (r["event_id"], r["o_orderkey"], r["odate_ms"])
+        (r["event_id"], r["o_orderkey"], r["odate_ms"], r["o_totalprice"])
         for r in temporal.asof_join_pandas(events, orders).collect()
     }
     assert a == b
+    assert set(temporal.asof_join(events, orders).columns) == set(
+        temporal.asof_join_pandas(events, orders).columns
+    )
 
 
 def test_range_join_window(events):
