@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Scale-up validation for the dedup/ANN family: does wall time grow
+~linearly when the corpus grows 10×?
+
+The shipped testdata tops out at sf0.1 (5 000 documents / 2 000 embeddings),
+so this script builds a 10× corpus FROM sf0.1 with the repo's own transforms
+(never touching /root/testdata):
+
+* documents: 10 replicas; replica r rewrites every inter-word gap to
+  ``  zr<r> `` — a word-salt.  Within a replica every planted near-dup pair
+  keeps (approximately) its shingle Jaccard (both sides get the same salt),
+  while ACROSS replicas shingle sets share almost nothing, so the near-dup
+  pair count grows ~10×, not quadratically.  doc_id' = doc_id + r·10^7.
+* embeddings: 10 replicas; replica r rotates the coordinate order by r
+  positions.  A same-permutation applies to both sides of every pair, so
+  within-replica inner products — hence cosine near-dups and ANN top-k
+  structure — are EXACTLY preserved; across replicas cosines scramble.
+
+Usage: python scripts/bench_scale.py [out_json]
+Writes one JSON object with per-query seconds at 1× and 10× and the ratio.
+A ratio ≲ 12 for a 10× input certifies the banded/inverted-index designs;
+quadratic blowup would show ratios ≳ 50.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.session import get_spark
+from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.workload import REGISTRY
+
+BASE = "/root/testdata/sf0.1"
+SCALED = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spj_scale10")
+REPLICAS = 10
+FAMILY = [
+    "d01_exact_dedup",
+    "d02_minhash_lsh",
+    "d03_simhash_fp",
+    "d04_simhash_pairs",
+    "d05_ngram_jaccard",
+    "d06_embedding_near_dup",
+    "d07_dup_clusters",
+    "d09_cc_alternating",
+    "s01_ann_bruteforce",
+    "s02_ann_lsh",
+    "s03_ann_ivf",
+]
+
+
+def build_scaled(spark) -> None:
+    if os.path.exists(os.path.join(SCALED, "_DONE")):
+        return
+    shutil.rmtree(SCALED, ignore_errors=True)
+    os.makedirs(SCALED, exist_ok=True)
+    t = load_tables(spark, BASE, ("documents", "embeddings"))
+    docs, emb = t["documents"], t["embeddings"]
+    dim = 64
+    doc_parts = []
+    emb_parts = []
+    for r in range(REPLICAS):
+        salted = (
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.regexp_replace(F.col("text"), " ", f" zr{r} ").alias("text")
+                if r
+                else F.col("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            if True
+            else docs
+        )
+        doc_parts.append(salted)
+        rolled = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            (
+                F.concat(
+                    F.slice(F.col("embedding"), r + 1, dim - r),
+                    F.slice(F.col("embedding"), 1, r),
+                )
+                if r
+                else F.col("embedding")
+            ).alias("embedding"),
+            "label",
+        )
+        emb_parts.append(rolled)
+    all_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    all_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        all_emb = all_emb.unionByName(p)
+    all_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "documents.parquet")
+    )
+    all_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "embeddings.parquet")
+    )
+    open(os.path.join(SCALED, "_DONE"), "w").close()
+
+
+def run(spark, name: str, sf_dir: str) -> float:
+    wq = REGISTRY[name]
+    # one warmup for codegen, then a measured steady-state run (same protocol
+    # as bench.py)
+    for _ in range(1):
+        wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    t0 = time.time()
+    wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return round(dt, 3)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="spj-bench-scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    build_scaled(spark)
+    # resume support: a killed run leaves its partial results on disk
+    results: dict[str, dict] = {}
+    if out_path and os.path.exists(out_path):
+        try:
+            results = json.load(open(out_path)).get("queries", {})
+        except Exception:
+            results = {}
+    for name in FAMILY:
+        if name in results:
+            continue
+        base_s = run(spark, name, BASE)
+        scale_s = run(spark, name, SCALED)
+        results[name] = {
+            "sf0.1_sec": base_s,
+            "x10_sec": scale_s,
+            "ratio": round(scale_s / base_s, 2) if base_s else None,
+        }
+        print(
+            f"  {name}: 1x {base_s}s -> 10x {scale_s}s (ratio {results[name]['ratio']})",
+            flush=True,
+        )
+        if out_path:  # incremental write — survives a timeout kill
+            payload = {"replicas": REPLICAS, "base": BASE, "queries": results}
+            with open(out_path, "w") as fh:
+                fh.write(json.dumps(payload) + "\n")
+    print(json.dumps({"replicas": REPLICAS, "base": BASE, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()

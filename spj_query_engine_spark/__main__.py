@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--yes", action="store_true", help="skip the confirm prompt (QueryMain parity)"
     )
+    ap.add_argument(
+        "--extended-grammar",
+        action="store_true",
+        help="enable the superset grammar (HAVING / LIMIT / ASC|DESC / "
+        "UNION|INTERSECT|EXCEPT); default is the strict reference grammar",
+    )
     args = ap.parse_args(argv)
 
     from spj_query_engine_spark.catalog import load_tables
@@ -51,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="spj-query")
     tables = load_tables(spark, args.tables)
-    df = build_plan(spark, tables, parse(sql))
+    df = build_plan(spark, tables, parse(sql, extended=args.extended_grammar))
 
     if args.explain:
         print(explain_report(df))

@@ -49,6 +49,19 @@ class Condition:
         return self.is_attr_compare and self.rhs.table != self.lhs.table
 
 
+@dataclass(frozen=True)
+class HavingCond:
+    """Extended-grammar HAVING entry: ``AGG(attr) relop literal`` (or a bare
+    ``attr relop literal`` over a grouping key).  Not part of the reference
+    grammar (parser.cup:155-191 has no HAVING token) — only produced with
+    ``parse(..., extended=True)``."""
+
+    attr: Attr
+    op: str
+    rhs: str  # quoted literal, coerced by the builder against the agg dtype
+    agg: str | None = None  # None → condition on a grouping key
+
+
 @dataclass
 class SQLQuery:
     select_list: list[SelectItem]  # empty ⇒ SELECT * (parser.cup:84-89)
@@ -57,6 +70,10 @@ class SQLQuery:
     groupby: list[Attr] = field(default_factory=list)
     orderby: list[Attr] = field(default_factory=list)
     is_distinct: bool = False
+    # --- extended grammar only (empty/None under the strict reference mode) ---
+    having: list[HavingCond] = field(default_factory=list)
+    orderby_desc: list[bool] = field(default_factory=list)  # parallel to orderby
+    limit: int | None = None
 
     @property
     def is_star(self) -> bool:
@@ -73,3 +90,14 @@ class SQLQuery:
     @property
     def agg_items(self) -> list[SelectItem]:
         return [s for s in self.select_list if s.agg]
+
+
+@dataclass
+class SetQuery:
+    """Extended-grammar compound query: ``left OP right`` with SQL distinct
+    set semantics (UNION | INTERSECT | EXCEPT), left-associative chains.
+    Strict mode never produces this node."""
+
+    op: str  # UNION | INTERSECT | EXCEPT
+    left: "SQLQuery | SetQuery"
+    right: "SQLQuery | SetQuery"

@@ -18,16 +18,41 @@ Grammar transcribed from the reference's java_cup spec
 
 No OR/NOT/parens/IN/LIKE/BETWEEN/IS NULL, no numeric literal token, no table
 aliases, no LIMIT — exactly the reference surface (SURVEY.md §2.2).
+
+``parse(text, extended=True)`` opts into a superset grammar (OFF by default —
+strict mode rejects every extension, preserving the reference's
+out-of-grammar behavior)::
+
+    queryexpr := query ((UNION|INTERSECT|EXCEPT) query)*   -- left-assoc,
+                                                              distinct set ops
+    query     := ... [HAVING havelist] [ORDERBY orditem (',' orditem)*]
+                 [LIMIT LITERAL]
+    havelist  := havecond (',' havecond)*                  -- comma = AND
+    havecond  := AGGFUNC '(' attr ')' relop LITERAL | attr relop LITERAL
+    orditem   := attr [ASC|DESC]
+
+Literals stay quoted (including the LIMIT count) — the extension adds no new
+token kinds, only keywords, so every strict query parses identically in both
+modes.
 """
 
 from __future__ import annotations
 
 import re
 
-from spj_query_engine_spark.dialect.ast import Attr, Condition, SelectItem, SQLQuery
+from spj_query_engine_spark.dialect.ast import (
+    Attr,
+    Condition,
+    HavingCond,
+    SelectItem,
+    SetQuery,
+    SQLQuery,
+)
 
 _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUPBY", "ORDERBY"}
 _AGG_FUNCS = {"MAX", "MIN", "SUM", "COUNT", "AVG"}
+_EXT_KEYWORDS = {"HAVING", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "ASC", "DESC"}
+_SET_OPS = {"UNION", "INTERSECT", "EXCEPT"}
 _RELOPS = ("<=", ">=", "!=", "<", ">", "=")
 
 _TOKEN_RE = re.compile(
@@ -46,7 +71,8 @@ class DialectParseError(ValueError):
     pass
 
 
-def _tokenize(text: str) -> list[tuple[str, str]]:
+def _tokenize(text: str, extended: bool = False) -> list[tuple[str, str]]:
+    keywords = _KEYWORDS | _AGG_FUNCS | (_EXT_KEYWORDS if extended else set())
     tokens: list[tuple[str, str]] = []
     pos = 0
     while pos < len(text):
@@ -58,7 +84,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             continue
         kind = m.lastgroup
         value = m.group(kind)
-        if kind == "word" and value.upper() in (_KEYWORDS | _AGG_FUNCS):
+        if kind == "word" and value.upper() in keywords:
             tokens.append(("kw", value.upper()))
         else:
             tokens.append((kind, value))
@@ -67,8 +93,9 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], extended: bool = False):
         self.tokens = tokens
+        self.extended = extended
         self.i = 0
 
     def peek(self) -> tuple[str, str]:
@@ -93,6 +120,16 @@ class _Parser:
 
     # ---- grammar ----
 
+    def query_expr(self) -> SQLQuery | SetQuery:
+        """Top level: a single query (strict), optionally chained with
+        UNION/INTERSECT/EXCEPT (extended), left-associative."""
+        node: SQLQuery | SetQuery = self.query()
+        while self.extended and self.peek()[0] == "kw" and self.peek()[1] in _SET_OPS:
+            _, op = self.next()
+            node = SetQuery(op, node, self.query())
+        self.expect("eof")
+        return node
+
     def query(self) -> SQLQuery:
         self.expect("kw", "SELECT")
         is_distinct = self.accept_kw("DISTINCT")
@@ -102,14 +139,78 @@ class _Parser:
         conditions: list[Condition] = []
         groupby: list[Attr] = []
         orderby: list[Attr] = []
+        having: list[HavingCond] = []
+        orderby_desc: list[bool] = []
+        limit: int | None = None
         if self.accept_kw("WHERE"):
             conditions = self.cond_list()
         if self.accept_kw("GROUPBY"):
             groupby = self.attr_list()
+        if self.extended and self.accept_kw("HAVING"):
+            having = self.having_list()
         if self.accept_kw("ORDERBY"):
-            orderby = self.attr_list()
-        self.expect("eof")
-        return SQLQuery(select_list, from_list, conditions, groupby, orderby, is_distinct)
+            if self.extended:
+                orderby, orderby_desc = self.order_list()
+                if not any(orderby_desc):
+                    orderby_desc = []  # all-ascending ≡ strict parse
+            else:
+                orderby = self.attr_list()
+        if self.extended and self.accept_kw("LIMIT"):
+            lit = self.expect("lit")
+            try:
+                limit = int(lit)
+            except ValueError:
+                raise DialectParseError(f"LIMIT expects an integer literal, got {lit!r}")
+        return SQLQuery(
+            select_list,
+            from_list,
+            conditions,
+            groupby,
+            orderby,
+            is_distinct,
+            having=having,
+            orderby_desc=orderby_desc,
+            limit=limit,
+        )
+
+    def having_list(self) -> list[HavingCond]:
+        conds = [self.having_cond()]
+        while self.peek() == ("punct", ","):
+            self.next()
+            conds.append(self.having_cond())
+        return conds
+
+    def having_cond(self) -> HavingCond:
+        kind, value = self.peek()
+        agg = None
+        if kind == "kw" and value in _AGG_FUNCS:
+            self.next()
+            agg = value
+            self.expect("punct", "(")
+            attr = self.attr()
+            self.expect("punct", ")")
+        else:
+            attr = self.attr()
+        kind, op = self.next()
+        if kind != "relop":
+            raise DialectParseError(f"expected comparison operator, got {op!r}")
+        rhs = self.expect("lit")
+        return HavingCond(attr, op, rhs, agg=agg)
+
+    def order_list(self) -> tuple[list[Attr], list[bool]]:
+        attrs: list[Attr] = []
+        descs: list[bool] = []
+        while True:
+            attrs.append(self.attr())
+            if self.accept_kw("DESC"):
+                descs.append(True)
+            else:
+                self.accept_kw("ASC")
+                descs.append(False)
+            if self.peek() == ("punct", ","):
+                self.next()
+                continue
+            return attrs, descs
 
     def select_list(self) -> list[SelectItem]:
         if self.peek() == ("punct", "*"):
@@ -170,7 +271,9 @@ class _Parser:
         return Condition(lhs, op, self.attr())
 
 
-def parse(text: str) -> SQLQuery:
+def parse(text: str, extended: bool = False) -> SQLQuery | SetQuery:
     """Parse one dialect query (the reference reads a single query per file,
-    ``QueryMain.java:82-106``)."""
-    return _Parser(_tokenize(text)).query()
+    ``QueryMain.java:82-106``).  ``extended=True`` enables the superset
+    grammar (HAVING / LIMIT / ASC|DESC / set ops); the default strict mode
+    rejects those exactly as the reference grammar would."""
+    return _Parser(_tokenize(text, extended), extended).query_expr()

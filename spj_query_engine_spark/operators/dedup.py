@@ -477,6 +477,85 @@ def ngram_jaccard_pairs_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination: train-vs-eval n-gram overlap
+# ---------------------------------------------------------------------------
+
+CONTAM_T = 0.1  # flag train docs whose shingles overlap an eval doc ≥ this
+EVAL_MOD = 17  # doc_id % EVAL_MOD == 0 → the held-out "benchmark" split
+
+
+def contamination(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination: for every TRAIN document, the maximum
+    fraction of its distinct word-shingles that also appear in any single
+    EVAL document; rows with overlap ≥ CONTAM_T are flagged for removal.
+    (The held-out split here is the deterministic ``doc_id % EVAL_MOD == 0``
+    slice; in production the eval side is the benchmark corpus itself.)
+
+    This is the standard exact n-gram contamination check training pipelines
+    run before releasing a corpus (e.g. GPT-3 appendix C / PaLM-style 8-gram
+    decontamination — public methodology).  Scale anatomy: candidate
+    generation is the shingle inverted-index equi-join of d05 restricted to
+    train×eval (never train×train — the expensive direction is gone), with
+    the same ``NGRAM_MAX_DF`` stop-shingle cap bounding bucket fan-out; the
+    eval index at 100 TB is the small side (benchmarks are MBs) and
+    broadcast-joins against the train index, so the train corpus never
+    shuffles on anything wider than a 4-byte shingle hash.
+    """
+    inv_all = shingle_index(docs, text_col, id_col)
+    sizes = inv_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    df_ok = (
+        inv_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+    )
+    inv = inv_all.join(df_ok.select("g"), "g")
+    is_eval = (F.col(id_col) % EVAL_MOD) == 0
+    tr = inv.filter(~is_eval).select(F.col(id_col).alias("doc_id"), "g")
+    ev = inv.filter(is_eval).select(F.col(id_col).alias("eval_id"), "g")
+    common = (
+        tr.join(ev, "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # max overlap fraction per train doc: n_sh is constant per doc, so
+    # max(n_common)/n_sh == max(n_common/n_sh) — one aggregate, no window
+    maxov = common.groupBy("doc_id").agg(F.max("n_common").alias("max_common"))
+    frac = portable_round(
+        F.col("max_common").cast("double") / F.greatest(F.col("n_sh"), F.lit(1)).cast("double"),
+        6,
+    )
+    return (
+        maxov.join(sizes.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .select("doc_id", frac.alias("contamination"))
+        .filter(F.col("contamination") >= CONTAM_T)
+    )
+
+
+def contamination_sql(table: str = "documents") -> str:
+    frac = "max_common::DOUBLE / greatest(n_sh, 1)::DOUBLE"
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    common AS (
+      SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_common
+      FROM inv t JOIN inv e ON t.g = e.g
+      WHERE t.doc_id % {EVAL_MOD} != 0 AND e.doc_id % {EVAL_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    maxov AS (SELECT doc_id, max(n_common) AS max_common FROM common GROUP BY doc_id)
+    SELECT maxov.doc_id, {portable_round_sql(frac, 6)} AS contamination
+    FROM maxov JOIN sizes USING (doc_id)
+    WHERE {portable_round_sql(frac, 6)} >= {CONTAM_T}
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (blocked brute force)
 # ---------------------------------------------------------------------------
 

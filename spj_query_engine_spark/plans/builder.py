@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spj_query_engine_spark.catalog import ALWAYS_BROADCAST
-from spj_query_engine_spark.dialect.ast import Attr, Condition, SQLQuery
+from spj_query_engine_spark.dialect.ast import Attr, Condition, SetQuery, SQLQuery
 from spj_query_engine_spark.operators import core
 
 
@@ -96,7 +96,10 @@ class _PlanBuilder:
             dedup = [_mangle(s.attr) for s in q.select_list if not s.agg]
             df = df.dropDuplicates(dedup) if dedup else df.distinct()
         df = self._groupby_phase(df)
-        return self._orderby_phase(df)
+        df = self._orderby_phase(df)
+        if q.limit is not None:  # extended grammar; Catalyst pushes the
+            df = df.limit(q.limit)  # limit into the sort → distributed top-k
+        return df
 
     def _selection_phase(self) -> dict[str, DataFrame]:
         """Selections attach directly above each table's scan
@@ -163,6 +166,9 @@ class _PlanBuilder:
     def _groupby_phase(self, df: DataFrame) -> DataFrame:
         q = self.query
         aggs = q.agg_items
+        having_aggs = [h for h in q.having if h.agg]
+        if q.having and not q.groupby:
+            raise PlanError("HAVING requires GROUPBY")
         if not q.groupby and not aggs:
             cols = self._projection_cols(df)
             if cols:
@@ -170,13 +176,14 @@ class _PlanBuilder:
             return df.select(
                 *[F.col(c).alias(self._display_from_mangled(c)) for c in df.columns]
             )
-        if q.groupby and not aggs:
+        if q.groupby and not aggs and not having_aggs:
             # GROUPBY with no aggregates = distinct grouping keys; all other
             # select-list columns are DROPPED (GroupBy.java:101-113 + schema
             # cut at RandomInitialPlan.java:188-199) — query_groupby.sql
             # returns only the distinct qty values.
             keys = [_mangle(a) for a in q.groupby]
             out = core.groupby_distinct(df, keys)
+            out = self._having_filter(out)  # bare-key conditions only here
             return out.select(*[F.col(_mangle(a)).alias(self.display_name(a)) for a in q.groupby])
         # Aggregates (D2). Non-aggregated select attrs must be grouping keys.
         keys = [_mangle(a) for a in q.groupby]
@@ -189,7 +196,17 @@ class _PlanBuilder:
             (item.agg, _mangle(item.attr), self.agg_display_name(item.agg, item.attr))
             for item in aggs
         ]
+        # HAVING aggregates not in the select list still need computing —
+        # they ride the same single aggregation, then drop at the final
+        # projection (extended grammar only; strict queries have no having).
+        seen = {spec[2] for spec in agg_specs}
+        for h in having_aggs:
+            name = self.agg_display_name(h.agg, h.attr)
+            if name not in seen:
+                agg_specs.append((h.agg, _mangle(h.attr), name))
+                seen.add(name)
         out = core.aggregate(df, keys, agg_specs)
+        out = self._having_filter(out)
         final_cols: list[Column] = []
         for item in q.select_list:
             if item.agg:
@@ -200,14 +217,31 @@ class _PlanBuilder:
             final_cols = [F.col(_mangle(a)).alias(self.display_name(a)) for a in q.groupby]
         return out.select(*final_cols)
 
+    def _having_filter(self, df: DataFrame) -> DataFrame:
+        """Apply extended-grammar HAVING conditions on the aggregated frame
+        (column set: mangled group keys + display-named aggregates)."""
+        for h in self.query.having:
+            name = self.agg_display_name(h.agg, h.attr) if h.agg else _mangle(h.attr)
+            if name not in df.columns:
+                raise PlanError(f"HAVING references unknown column {name}")
+            dtype = df.schema[name].dataType
+            df = df.filter(
+                core.compare(F.col(name), h.op, F.lit(_coerce_literal(h.rhs, dtype)))
+            )
+        return df
+
     def _orderby_phase(self, df: DataFrame) -> DataFrame:
-        if not self.query.orderby:
+        q = self.query
+        if not q.orderby:
             return df
         cols = []
-        for attr in self.query.orderby:
+        for attr in q.orderby:
             name = self.display_name(attr)
             cols.append(name if name in df.columns else _mangle(attr))
-        return core.order_by(df, cols)
+        ascending: bool | list[bool] = True
+        if q.orderby_desc and any(q.orderby_desc):
+            ascending = [not d for d in q.orderby_desc]
+        return core.order_by(df, cols, ascending=ascending)
 
     # ---- display naming ----
 
@@ -227,7 +261,17 @@ class _PlanBuilder:
 
 
 def build_plan(
-    spark: SparkSession, tables: dict[str, DataFrame], query: SQLQuery
+    spark: SparkSession, tables: dict[str, DataFrame], query: SQLQuery | SetQuery
 ) -> DataFrame:
-    """Compile a parsed dialect query over a catalog of DataFrames."""
+    """Compile a parsed dialect query over a catalog of DataFrames.
+    ``SetQuery`` nodes (extended grammar) compile each side recursively and
+    combine with the schema-checked set operators."""
+    if isinstance(query, SetQuery):
+        left = build_plan(spark, tables, query.left)
+        right = build_plan(spark, tables, query.right)
+        if query.op == "UNION":
+            return core.union(left, right)
+        if query.op == "INTERSECT":
+            return core.intersect(left, right)
+        return core.except_(left, right)
     return _PlanBuilder(spark, tables, query).build()

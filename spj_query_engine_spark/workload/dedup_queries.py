@@ -112,3 +112,16 @@ def d09_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d08_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "d10_contamination",
+    dedup.contamination_sql(),
+    doc="Benchmark decontamination: max n-gram overlap fraction of each "
+    "train doc against the doc_id %% %s == 0 eval split, flagged at >= %s; "
+    "train-x-eval inverted-index join with the d05 stop-shingle cap — the "
+    "eval side broadcasts at production scale."
+    % (dedup.EVAL_MOD, dedup.CONTAM_T),
+)
+def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contamination(_docs(spark, sf_dir))

@@ -620,3 +620,55 @@ def q27_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# --- q28/q29: extended-grammar front end (parse→build, extended=True) ---
+def extended_dialect_query(sql: str):
+    """Like :func:`dialect_query` but through the opt-in superset grammar
+    (HAVING / LIMIT / ASC|DESC / set ops — dialect/parser.py module doc).
+    The strict mode's rejection of these shapes is pinned by
+    tests/test_dialect_extended.py."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_plan(spark, load_tables(spark, sf_dir), parse(sql, extended=True))
+
+    return fn
+
+
+register(
+    "q28_ext_having_topk",
+    """
+    SELECT o_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS count_o_orderkey
+    FROM orders GROUP BY o_custkey HAVING COUNT(o_orderkey) > 15
+    ORDER BY o_custkey DESC LIMIT 20
+    """,
+    doc="Extended grammar end-to-end: GROUPBY + HAVING on an aggregate + "
+    "ORDERBY DESC + LIMIT, parsed and planned through the dialect front-end "
+    "(extended=True).  Deterministic top-k: the sort key is the unique group "
+    "key.  Catalyst folds sort+limit into TakeOrderedAndProject — no global "
+    "sort materializes.",
+)(
+    extended_dialect_query(
+        "SELECT orders.o_custkey, COUNT(orders.o_orderkey) FROM orders "
+        'GROUPBY orders.o_custkey HAVING COUNT(orders.o_orderkey)>"15" '
+        'ORDERBY orders.o_custkey DESC LIMIT "20"'
+    )
+)
+
+
+register(
+    "q29_ext_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="Extended grammar set op: UNION (distinct) of two filtered "
+    "single-table queries through the front-end; union is by position with "
+    "the wired Schema.checkCompat dtype guard (operators/core.py).",
+)(
+    extended_dialect_query(
+        'SELECT customer.c_custkey FROM customer WHERE customer.c_mktsegment="BUILDING" '
+        'UNION SELECT orders.o_custkey FROM orders WHERE orders.o_totalprice>"400000"'
+    )
+)

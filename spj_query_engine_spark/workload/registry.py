@@ -48,6 +48,8 @@ GATE_PRIORITY: list[str] = [
     "s04_ann_ivf_trained",
     # new this round (never seen by the gate):
     "s05_ivf_trained_recall",
+    "q28_ext_having_topk",
+    "q29_ext_union",
 ]
 
 

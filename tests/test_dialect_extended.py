@@ -1,0 +1,160 @@
+"""Extended-grammar front end: HAVING / LIMIT / ASC|DESC / set ops behind
+``parse(..., extended=True)``, while STRICT mode keeps rejecting all of them
+(the reference grammar, parser.cup:155-191, has none of these tokens).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spj_query_engine_spark.dialect import parse
+from spj_query_engine_spark.dialect.parser import DialectParseError
+from spj_query_engine_spark.dialect.ast import SetQuery
+from spj_query_engine_spark.plans import build_plan
+
+from tests.conftest import assert_same_result
+
+
+# ---- parsing ----
+
+
+def test_parse_having_limit_desc():
+    q = parse(
+        'SELECT T.g, SUM(T.x) FROM T GROUPBY T.g HAVING SUM(T.x)>"10", T.g<"5" '
+        'ORDERBY T.g DESC LIMIT "3"',
+        extended=True,
+    )
+    assert [(h.agg, str(h.attr), h.op, h.rhs) for h in q.having] == [
+        ("SUM", "T.x", ">", "10"),
+        (None, "T.g", "<", "5"),
+    ]
+    assert q.orderby_desc == [True]
+    assert q.limit == 3
+
+
+def test_parse_set_ops_left_assoc():
+    q = parse(
+        "SELECT T.a FROM T UNION SELECT U.a FROM U EXCEPT SELECT V.a FROM V",
+        extended=True,
+    )
+    assert isinstance(q, SetQuery) and q.op == "EXCEPT"
+    assert isinstance(q.left, SetQuery) and q.left.op == "UNION"
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        'SELECT T.g FROM T GROUPBY T.g HAVING T.g>"1"',
+        'SELECT T.a FROM T LIMIT "5"',
+        "SELECT T.a FROM T ORDERBY T.a DESC",
+        "SELECT T.a FROM T UNION SELECT U.a FROM U",
+    ],
+)
+def test_strict_mode_rejects_extensions(sql):
+    with pytest.raises(DialectParseError):
+        parse(sql)  # extended=False: reference grammar, extensions are errors
+
+
+def test_extended_mode_still_parses_strict_queries():
+    strict_sql = 'SELECT T.a, MAX(T.b) FROM T WHERE T.a>"1" GROUPBY T.a ORDERBY T.a'
+    a, b = parse(strict_sql), parse(strict_sql, extended=True)
+    assert a == b
+
+
+def test_limit_requires_integer_literal():
+    with pytest.raises(DialectParseError):
+        parse('SELECT T.a FROM T LIMIT "ten"', extended=True)
+
+
+# ---- execution vs DuckDB on the e-commerce fixture ----
+
+
+@pytest.fixture(scope="module")
+def duck(ecommerce_duck):
+    return ecommerce_duck
+
+
+def test_having_executes(spark, ecommerce, duck):
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            "SELECT CARTDETAILS.cartid, SUM(CARTDETAILS.qty) FROM CARTDETAILS "
+            'GROUPBY CARTDETAILS.cartid HAVING SUM(CARTDETAILS.qty)>"40"',
+            extended=True,
+        ),
+    )
+    assert_same_result(
+        df,
+        duck,
+        "SELECT cartid, CAST(SUM(qty) AS BIGINT) AS sum_qty FROM CARTDETAILS "
+        "GROUP BY cartid HAVING SUM(qty) > 40",
+    )
+
+
+def test_having_agg_not_in_select(spark, ecommerce, duck):
+    # the HAVING aggregate is computed but not projected
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            "SELECT BILL.iid FROM BILL GROUPBY BILL.iid "
+            'HAVING COUNT(BILL.amount)>"2"',
+            extended=True,
+        ),
+    )
+    assert_same_result(
+        df, duck, "SELECT iid FROM BILL GROUP BY iid HAVING COUNT(amount) > 2"
+    )
+
+
+def test_orderby_desc_limit_topk(spark, ecommerce, duck):
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            'SELECT BILL.billid, BILL.amount FROM BILL WHERE BILL.amount>"2000" '
+            'ORDERBY BILL.amount DESC, BILL.billid ASC LIMIT "5"',
+            extended=True,
+        ),
+    )
+    # deterministic top-k (amount DESC, billid ASC tie-break) — order-insensitive
+    # compare still proves the SET is the true top 5
+    assert_same_result(
+        df,
+        duck,
+        "SELECT billid, amount FROM BILL WHERE amount > 2000 "
+        "ORDER BY amount DESC, billid ASC LIMIT 5",
+    )
+
+
+def test_union_executes(spark, ecommerce, duck):
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            'SELECT CART.cid FROM CART WHERE CART.cid<"20" UNION '
+            'SELECT CUSTOMER.cid FROM CUSTOMER WHERE CUSTOMER.cid<"10"',
+            extended=True,
+        ),
+    )
+    assert_same_result(
+        df,
+        duck,
+        "SELECT cid FROM CART WHERE cid < 20 UNION "
+        "SELECT cid FROM CUSTOMER WHERE cid < 10",
+    )
+
+
+def test_except_executes(spark, ecommerce, duck):
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            "SELECT CUSTOMER.cid FROM CUSTOMER EXCEPT SELECT CART.cid FROM CART",
+            extended=True,
+        ),
+    )
+    assert_same_result(
+        df, duck, "SELECT cid FROM CUSTOMER EXCEPT SELECT cid FROM CART"
+    )

@@ -96,6 +96,80 @@ def test_random_join_plus_filter(spark, ecommerce, duck_ecom, edge, op, pick, fr
     assert_same_result(df, duck_ecom, oracle)
 
 
+#: (table, group col, agg col) — all bare-unambiguous within their query
+GROUP_AGG_COMBOS = [
+    ("CUSTOMER", "gender", "cid"),
+    ("CART", "cid", "cartid"),
+    ("CARTDETAILS", "cartid", "qty"),
+    ("BILL", "iid", "amount"),
+]
+
+AGG_FUNCS = ["MAX", "MIN", "SUM", "COUNT", "AVG"]
+
+#: join edge + (group table, group col, agg table, agg col), chosen so every
+#: display name is unambiguous across the query's two tables
+JOIN_GROUP_COMBOS = [
+    ("CART", "cid", "CUSTOMER", "cid", "CUSTOMER", "gender", "CART", "cartid"),
+    ("CARTDETAILS", "cartid", "CART", "cartid", "CART", "status", "CARTDETAILS", "qty"),
+    ("BILL", "iid", "CARTDETAILS", "iid", "CARTDETAILS", "cartid", "BILL", "amount"),
+]
+
+
+def _oracle_agg(func: str, col: str) -> str:
+    """DuckDB spelling of an aggregate, matching Spark's result dtype
+    (SUM(int) is HUGEINT in DuckDB → cast back to BIGINT)."""
+    expr = f"{func}({col})"
+    if func in ("SUM", "COUNT"):
+        expr = f"CAST({expr} AS BIGINT)"
+    return f"{expr} AS {func.lower()}_{col}"
+
+
+@given(
+    combo=st.sampled_from(GROUP_AGG_COMBOS),
+    func=st.sampled_from(AGG_FUNCS),
+)
+@settings(**_SETTINGS)
+def test_random_groupby_aggregate(spark, ecommerce, duck_ecom, combo, func):
+    table, gcol, acol = combo
+    sql = f"SELECT {table}.{gcol}, {func}({table}.{acol}) FROM {table} GROUPBY {table}.{gcol}"
+    oracle = f"SELECT {gcol}, {_oracle_agg(func, acol)} FROM {table} GROUP BY {gcol}"
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle, float_tol=1e-12 if func == "AVG" else 0.0)
+
+
+@given(
+    combo=st.sampled_from(GROUP_AGG_COMBOS),
+    func=st.sampled_from(AGG_FUNCS),
+)
+@settings(**_SETTINGS)
+def test_random_global_aggregate(spark, ecommerce, duck_ecom, combo, func):
+    table, _gcol, acol = combo
+    sql = f"SELECT {func}({table}.{acol}) FROM {table}"
+    oracle = f"SELECT {_oracle_agg(func, acol)} FROM {table}"
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle, float_tol=1e-12 if func == "AVG" else 0.0)
+
+
+@given(
+    combo=st.sampled_from(JOIN_GROUP_COMBOS),
+    func=st.sampled_from(["MAX", "SUM", "COUNT", "AVG"]),
+)
+@settings(**_SETTINGS)
+def test_random_join_groupby_aggregate(spark, ecommerce, duck_ecom, combo, func):
+    child, ckey, parent, pkey, gtab, gcol, atab, acol = combo
+    sql = (
+        f"SELECT {gtab}.{gcol}, {func}({atab}.{acol}) FROM {child},{parent} "
+        f"WHERE {child}.{ckey}={parent}.{pkey} GROUPBY {gtab}.{gcol}"
+    )
+    oracle = (
+        f"SELECT {gtab}.{gcol}, {_oracle_agg(func, acol).replace(f'{func}({acol})', f'{func}({atab}.{acol})')} "
+        f"FROM {child} JOIN {parent} ON {child}.{ckey} = {parent}.{pkey} "
+        f"GROUP BY {gtab}.{gcol}"
+    )
+    df = build_plan(spark, ecommerce, parse(sql))
+    assert_same_result(df, duck_ecom, oracle, float_tol=1e-12 if func == "AVG" else 0.0)
+
+
 @given(
     edge=st.sampled_from(JOIN_EDGES),
     distinct=st.booleans(),
