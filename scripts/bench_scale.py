@@ -6,11 +6,13 @@ The shipped testdata tops out at sf0.1 (5 000 documents / 2 000 embeddings),
 so this script builds a 10× corpus FROM sf0.1 with the repo's own transforms
 (never touching /root/testdata):
 
-* documents: 10 replicas; replica r rewrites every inter-word gap to
-  ``  zr<r> `` — a word-salt.  Within a replica every planted near-dup pair
-  keeps (approximately) its shingle Jaccard (both sides get the same salt),
-  while ACROSS replicas shingle sets share almost nothing, so the near-dup
-  pair count grows ~10×, not quadratically.  doc_id' = doc_id + r·10^7.
+* documents: 10 replicas; replica r suffixes every word with ``zr<r>`` —
+  a word-salt that keeps the TOKEN COUNT constant (an earlier version
+  inserted a salt token between words, which tripled the shingle volume and
+  made per-input ratios unreadable).  Within a replica every planted
+  near-dup pair keeps its shingle Jaccard (both sides get the same salt),
+  while ACROSS replicas shingle sets share nothing, so near-dup pairs grow
+  ~10×, not quadratically.  doc_id' = doc_id + r·10^7.
 * embeddings: 10 replicas; replica r rotates the coordinate order by r
   positions.  A same-permutation applies to both sides of every pair, so
   within-replica inner products — hence cosine near-dups and ANN top-k
@@ -67,18 +69,16 @@ def build_scaled(spark) -> None:
     doc_parts = []
     emb_parts = []
     for r in range(REPLICAS):
-        salted = (
-            docs.select(
-                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-                F.regexp_replace(F.col("text"), " ", f" zr{r} ").alias("text")
+        salted = docs.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1zr{r}")
                 if r
-                else F.col("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-            if True
-            else docs
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
         )
         doc_parts.append(salted)
         rolled = emb.select(
@@ -111,14 +111,24 @@ def build_scaled(spark) -> None:
 
 def run(spark, name: str, sf_dir: str) -> float:
     wq = REGISTRY[name]
-    # one warmup for codegen, then a measured steady-state run (same protocol
-    # as bench.py)
-    for _ in range(1):
+    # Deployment-scaled knobs: quantizer cell counts grow with the corpus so
+    # cell SIZE stays constant (the documented 100 TB guidance for d06 —
+    # n_cells ≈ n_vectors / target_cell_size).  Fixed cells at 10× data would
+    # measure a misconfiguration (quadratic within-cell pairs), not the
+    # algorithm.
+    scaled = sf_dir == SCALED
+    spark.conf.set("spj.neardup.cells", "160" if scaled else "16")
+    try:
+        # one warmup for codegen, then a measured steady-state run (same
+        # protocol as bench.py)
+        for _ in range(1):
+            wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+        t0 = time.time()
         wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-    t0 = time.time()
-    wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
+        dt = time.time() - t0
+    finally:
+        spark.conf.unset("spj.neardup.cells")
     spark.catalog.clearCache()
     return round(dt, 3)
 

@@ -98,3 +98,69 @@ def train_split_sql(
                 ELSE 'test' END AS split
     FROM {table}
     """
+
+
+#: per-source keep rates for the mixture sample (percent of SPLIT_BUCKETS);
+#: sources not listed fall back to DEFAULT_MIX_PCT — the "everything else"
+#: tier of a real data-mixing recipe
+MIXTURE_WEIGHTS = {"src0": 100, "src1": 50, "src2": 50, "src3": 25}
+DEFAULT_MIX_PCT = 10
+MIX_SEED = 11
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    weights: dict[str, int] | None = None,
+    default_pct: int = DEFAULT_MIX_PCT,
+    seed: int = MIX_SEED,
+) -> DataFrame:
+    """Weighted source-mixture sampling — the data-mixing step of a training
+    pipeline (keep 100% of a high-quality source, 50% of mid tiers, N% of
+    the long tail).  Decision = salted portable hash bucket < per-source
+    rate, so the kept set is reproducible on any cluster layout and engine,
+    and re-running with a RAISED rate strictly grows the kept set (bucket
+    ordering is stable per key) — the property that lets a recipe be tuned
+    without churning previously-selected documents.
+
+    Pure projection + filter: no shuffle, no sampler state; the rate lookup
+    compiles to a CASE chain over the source column (weights are a small
+    static recipe, not data), so at 100 TB this runs scan-speed with the
+    filter eligible for pushdown to a materialized copy."""
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    b = _bucket(
+        F.concat(F.col(source_col).cast("string"), F.lit("|"), F.col(key_col).cast("string")),
+        seed,
+    )
+    rate = F.lit(default_pct)
+    for src, pct in sorted(w.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
+    return df.select(
+        F.col(key_col),
+        F.col(source_col),
+        b.cast("int").alias("bucket"),
+        rate.cast("int").alias("keep_pct"),
+    ).filter(F.col("bucket") < F.col("keep_pct"))
+
+
+def mixture_sample_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    weights: dict[str, int] | None = None,
+    default_pct: int = DEFAULT_MIX_PCT,
+    seed: int = MIX_SEED,
+) -> str:
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    b = _bucket_sql(f"({source_col}::VARCHAR || '|' || {key_col}::VARCHAR)", seed)
+    whens = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {pct}" for src, pct in sorted(w.items())
+    )
+    rate = f"(CASE {whens} ELSE {default_pct} END)"
+    return f"""
+    SELECT {key_col}, {source_col},
+           CAST({b} AS INT) AS bucket,
+           CAST({rate} AS INT) AS keep_pct
+    FROM {table} WHERE {b} < {rate}
+    """

@@ -672,3 +672,42 @@ register(
         'UNION SELECT orders.o_custkey FROM orders WHERE orders.o_totalprice>"400000"'
     )
 )
+
+
+# --- q30: analytic window functions over a partitioned ordered frame ---
+@register(
+    "q30_window_analytics",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window functions: per-customer order sequence number, "
+    "previous order key (lag), and running spend (cumulative decimal sum "
+    "cast to double) over one shared (partition, order) frame — a single "
+    "shuffle on o_custkey serves all three; the deterministic "
+    "(o_orderdate, o_orderkey) order makes the running sum value-hashable.",
+)
+def q30_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        cum.alias("cum_spend"),
+    )

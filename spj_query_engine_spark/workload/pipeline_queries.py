@@ -138,3 +138,19 @@ def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return stratified_sample(docs)
+
+
+@register(
+    "p03_mixture_sample",
+    __import__(
+        "spj_query_engine_spark.operators.sampling", fromlist=["mixture_sample_sql"]
+    ).mixture_sample_sql(),
+    doc="Weighted source-mixture sample (data-mixing recipe: 100/50/50/25% "
+    "named tiers, 10% long tail) by salted portable hash; raising a rate "
+    "strictly grows the kept set.  Pure projection + filter.",
+)
+def p03_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.sampling import mixture_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mixture_sample(docs)

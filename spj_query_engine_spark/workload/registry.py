@@ -50,6 +50,9 @@ GATE_PRIORITY: list[str] = [
     "s05_ivf_trained_recall",
     "q28_ext_having_topk",
     "q29_ext_union",
+    "q30_window_analytics",
+    "d10_contamination",
+    "p03_mixture_sample",
 ]
 
 

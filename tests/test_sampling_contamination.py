@@ -1,0 +1,65 @@
+"""Unit tests for the mixture sampler and the decontamination operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spj_query_engine_spark.operators import dedup, sampling
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from spj_query_engine_spark.catalog import load_tables
+
+    return load_tables(spark, SF_DIR, ("documents",))["documents"]
+
+
+def test_mixture_sample_respects_rates(docs):
+    got = sampling.mixture_sample(docs).toPandas()
+    # every kept row's bucket is under its source's rate
+    assert (got["bucket"] < got["keep_pct"]).all()
+    # the 100%-tier source keeps everything
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert (got["source"] == "src0").sum() == n_src0
+
+
+def test_mixture_sample_monotone_in_rate(docs):
+    """Raising a rate strictly grows the kept set (stable bucket per key) —
+    the recipe-tuning property the docstring promises."""
+    low = sampling.mixture_sample(docs, weights={"src1": 20}, default_pct=5)
+    high = sampling.mixture_sample(docs, weights={"src1": 60}, default_pct=15)
+    low_ids = {r["doc_id"] for r in low.collect()}
+    high_ids = {r["doc_id"] for r in high.collect()}
+    assert low_ids < high_ids
+
+
+def test_mixture_sample_layout_independent(docs):
+    a = {r["doc_id"] for r in sampling.mixture_sample(docs).collect()}
+    b = {r["doc_id"] for r in sampling.mixture_sample(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_contamination_flags_planted_dup(spark):
+    # doc 0 is eval (0 % 17 == 0); doc 5 shares all its shingles with doc 0
+    # → contamination 1.0.  doc 6 shares nothing.
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, text), (5, text), (6, "one two three four five six seven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["contamination"] for r in dedup.contamination(docs).collect()}
+    assert got[5] == 1.0
+    assert 6 not in got
+    assert 0 not in got  # eval docs are never flagged
+
+
+def test_contamination_partial_overlap(spark):
+    # doc 1 shares a 5-word run with eval doc 0 → some but not all shingles
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon completely different tail words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["contamination"] for r in dedup.contamination(docs).collect()}
+    assert 0.0 < got[1] < 1.0
