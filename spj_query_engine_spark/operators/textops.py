@@ -372,3 +372,70 @@ def term_doc_freq_sql(table: str = "documents", k: int = TOP_TERMS) -> str:
     SELECT term, count(*) AS doc_freq FROM terms WHERE term <> ''
     GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection (duplicate n-gram fractions — the Gopher-style filter)
+# ---------------------------------------------------------------------------
+
+REP_N = 2  # word n-gram size for the repetition signals
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals over word ``REP_N``-grams: total gram
+    count, duplicate-gram fraction (1 − distinct/total) and top-gram fraction
+    (occurrences of the most frequent gram / total) — the standard
+    repetition quality filters (public methodology: Gopher / MassiveText
+    repetition heuristics).  Docs shorter than REP_N words drop out.
+
+    Shape: posexplode tokens → lead() window builds grams (one shuffle on
+    doc_id, codegen string ops) → two groupBy aggregates on (doc_id, gram)
+    then doc_id — map-side partials throughout, no arrays held per row, so a
+    100 MB document costs its gram count, not a giant in-memory list."""
+    from pyspark.sql import Window as W
+
+    from spj_query_engine_spark.operators.core import spread
+
+    words = F.split(F.col(text_col), r"\s+")
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, REP_N)]
+    grams = tok.select(
+        "doc_id", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
+    ).filter(F.col("tail").isNotNull())
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        portable_round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
+            4,
+        ).alias("dup_gram_ratio"),
+        portable_round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 4
+        ).alias("top_gram_ratio"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(REP_N))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM {table}
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(len(w) - {REP_N - 1}), i -> {gram})) AS gram
+      FROM words WHERE len(w) >= {REP_N}
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           {portable_round_sql('1.0 - count(*)::DOUBLE / SUM(cnt)::DOUBLE', 4)} AS dup_gram_ratio,
+           {portable_round_sql('MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE', 4)} AS top_gram_ratio
+    FROM per_gram GROUP BY doc_id
+    """

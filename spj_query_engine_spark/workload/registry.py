@@ -53,6 +53,7 @@ GATE_PRIORITY: list[str] = [
     "q30_window_analytics",
     "d10_contamination",
     "p03_mixture_sample",
+    "t09_repetition",
 ]
 
 

@@ -94,3 +94,15 @@ def t07_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t08_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.term_doc_freq(_docs(spark, sf_dir))
+
+
+@register(
+    "t09_repetition",
+    textops.repetition_stats_sql(),
+    doc="Repetition quality filter: per-doc duplicate word-%s-gram fraction "
+    "and top-gram fraction (Gopher-style repetition heuristics); "
+    "explode + lead() grams, two map-side-partial aggregates, no per-row "
+    "gram arrays." % textops.REP_N,
+)
+def t09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_docs(spark, sf_dir))
