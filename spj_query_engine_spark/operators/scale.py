@@ -19,6 +19,8 @@ plain join and inspect the physical plan for the absent/added exchanges.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +36,19 @@ def write_bucketed(
     join or groupBy on ``keys`` between two tables bucketed with the same
     bucket count then plans with NO Exchange on either side — the shuffle
     happened once, at write time."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # an orphaned warehouse dir (table written by a previous session, no
+    # catalog entry in this one) blocks saveAsTable — clear it
+    import shutil
+
+    try:
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(loc.removeprefix("file:"), name.lower()), ignore_errors=True
+        )
+    except Exception:
+        pass
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
     writer = writer.sortBy(*(sort_keys or keys))
     writer.format("parquet").saveAsTable(name)

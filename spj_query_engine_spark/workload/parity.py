@@ -711,3 +711,43 @@ def q30_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         cum.alias("cum_spend"),
     )
+
+
+# --- q31: bucketed co-located join + aggregation (zero-Exchange plan) ---
+@register(
+    "q31_bucketed_join_agg",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Bucketed co-located join + same-key aggregation: both tables are "
+    "bucketBy(custkey) catalog tables, so the join AND the groupBy read "
+    "co-located buckets and the plan has ZERO shuffle exchanges (asserted in "
+    "tests/test_scale.py) — the amortize-the-shuffle lever for fact tables "
+    "joined repeatedly on one key.  Result proven identical to the plain "
+    "join by the oracle.",
+    bench=False,  # dominated by the one-time bucketed write, not join speed
+)
+def q31_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators import scale
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    scale.write_bucketed(t["customer"], "q31_customer_b", ["c_custkey"], num_buckets=16)
+    scale.write_bucketed(
+        t["orders"], "q31_orders_b", ["o_custkey"], num_buckets=16
+    )
+    c = spark.table("q31_customer_b")
+    o = spark.table("q31_orders_b")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )

@@ -54,6 +54,7 @@ GATE_PRIORITY: list[str] = [
     "d10_contamination",
     "p03_mixture_sample",
     "t09_repetition",
+    "q31_bucketed_join_agg",
 ]
 
 

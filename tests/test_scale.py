@@ -81,3 +81,14 @@ def test_set_operations(spark):
 
     with pt.raises(ValueError, match="incompatible"):
         core.union(a, spark.createDataFrame([("s",)], ["x"]))
+
+
+def test_q31_bucketed_entry_zero_exchange(spark):
+    """The registered bucketed-join entry plans with NO shuffle exchange —
+    join and aggregation both ride the write-time bucketing."""
+    from spj_query_engine_spark.workload import REGISTRY
+
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["q31_bucketed_join_agg"].fn(spark, SF_DIR)
+    assert scale.exchanges_in_plan(df) == 0
