@@ -537,3 +537,67 @@ def moving_stats_sql(table: str = "events", window: int = MOV_WINDOW) -> str:
            ts_ms - lag(ts_ms) OVER ({over}) AS gap_ms
     FROM e
     """
+
+
+def native_sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregation —
+    the built-in the lag+cumsum formulation (:func:`sessionize`) reimplements
+    manually.  One groupBy carries the whole computation: Catalyst merges
+    overlapping [ts, ts+gap) intervals per user inside the aggregation
+    (UpdatingSessionsIterator), so no window-function sort pass and no
+    two-phase session numbering; in Structured Streaming the same expression
+    is the state-store-backed session operator.
+
+    Semantics note (differs from :func:`sessionize` by design):
+    ``session_window`` defines a session's end as last_event + gap, so the
+    oracle computes max(ts) + gap_ms; session identity (which events group
+    together) is identical.  Output: one row per (user, session)."""
+    gap_ms = gap_minutes * 60 * 1000
+    e = events.select(
+        "user_id",
+        F.col("ts").cast(T.TimestampType()).alias("ts"),
+        "value",
+    )
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def native_sessionize_sql(table: str = "events", gap_minutes: int = SESSION_GAP_MIN) -> str:
+    """Oracle: the lag+cumsum formulation with session_window's end-padding
+    (end = last event + gap)."""
+    gap_ms = gap_minutes * 60 * 1000
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM {table}
+    ),
+    gapped AS (
+      SELECT *,
+             CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+                  WHEN ts_ms - lag(ts_ms) OVER w > {gap_ms} THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sid AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gapped
+    )
+    SELECT user_id,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) + {gap_ms} AS session_end_ms,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sid GROUP BY user_id, session_no
+    """

@@ -439,3 +439,55 @@ def repetition_stats_sql(table: str = "documents") -> str:
            {portable_round_sql('MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE', 4)} AS top_gram_ratio
     FROM per_gram GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting (HLL++ sketch) with an in-engine error gate
+# ---------------------------------------------------------------------------
+
+APPROX_RSD = 0.05  # requested relative standard deviation for the sketch
+APPROX_MAX_ERR = 0.15  # per-group relative error the gate asserts (≈3σ)
+
+
+def approx_cardinality_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Sketch-based distinct counting — ``approx_count_distinct`` (HLL++,
+    Heule et al. 2013) of text fingerprints per group — verified IN-ENGINE
+    against the exact distinct count: one row (n_groups, max_rel_err_ok)
+    with a constant oracle, the same driver-provable pattern as the
+    trained-ANN recall gate (s05).
+
+    The sketch is THE cardinality tool at 100 TB: fixed-size state
+    (~1.5 KB/group at rsd=0.05) merged map-side, one narrow shuffle —
+    versus the exact path's shuffle of every distinct value.  The sketch
+    hash isn't replayable in DuckDB, so like k-means the OUTCOME is gated:
+    every group's estimate must land within APPROX_MAX_ERR of exact."""
+    fp = F.md5(F.col(text_col))
+    per_group = (
+        docs.select(F.col(group_col).alias("grp"), fp.alias("fp"))
+        .groupBy("grp")
+        .agg(
+            F.approx_count_distinct("fp", rsd=APPROX_RSD).alias("approx_n"),
+            F.count_distinct(F.col("fp")).alias("exact_n"),
+        )
+    )
+    rel_err = F.abs(F.col("approx_n") - F.col("exact_n")) / F.greatest(
+        F.col("exact_n"), F.lit(1)
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.max(rel_err) <= APPROX_MAX_ERR).cast("long").alias("max_rel_err_ok"),
+    )
+
+
+def approx_cardinality_check_sql(table: str = "documents", group_col: str = "lang") -> str:
+    """Constant oracle: the group count is exact (DuckDB recomputes it);
+    the error bound is the assertion the Spark side must reproduce."""
+    return (
+        f"SELECT CAST(count(DISTINCT {group_col}) AS BIGINT) AS n_groups, "
+        f"1::BIGINT AS max_rel_err_ok FROM {table}"
+    )

@@ -55,6 +55,8 @@ GATE_PRIORITY: list[str] = [
     "p03_mixture_sample",
     "t09_repetition",
     "q31_bucketed_join_agg",
+    "t10_approx_cardinality",
+    "e12_native_session",
 ]
 
 

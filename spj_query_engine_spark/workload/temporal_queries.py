@@ -88,3 +88,17 @@ def e09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e11_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.moving_stats(ev)
+
+
+@register(
+    "e12_native_session",
+    temporal.native_sessionize_sql(),
+    doc="Sessionization via Spark's NATIVE session_window aggregation (one "
+    "groupBy, Catalyst merges per-user gap intervals in the aggregation — "
+    "no window-function sort passes); oracle = the lag+cumsum formulation "
+    "with session_window's end-padding.  Session membership proven equal "
+    "to e02.",
+)
+def e12_native_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.native_sessionize(ev)

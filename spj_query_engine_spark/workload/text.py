@@ -106,3 +106,16 @@ def t08_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "t10_approx_cardinality",
+    textops.approx_cardinality_check_sql(),
+    doc="HLL++ approximate distinct counts per lang (approx_count_distinct, "
+    "rsd=%s) gated in-engine against the exact distinct count (max relative "
+    "error <= %s, constant oracle) — fixed-size mergeable sketch state, the "
+    "100 TB cardinality tool." % (textops.APPROX_RSD, textops.APPROX_MAX_ERR),
+    bench=False,  # self-check (computes the exact path too)
+)
+def t10_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.approx_cardinality_check(_docs(spark, sf_dir))
