@@ -19,13 +19,21 @@ from spj_query_engine_spark.functions.hashing import h32, h32_sql
 SPLIT_BUCKETS = 100
 
 
+def _bucket_raw(key: Column, seed: int) -> Column:
+    """Full-range salted portable hash (uint32) of a row key."""
+    return h32(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+
+
+def _bucket_raw_sql(key: str, seed: int) -> str:
+    return h32_sql(f"({key}::VARCHAR || '#{seed}')")
+
+
 def _bucket(key: Column, seed: int) -> Column:
-    return F.pmod(h32(F.concat(key.cast("string"), F.lit(f"#{seed}"))), F.lit(SPLIT_BUCKETS))
+    return F.pmod(_bucket_raw(key, seed), F.lit(SPLIT_BUCKETS))
 
 
 def _bucket_sql(key: str, seed: int) -> str:
-    keyed = f"({key}::VARCHAR || '#{seed}')"
-    return f"{h32_sql(keyed)} % {SPLIT_BUCKETS}"
+    return f"{_bucket_raw_sql(key, seed)} % {SPLIT_BUCKETS}"
 
 
 def train_split(
@@ -163,4 +171,44 @@ def mixture_sample_sql(
            CAST({b} AS INT) AS bucket,
            CAST({rate} AS INT) AS keep_pct
     FROM {table} WHERE {b} < {rate}
+    """
+
+
+SAMPLE_K = 100
+SAMPLE_SEED = 23
+
+
+def uniform_k_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    k: int = SAMPLE_K,
+    seed: int = SAMPLE_SEED,
+) -> DataFrame:
+    """Exactly-k uniform sample as a BOTTOM-K SKETCH: keep the k rows with
+    the smallest salted portable hash of their key.  The hash imposes a
+    uniform random total order, so the bottom k is a uniform k-subset —
+    reservoir sampling's result without reservoir sampling's sequential
+    state, and mergeable: bottom-k of a union = bottom-k of the per-part
+    bottom-ks, which is exactly how Spark executes ORDER BY + LIMIT
+    (TakeOrderedAndProject: per-partition top-k, then merge — no global
+    sort, no driver collect of the corpus).  Deterministic across engines,
+    layouts and reruns; ties (hash collisions) break on the key."""
+    h = _bucket_raw(F.col(key_col), seed)
+    return (
+        df.select(F.col(key_col), h.alias("rank_hash"))
+        .orderBy("rank_hash", key_col)
+        .limit(k)
+    )
+
+
+def uniform_k_sample_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    k: int = SAMPLE_K,
+    seed: int = SAMPLE_SEED,
+) -> str:
+    h = _bucket_raw_sql(key_col, seed)
+    return f"""
+    SELECT {key_col}, {h} AS rank_hash FROM {table}
+    ORDER BY rank_hash, {key_col} LIMIT {k}
     """

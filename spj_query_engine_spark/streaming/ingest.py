@@ -129,3 +129,50 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the NATIVE ``session_window`` aggregate —
+    the state-store-backed session operator (merging gap intervals in state
+    across micro-batches), streaming twin of the batch
+    ``temporal.native_sessionize``.  Complete mode over the finite events
+    directory drives every session to its final extent, so the result equals
+    the batch formulation — the oracle.
+
+    Production shape: ``withWatermark`` + append mode, so sessions finalize
+    and leave state once the watermark passes their end — bounded state; the
+    complete-mode memory sink exists to drive finite replay in the harness.
+    """
+    from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
+
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -154,3 +154,31 @@ def p03_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return mixture_sample(docs)
+
+
+@register(
+    "e13_stream_session",
+    temporal.native_sessionize_sql(),
+    doc="Streaming sessionization via the native session_window aggregate "
+    "(state-store-merged gap intervals across micro-batches); finite replay "
+    "in complete mode equals the batch native_sessionize — the oracle.",
+)
+def e13_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_streaming_session(spark, sf_dir)
+
+
+@register(
+    "p04_uniform_k_sample",
+    __import__(
+        "spj_query_engine_spark.operators.sampling", fromlist=["uniform_k_sample_sql"]
+    ).uniform_k_sample_sql(),
+    doc="Exactly-k uniform sample as a bottom-k sketch over a salted "
+    "portable hash — reservoir sampling's result without sequential state; "
+    "executes as TakeOrderedAndProject (per-partition top-k + merge, no "
+    "global sort).",
+)
+def p04_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.sampling import uniform_k_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return uniform_k_sample(docs)

@@ -57,6 +57,8 @@ GATE_PRIORITY: list[str] = [
     "q31_bucketed_join_agg",
     "t10_approx_cardinality",
     "e12_native_session",
+    "e13_stream_session",
+    "p04_uniform_k_sample",
 ]
 
 

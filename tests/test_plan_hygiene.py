@@ -17,6 +17,7 @@ from tests.conftest import SF_DIR
 SKIP = {
     "e05_streaming_rollup",
     "e06_stream_sessionize",
+    "e13_stream_session",
     "s04_ann_ivf_trained",
     "s05_ivf_trained_recall",  # composes s04 (model fit) + s01 (whitelisted BNLJ)
 }
