@@ -601,3 +601,83 @@ def native_sessionize_sql(table: str = "events", gap_minutes: int = SESSION_GAP_
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM sid GROUP BY user_id, session_no
     """
+
+
+GRID_MS = 86_400_000  # gap-fill grid step: 1 day
+
+
+def gap_fill_locf(events: DataFrame, grid_ms: int = GRID_MS) -> DataFrame:
+    """Time-series regularization: per user, a regular ``grid_ms`` grid from
+    their first to last event day, each grid point carrying the value of the
+    last event at or before it (LOCF) — the resample-and-fill step that
+    turns irregular event streams into fixed-step feature rows.
+
+    Shape: per-user min/max (one aggregate) → ``sequence`` + explode builds
+    the grid (rows = Σ span/grid_ms, independent of event count) → grid and
+    events union into one stream, ONE shuffle on user_id, and a running
+    ``last(ignorenulls)`` window fills forward — the same O(n + grid) LOCF
+    template as :func:`asof_join_locf`, no per-grid-point join blowup.
+    Grid points before a user's first event drop (inner flavor)."""
+    e = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    span = e.groupBy("user_id").agg(
+        F.floor(F.min("ts_ms") / grid_ms).alias("d0"),
+        F.floor(F.max("ts_ms") / grid_ms).alias("d1"),
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    ).select(
+        "user_id", (F.col("d") * grid_ms).alias("ts_ms")
+    ).select(
+        "user_id",
+        "ts_ms",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    ev = e.select("user_id", "ts_ms", "event_id", "value", F.lit(0).alias("is_grid"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ev.unionByName(grid).select(
+        "user_id",
+        "ts_ms",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+    return carried.filter(
+        (F.col("is_grid") == 1) & F.col("locf_value").isNotNull()
+    ).select("user_id", F.col("ts_ms").alias("grid_ms"), "locf_value")
+
+
+def gap_fill_locf_sql(table: str = "events", grid_ms: int = GRID_MS) -> str:
+    """Oracle: the equivalent join-then-top-1 formulation (standard SQL, no
+    IGNORE NULLS dependency) — last event at or before each grid point."""
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value::DOUBLE AS value
+      FROM {table}
+    ),
+    span AS (
+      SELECT user_id,
+             CAST(floor(min(ts_ms) / {grid_ms}) AS BIGINT) AS d0,
+             CAST(floor(max(ts_ms) / {grid_ms}) AS BIGINT) AS d1
+      FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(d0, d1 + 1)) * {grid_ms} AS grid_ms FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.grid_ms, e.value,
+             row_number() OVER (PARTITION BY g.user_id, g.grid_ms
+                                ORDER BY e.ts_ms DESC, e.event_id DESC) AS rn
+      FROM grid g JOIN e ON e.user_id = g.user_id AND e.ts_ms <= g.grid_ms
+    )
+    SELECT user_id, grid_ms, value AS locf_value FROM j WHERE rn = 1
+    """

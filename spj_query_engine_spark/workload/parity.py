@@ -751,3 +751,56 @@ def q31_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend"),
         )
     )
+
+
+# --- q32: TPC-H Q3 shape — shipping-priority top-k revenue ---
+Q32_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q32_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           epoch_ms(o.o_orderdate) AS odate_ms
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q32_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{Q32_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H-Q3-shaped shipping-priority query: selective dimension filter "
+    "(c_mktsegment) + two date predicates pushed to the scans, 3-way join, "
+    "decimal-exact revenue aggregate, deterministic top-10 "
+    "(TakeOrderedAndProject).  The composite shape every BI workload runs; "
+    "tie-break on l_orderkey keeps the LIMIT hashable.",
+)
+def q32_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit(Q32_CUTOFF).cast("timestamp"))
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit(Q32_CUTOFF).cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate").cast(T.TimestampType())).alias("odate_ms"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

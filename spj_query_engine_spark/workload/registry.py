@@ -59,6 +59,8 @@ GATE_PRIORITY: list[str] = [
     "e12_native_session",
     "e13_stream_session",
     "p04_uniform_k_sample",
+    "q32_shipping_priority",
+    "e14_gap_fill",
 ]
 
 

@@ -102,3 +102,16 @@ def e11_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e12_native_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.native_sessionize(ev)
+
+
+@register(
+    "e14_gap_fill",
+    temporal.gap_fill_locf_sql(),
+    doc="Time-series regularization: per-user daily grid carrying the last "
+    "event value at or before each point (LOCF resample) via the union + "
+    "running-last template — O(events + grid points), one shuffle, no "
+    "per-grid-point join; oracle = the join-then-top-1 formulation.",
+)
+def e14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.gap_fill_locf(ev)

@@ -28,3 +28,26 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
         rows += open(part, encoding="utf-8").read().splitlines()
     assert len(rows) == 5  # five market segments
     assert all("\t" in r for r in rows)
+
+
+def test_cli_extended_grammar_flag(spark, tmp_path):
+    qfile = tmp_path / "qe.sql"
+    qfile.write_text(
+        "SELECT orders.o_custkey, COUNT(orders.o_orderkey) FROM orders "
+        'GROUPBY orders.o_custkey HAVING COUNT(orders.o_orderkey)>"15" '
+        'ORDERBY orders.o_custkey DESC LIMIT "5"'
+    )
+    out = str(tmp_path / "res_ext")
+    rc = main([str(qfile), out, "--tables", SF_DIR, "--extended-grammar", "--yes"])
+    assert rc == 0
+    rows = []
+    for part in glob.glob(f"{out}/part-*.txt"):
+        rows += open(part, encoding="utf-8").read().splitlines()
+    assert len(rows) == 5  # LIMIT applied
+    # strict mode rejects the same file
+    import pytest
+
+    from spj_query_engine_spark.dialect.parser import DialectParseError
+
+    with pytest.raises(DialectParseError):
+        main([str(qfile), str(tmp_path / "res_strict"), "--tables", SF_DIR, "--yes"])
