@@ -274,3 +274,48 @@ def resize_payload_sql(table: str = "documents", target: int = RESIZE_TARGET) ->
            {h32_sql(resized)} AS r_fp
     FROM {table}
     """
+
+
+MODALITIES = ("text", "image", "audio")
+LAKE_DIR = "/tmp/spj_mm_lake"
+
+
+def modality_of(id_col: Column) -> Column:
+    """Deterministic modality tag (doc_id % 3 → text/image/audio) — the
+    stand-in for real ingestion's content-type detection."""
+    return F.element_at(F.array(*[F.lit(m) for m in MODALITIES]), (id_col % 3 + 1).cast("int"))
+
+
+def write_modality_lake(mm: DataFrame, path: str = LAKE_DIR, id_col: str = "doc_id") -> None:
+    """Materialize the multimodal frame as a modality-PARTITIONED parquet
+    lake (`partitionBy` → one directory per modality).  At 100 TB this
+    layout is what makes single-modality pipelines cheap: a reader filtering
+    on modality prunes entire partitions at planning time (PartitionFilters
+    in the scan) and never opens the other modalities' files."""
+    mm.withColumn("modality", modality_of(F.col(id_col))).write.mode(
+        "overwrite"
+    ).partitionBy("modality").parquet(path)
+
+
+def modality_lake_stats(
+    spark, mm: DataFrame, modality: str = "image", path: str = LAKE_DIR
+) -> DataFrame:
+    """Write the partitioned lake, read ONE modality back (partition-pruned
+    scan), and aggregate its asset count + byte volume."""
+    write_modality_lake(mm, path)
+    back = spark.read.parquet(path).filter(F.col("modality") == modality)
+    return back.agg(
+        F.lit(modality).alias("modality"),
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+    )
+
+
+def modality_lake_stats_sql(table: str = "documents", modality: str = "image") -> str:
+    idx = MODALITIES.index(modality)
+    return f"""
+    SELECT '{modality}' AS modality,
+           count(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM {table} WHERE doc_id % 3 = {idx}
+    """

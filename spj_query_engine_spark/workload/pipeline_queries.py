@@ -182,3 +182,16 @@ def p04_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return uniform_k_sample(docs)
+
+
+@register(
+    "m05_modality_lake",
+    multimodal.modality_lake_stats_sql(),
+    doc="Modality-partitioned multimodal lake: partitionBy(modality) write, "
+    "then a single-modality read-back whose filter prunes partitions at "
+    "planning time (PartitionFilters in the scan — asserted in plan "
+    "hygiene); aggregate = asset count + byte volume of the pruned scan.",
+    bench=False,  # dominated by the write, not scan throughput
+)
+def m05_modality_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.modality_lake_stats(spark, _mm(spark, sf_dir))

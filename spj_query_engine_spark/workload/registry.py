@@ -61,6 +61,7 @@ GATE_PRIORITY: list[str] = [
     "p04_uniform_k_sample",
     "q32_shipping_priority",
     "e14_gap_fill",
+    "m05_modality_lake",
 ]
 
 

@@ -39,3 +39,23 @@ def test_no_cartesian_and_bounded_nlj(spark, name):
             f"{name} plans an unexpected nested-loop join"
         )
     spark.catalog.clearCache()
+
+
+#: entries whose scans must show pushed predicates (filter → parquet scan)
+PUSHDOWN_EXPECTED = {
+    "q02_filter_project": "EqualTo(c_mktsegment,BUILDING)",
+    "q06_join4_filters_star": "PushedFilters: [IsNotNull",
+    "q32_shipping_priority": "LessThan(o_orderdate",
+    # partition pruning: the modality filter must prune at planning time
+    "m05_modality_lake": "PartitionFilters: [isnotnull(modality",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_EXPECTED))
+def test_filters_reach_the_scan(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert PUSHDOWN_EXPECTED[name] in plan, (
+        f"{name}: expected pushed filter {PUSHDOWN_EXPECTED[name]!r} not in scan"
+    )
+    spark.catalog.clearCache()
