@@ -212,3 +212,88 @@ def uniform_k_sample_sql(
     SELECT {key_col}, {h} AS rank_hash FROM {table}
     ORDER BY rank_hash, {key_col} LIMIT {k}
     """
+
+
+PACK_CTX = 512  # tokens per packed training sequence
+PACK_BUCKETS = 8  # independent packing streams (the distributed-packing unit)
+PACK_SEED = 31
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ctx: int = PACK_CTX,
+    n_buckets: int = PACK_BUCKETS,
+    seed: int = PACK_SEED,
+) -> DataFrame:
+    """Deterministic sequence packing — the concat-and-chunk step of LLM
+    pretraining: documents are concatenated in a fixed order and cut every
+    ``ctx`` tokens; each doc learns which chunk(s) it lands in and at what
+    offset.
+
+    Distribution model: docs hash into ``n_buckets`` independent packing
+    STREAMS (salted portable hash, layout-independent), and the running
+    token offset is a window cumsum WITHIN a stream — so the sort/cumsum
+    parallelism is ``n_buckets`` and no global single-partition sequence
+    exists.  At 100 TB you raise ``n_buckets`` with the corpus (each stream
+    packs independently, exactly how distributed packers shard); chunk ids
+    are (bucket, local_chunk) pairs so streams never coordinate.  Output:
+    one row per doc with its stream, token count, start offset, and the
+    first/last chunk it occupies (a doc spanning a cut boundary appears in
+    chunk_first..chunk_last)."""
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    b = F.pmod(
+        h32(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))),
+        F.lit(n_buckets),
+    )
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col),
+        b.cast("int").alias("pack_bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        key_col,
+        "pack_bucket",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / ctx).cast("long").alias("chunk_first"),
+        F.floor((cum - 1) / ctx).cast("long").alias("chunk_last"),
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ctx: int = PACK_CTX,
+    n_buckets: int = PACK_BUCKETS,
+    seed: int = PACK_SEED,
+) -> str:
+    h = h32_sql(f"({key_col}::VARCHAR || '#{seed}')")
+    return f"""
+    WITH base AS (
+      SELECT {key_col},
+             CAST({h} % {n_buckets} AS INT) AS pack_bucket,
+             CAST(len(regexp_split_to_array({text_col}, '\\s+')) AS BIGINT) AS n_tokens
+      FROM {table}
+    ),
+    cumd AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY {key_col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base
+    )
+    SELECT {key_col}, pack_bucket, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tokens) / {ctx}) AS BIGINT) AS chunk_first,
+           CAST(floor((cum - 1) / {ctx}) AS BIGINT) AS chunk_last
+    FROM cumd
+    """

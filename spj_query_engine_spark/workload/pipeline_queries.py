@@ -195,3 +195,28 @@ def p04_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m05_modality_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.modality_lake_stats(spark, _mm(spark, sf_dir))
+
+
+@register(
+    "p05_pack_sequences",
+    __import__(
+        "spj_query_engine_spark.operators.sampling", fromlist=["pack_sequences_sql"]
+    ).pack_sequences_sql(),
+    doc="Deterministic sequence packing (LLM-pretraining concat-and-chunk): "
+    "docs hash into %s independent packing streams, window cumsum assigns "
+    "each doc its %s-token chunk span — parallelism scales with the stream "
+    "count, no global sequence."
+    % (
+        __import__(
+            "spj_query_engine_spark.operators.sampling", fromlist=["PACK_BUCKETS"]
+        ).PACK_BUCKETS,
+        __import__(
+            "spj_query_engine_spark.operators.sampling", fromlist=["PACK_CTX"]
+        ).PACK_CTX,
+    ),
+)
+def p05_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.sampling import pack_sequences
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pack_sequences(docs)

@@ -62,6 +62,7 @@ GATE_PRIORITY: list[str] = [
     "q32_shipping_priority",
     "e14_gap_fill",
     "m05_modality_lake",
+    "p05_pack_sequences",
 ]
 
 
