@@ -176,3 +176,63 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink via ``foreachBatch`` — keep the LATEST event per
+    user in a keyed target table.  Each micro-batch reduces to its per-user
+    latest rows and APPENDS them to the target (a log-structured merge: the
+    append is idempotent-safe and never rewrites history); readers apply
+    merge-on-read (latest per key across all appended fragments).  Because
+    latest-per-key is associative and commutative, the final state is
+    independent of how the stream was micro-batched — which is why finite
+    replay equals the batch 'latest event per user' query, the oracle.
+
+    Production shape: the same ``foreachBatch`` body MERGEs into a
+    transactional table (Delta/Iceberg) instead of appending fragments; the
+    compaction then happens in the table format rather than at read time.
+    """
+    from pyspark.sql import Window
+
+    tgt = f"/tmp/spj_upsert_{uuid.uuid4().hex[:8]}"
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.unix_millis(F.col("ts")).alias("last_ts_ms"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+        )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        latest_per_user(batch_df).write.mode("append").parquet(tgt)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # merge-on-read: latest per key across the appended fragments
+    from pyspark.sql import Window
+
+    frags = spark.read.parquet(tgt)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_ms"), F.desc("last_event_id")
+    )
+    return (
+        frags.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -220,3 +220,26 @@ def p05_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return pack_sequences(docs)
+
+
+@register(
+    "e15_stream_upsert",
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           epoch_ms(ts) AS last_ts_ms,
+           value::DOUBLE AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Streaming upsert sink (foreachBatch): per-batch latest-per-user "
+    "rows append to a keyed target (log-structured merge), merge-on-read "
+    "compacts to the latest per key; latest-per-key is associative, so "
+    "finite replay equals the batch latest-event-per-user query - the "
+    "oracle.",
+)
+def e15_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_stream_upsert(spark, sf_dir)

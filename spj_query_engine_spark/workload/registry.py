@@ -63,6 +63,7 @@ GATE_PRIORITY: list[str] = [
     "e14_gap_fill",
     "m05_modality_lake",
     "p05_pack_sequences",
+    "e15_stream_upsert",
 ]
 
 

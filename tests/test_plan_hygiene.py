@@ -59,3 +59,21 @@ def test_filters_reach_the_scan(spark, name):
         f"{name}: expected pushed filter {PUSHDOWN_EXPECTED[name]!r} not in scan"
     )
     spark.catalog.clearCache()
+
+
+#: entries whose plans must use the named join strategy
+JOIN_STRATEGY_EXPECTED = {
+    "q04_join3_star": "BroadcastHashJoin",  # dimension tables broadcast
+    "q32_shipping_priority": "BroadcastHashJoin",  # filtered dims broadcast
+    "q18_topk_orders": "TakeOrderedAndProject",  # top-k, not a global sort
+}
+
+
+@pytest.mark.parametrize("name", sorted(JOIN_STRATEGY_EXPECTED))
+def test_physical_strategy(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert JOIN_STRATEGY_EXPECTED[name] in plan, (
+        f"{name}: expected {JOIN_STRATEGY_EXPECTED[name]} in physical plan"
+    )
+    spark.catalog.clearCache()

@@ -257,3 +257,61 @@ def test_stateful_asof_state_carries_across_batches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["o_orderkey"] == 101  # the LATEST carried order
     assert rows[0]["o_totalprice"] == 60.0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving after
+    the watermark has passed its window is DROPPED — the bounded-state
+    contract.  File arrival order drives the event-time watermark
+    deterministically via sequential processAllAvailable() calls."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "late_src")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("f1", [(t(12, 0), 1), (t(12, 1), 2)])
+
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances to 12:01 - 10min = 11:51
+        # late event at 10:00 — its window [10:00, 10:05) closed long ago
+        write_file("f2", [(t(10, 0), 99)])
+        q.processAllAvailable()
+        # advance event time so the 12:00 window finalizes and emits
+        write_file("f3", [(t(13, 0), 3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window"]["start"].hour, r["window"]["start"].minute): r["n"]
+        for r in spark.table(name).collect()
+    }
+    assert (12, 0) in got and got[(12, 0)] == 2  # the on-time window emitted
+    assert (10, 0) not in got  # the late event never appears
