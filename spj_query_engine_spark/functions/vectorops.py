@@ -1,0 +1,80 @@
+"""Vector functions on embedding columns — the Arrow scalar-UDF surface.
+
+Most of the engine deliberately stays JVM-side (pyspark.sql.functions); this
+module is the designated example of the OTHER path: a vectorized
+``@pandas_udf`` receiving Arrow record batches, for computations that
+genuinely need Python (here: numeric code that must reproduce a specific
+accumulation order).  One Arrow round-trip per batch of rows — never
+row-at-a-time pickling.
+
+The unit-normalization below accumulates the squared norm with an explicit
+sequential float64 fold, matching DuckDB's ``list_reduce`` fold exactly, so
+even the Python-UDF path is value-hash verified against the oracle (numpy's
+pairwise summation would NOT match — accumulation order is part of the
+contract here).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spj_query_engine_spark.functions.hashing import portable_round_sql
+
+NORM_DIGITS = 6
+
+
+def _unit_normalize_udf():
+    """Build the UDF lazily — ``pandas_udf`` resolves its return type
+    against the active SparkSession, so decorating at import time would
+    require a session before the module can load."""
+
+    @pandas_udf("array<double>")
+    def unit_normalize(vecs):  # pd.Series[list[f32]] -> pd.Series[list[f64]]
+        import pandas as pd
+
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return None
+            acc = 0.0
+            xs = [float(x) for x in arr]  # float32 -> float64, exact
+            for x in xs:
+                acc += x * x  # sequential fold — same order as the SQL twin
+            n = math.sqrt(acc)
+            if n == 0.0:
+                return xs
+            scale = 10.0 ** NORM_DIGITS
+            return [math.floor((x / n) * scale + 0.5) / scale for x in xs]
+
+        return pd.Series([one(a) for a in vecs])
+
+    return unit_normalize
+
+
+def normalize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-normalize every embedding via the Arrow pandas-UDF path; rounded
+    to NORM_DIGITS so the value hash is stable."""
+    return emb.select(
+        F.col(id_col), _unit_normalize_udf()(F.col(vec_col)).alias("unit_vec")
+    )
+
+
+def normalize_embeddings_sql(table: str = "embeddings") -> str:
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), "
+        "(a, v) -> a + v))"
+    )
+    elem = portable_round_sql("x::DOUBLE / nrm", NORM_DIGITS)
+    return f"""
+    WITH n AS (SELECT vec_id, embedding, {norm} AS nrm FROM {table})
+    SELECT vec_id,
+           CASE WHEN nrm = 0 THEN list_transform(embedding, x -> x::DOUBLE)
+                ELSE list_transform(embedding, x -> {elem}) END AS unit_vec
+    FROM n
+    """

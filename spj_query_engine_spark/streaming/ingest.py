@@ -236,3 +236,72 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+STREAM_JOIN_MINUTES = 60  # click must precede the purchase within this band
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: purchases joined to the same user's
+    preceding clicks within a time band — both sides are streams, each with
+    a watermark, and the time-range condition lets Spark bound the join
+    state (clicks older than the band + watermark are evicted).  Inner
+    stream-stream joins are monotone (a match emits once both sides have
+    arrived, regardless of micro-batching), so finite replay emits exactly
+    the batch join's pairs — the oracle.
+
+    This is the streaming surface the sessionize/rollup entries don't touch:
+    two buffered sides with watermark-driven state eviction, the shape of
+    real-time attribution pipelines."""
+    band_ms = STREAM_JOIN_MINUTES * 60 * 1000
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {STREAM_JOIN_MINUTES} MINUTES")),
+    ).select(
+        "p_id",
+        "c_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        F.unix_millis("c_ts").alias("c_ts_ms"),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_stream_join_sql(events: str = "events", minutes: int = STREAM_JOIN_MINUTES) -> str:
+    band_ms = minutes * 60 * 1000
+    return f"""
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+           epoch_ms(p.ts) AS p_ts_ms, epoch_ms(c.ts) AS c_ts_ms
+    FROM {events} p JOIN {events} c
+      ON p.user_id = c.user_id
+     AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+     AND epoch_ms(c.ts) >= epoch_ms(p.ts) - {band_ms}
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """

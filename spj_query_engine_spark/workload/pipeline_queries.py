@@ -243,3 +243,15 @@ def p05_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e15_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_stream_upsert(spark, sf_dir)
+
+
+@register(
+    "e16_stream_stream_join",
+    ingest.stream_stream_join_sql(),
+    doc="Stream-stream inner join (purchase x preceding click within %s "
+    "min, same user): both sides watermarked, time-range condition bounds "
+    "the join state; inner joins are monotone so finite replay equals the "
+    "batch join - the oracle." % ingest.STREAM_JOIN_MINUTES,
+)
+def e16_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_stream_stream_join(spark, sf_dir)

@@ -64,6 +64,8 @@ GATE_PRIORITY: list[str] = [
     "m05_modality_lake",
     "p05_pack_sequences",
     "e15_stream_upsert",
+    "e16_stream_stream_join",
+    "u01_pandas_normalize",
 ]
 
 

@@ -70,3 +70,19 @@ def s04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_trained_recall(_emb(spark, sf_dir))
+
+
+@register(
+    "u01_pandas_normalize",
+    __import__(
+        "spj_query_engine_spark.functions.vectorops", fromlist=["normalize_embeddings_sql"]
+    ).normalize_embeddings_sql(),
+    doc="Arrow scalar pandas_udf surface: unit-normalize embeddings in a "
+    "vectorized Python UDF whose sequential float64 fold reproduces the "
+    "oracle's accumulation order exactly — the Python path, value-hash "
+    "verified.",
+)
+def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.functions.vectorops import normalize_embeddings
+
+    return normalize_embeddings(_emb(spark, sf_dir))

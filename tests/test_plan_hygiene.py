@@ -18,6 +18,7 @@ SKIP = {
     "e05_streaming_rollup",
     "e06_stream_sessionize",
     "e13_stream_session",
+    "e16_stream_stream_join",
     "s04_ann_ivf_trained",
     "s05_ivf_trained_recall",  # composes s04 (model fit) + s01 (whitelisted BNLJ)
 }
