@@ -252,6 +252,7 @@ def e15_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min, same user): both sides watermarked, time-range condition bounds "
     "the join state; inner joins are monotone so finite replay equals the "
     "batch join - the oracle." % ingest.STREAM_JOIN_MINUTES,
+    bench=False,  # micro-batch replay overhead dominates; e04 is the throughput twin
 )
 def e16_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_stream_stream_join(spark, sf_dir)
