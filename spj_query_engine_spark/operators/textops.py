@@ -491,3 +491,45 @@ def approx_cardinality_check_sql(table: str = "documents", group_col: str = "lan
         f"SELECT CAST(count(DISTINCT {group_col}) AS BIGINT) AS n_groups, "
         f"1::BIGINT AS max_rel_err_ok FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality-median filter (composition: score → threshold → keep)
+# ---------------------------------------------------------------------------
+
+
+def quality_median_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep documents whose quality score is at or above their LANGUAGE's
+    median — the relative-threshold quality cut (absolute thresholds skew
+    against languages the scorer under-rates).  Composition of the engine's
+    own pieces: t02's scorer → exact per-lang median (one tiny aggregate —
+    at 100 TB swap in approx_percentile, same shape) → broadcast the
+    per-lang thresholds back onto the scored corpus.  The corpus never
+    shuffles: score is a projection and the threshold join broadcasts."""
+    scored = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    langd = docs.select(id_col, "lang")
+    sl = scored.join(langd, id_col)
+    med = sl.groupBy("lang").agg(
+        portable_round(F.expr("percentile(quality, 0.5)"), 4).alias("med_quality")
+    )
+    return (
+        sl.join(F.broadcast(med), "lang")
+        .filter(F.col("quality") >= F.col("med_quality"))
+        .select(id_col, "lang", "quality", "med_quality")
+    )
+
+
+def quality_median_filter_sql(table: str = "documents") -> str:
+    return f"""
+    WITH q AS ({quality_score_sql(table)}),
+    sl AS (SELECT q.doc_id, q.quality, d.lang FROM q JOIN {table} d ON q.doc_id = d.doc_id),
+    med AS (
+      SELECT lang, {portable_round_sql('quantile_cont(quality, 0.5)', 4)} AS med_quality
+      FROM sl GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.quality, med.med_quality
+    FROM sl JOIN med USING (lang)
+    WHERE sl.quality >= med.med_quality
+    """

@@ -66,6 +66,7 @@ GATE_PRIORITY: list[str] = [
     "e15_stream_upsert",
     "e16_stream_stream_join",
     "u01_pandas_normalize",
+    "t11_quality_filter",
 ]
 
 

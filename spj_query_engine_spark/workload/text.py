@@ -119,3 +119,15 @@ def t09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t10_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.approx_cardinality_check(_docs(spark, sf_dir))
+
+
+@register(
+    "t11_quality_filter",
+    textops.quality_median_filter_sql(),
+    doc="Relative quality cut: keep docs at/above their language's median "
+    "quality (absolute thresholds skew against under-rated languages); "
+    "score is a projection, thresholds broadcast - the corpus never "
+    "shuffles.",
+)
+def t11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_median_filter(_docs(spark, sf_dir))

@@ -185,3 +185,31 @@ def test_random_join_projection_distinct(spark, ecommerce, duck_ecom, edge, dist
     )
     df = build_plan(spark, ecommerce, parse(sql))
     assert_same_result(df, duck_ecom, oracle)
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(
+            ["SELECT", "FROM", "WHERE", "GROUPBY", "ORDERBY", "DISTINCT",
+             "MAX", "(", ")", ",", ".", "*", "=", "<", ">", "<=", ">=", "!=",
+             'T', 'a', '"1"', '"x"']
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_parser_total_on_garbage(tokens):
+    """The parser is TOTAL over arbitrary token soup: any input either
+    parses to an AST or raises DialectParseError — never a crash, hang, or
+    foreign exception (the reference's parser stack simply exits on bad
+    input; ours must be a library-safe function)."""
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.dialect.parser import DialectParseError
+
+    text = " ".join(tokens)
+    for extended in (False, True):
+        try:
+            parse(text, extended=extended)
+        except DialectParseError:
+            pass
