@@ -31,18 +31,18 @@ GATE_PRIORITY: list[str] = [
     # no CORRECTNESS_r01 row at all (registry positions 51-65 last round):
     "e03_asof_join",
     "e04_range_join",
-    "e05_stream_rollup",
+    "e05_streaming_rollup",
     "e06_stream_sessionize",
     "e07_stream_dedup",
     "e08_funnel",
     "e09_percentiles",
     "e10_stream_asof",
     "e11_moving_stats",
-    "m01_decode_meta",
+    "m01_decode_features",
     "m02_frame_sample",
-    "m03_resize_plan",
+    "m03_resize",
     "m04_audio_windows",
-    "p01_train_val_test",
+    "p01_train_split",
     "p02_stratified_sample",
     # rows-only in r01 (no_oracle) — now backed by the s05 recall gate:
     "s04_ann_ivf_trained",

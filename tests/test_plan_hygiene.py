@@ -78,3 +78,13 @@ def test_physical_strategy(spark, name):
         f"{name}: expected {JOIN_STRATEGY_EXPECTED[name]} in physical plan"
     )
     spark.catalog.clearCache()
+
+
+def test_gate_priority_names_resolve():
+    """Every GATE_PRIORITY name must be a registered entry — a typo here
+    silently drops the entry out of the driver gate's recorded prefix."""
+    from spj_query_engine_spark.workload.registry import GATE_PRIORITY
+
+    unresolved = [n for n in GATE_PRIORITY if n not in REGISTRY]
+    assert not unresolved, f"GATE_PRIORITY names not in REGISTRY: {unresolved}"
+    assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY), "duplicate names"
