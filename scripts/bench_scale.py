@@ -55,6 +55,13 @@ FAMILY = [
     "s01_ann_bruteforce",
     "s02_ann_lsh",
     "s03_ann_ivf",
+    # round-2 document-based additions (events/orders entries have no
+    # scaled twin — the replica transform covers documents/embeddings)
+    "d10_contamination",
+    "t09_repetition",
+    "t11_quality_filter",
+    "p05_pack_sequences",
+    "p04_uniform_k_sample",
 ]
 
 

