@@ -17,6 +17,10 @@ so this script builds a 10× corpus FROM sf0.1 with the repo's own transforms
   positions.  A same-permutation applies to both sides of every pair, so
   within-replica inner products — hence cosine near-dups and ANN top-k
   structure — are EXACTLY preserved; across replicas cosines scramble.
+* events: 10 replicas; replica r shifts user_id/event_id into a disjoint id
+  space and keeps timestamps — per-user session/window/funnel structure is
+  identical per replica, so temporal operators see 10× users with the same
+  per-user shape (the scaling axis a real event stream grows along).
 
 Usage: python scripts/bench_scale.py [out_json]
 Writes one JSON object with per-query seconds at 1× and 10× and the ratio.
@@ -62,19 +66,28 @@ FAMILY = [
     "t11_quality_filter",
     "p05_pack_sequences",
     "p04_uniform_k_sample",
+    # temporal family over the 10×-users events replica
+    "e01_tumbling_rollup",
+    "e02_sessionize",
+    "e08_funnel",
+    "e09_percentiles",
+    "e11_moving_stats",
+    "e12_native_session",
+    "e14_gap_fill",
 ]
 
 
 def build_scaled(spark) -> None:
-    if os.path.exists(os.path.join(SCALED, "_DONE")):
+    if os.path.exists(os.path.join(SCALED, "_DONE_V2")):
         return
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
-    t = load_tables(spark, BASE, ("documents", "embeddings"))
-    docs, emb = t["documents"], t["embeddings"]
+    t = load_tables(spark, BASE, ("documents", "embeddings", "events"))
+    docs, emb, events = t["documents"], t["embeddings"], t["events"]
     dim = 64
     doc_parts = []
     emb_parts = []
+    ev_parts = []
     for r in range(REPLICAS):
         salted = docs.select(
             (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
@@ -101,6 +114,15 @@ def build_scaled(spark) -> None:
             "label",
         )
         emb_parts.append(rolled)
+        ev_parts.append(
+            events.select(
+                (F.col("event_id") + F.lit(r * 100_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
+                "ts",
+                "event_type",
+                "value",
+            )
+        )
     all_docs = doc_parts[0]
     for p in doc_parts[1:]:
         all_docs = all_docs.unionByName(p)
@@ -113,7 +135,13 @@ def build_scaled(spark) -> None:
     all_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SCALED, "embeddings.parquet")
     )
-    open(os.path.join(SCALED, "_DONE"), "w").close()
+    all_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        all_ev = all_ev.unionByName(p)
+    all_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "events.parquet")
+    )
+    open(os.path.join(SCALED, "_DONE_V2"), "w").close()
 
 
 def run(spark, name: str, sf_dir: str) -> float:

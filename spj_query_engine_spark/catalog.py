@@ -68,12 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for col in _nano_ts_columns(path):
         # nanos → micros → TimestampType; DuckDB applies the same truncation
         # (its timestamps are microsecond), keeping oracle comparison exact.
         # Integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double division
-        # silently rounds by up to 1 µs.
-        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        # silently rounds by up to 1 µs.  Guard on the LOADED dtype: pyarrow
+        # also reports Spark-written INT96 timestamps as `ns`, but Spark
+        # reads those as TimestampType already — only long nanos convert.
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
 
 

@@ -73,6 +73,7 @@ class SQLQuery:
     # --- extended grammar only (empty/None under the strict reference mode) ---
     having: list[HavingCond] = field(default_factory=list)
     orderby_desc: list[bool] = field(default_factory=list)  # parallel to orderby
+    orderby_agg: list[str | None] = field(default_factory=list)  # parallel; AGG name or None
     limit: int | None = None
 
     @property

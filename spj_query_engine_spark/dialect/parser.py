@@ -29,7 +29,7 @@ out-of-grammar behavior)::
                  [LIMIT LITERAL]
     havelist  := havecond (',' havecond)*                  -- comma = AND
     havecond  := AGGFUNC '(' attr ')' relop LITERAL | attr relop LITERAL
-    orditem   := attr [ASC|DESC]
+    orditem   := (attr | AGGFUNC '(' attr ')') [ASC|DESC]
 
 Literals stay quoted (including the LIMIT count) — the extension adds no new
 token kinds, only keywords, so every strict query parses identically in both
@@ -141,6 +141,7 @@ class _Parser:
         orderby: list[Attr] = []
         having: list[HavingCond] = []
         orderby_desc: list[bool] = []
+        orderby_agg: list[str | None] = []
         limit: int | None = None
         if self.accept_kw("WHERE"):
             conditions = self.cond_list()
@@ -150,9 +151,11 @@ class _Parser:
             having = self.having_list()
         if self.accept_kw("ORDERBY"):
             if self.extended:
-                orderby, orderby_desc = self.order_list()
+                orderby, orderby_desc, orderby_agg = self.order_list()
                 if not any(orderby_desc):
                     orderby_desc = []  # all-ascending ≡ strict parse
+                if not any(a is not None for a in orderby_agg):
+                    orderby_agg = []  # plain-attr ordering ≡ strict parse
             else:
                 orderby = self.attr_list()
         if self.extended and self.accept_kw("LIMIT"):
@@ -170,6 +173,7 @@ class _Parser:
             is_distinct,
             having=having,
             orderby_desc=orderby_desc,
+            orderby_agg=orderby_agg,
             limit=limit,
         )
 
@@ -197,11 +201,21 @@ class _Parser:
         rhs = self.expect("lit")
         return HavingCond(attr, op, rhs, agg=agg)
 
-    def order_list(self) -> tuple[list[Attr], list[bool]]:
+    def order_list(self) -> tuple[list[Attr], list[bool], list[str | None]]:
         attrs: list[Attr] = []
         descs: list[bool] = []
+        aggs: list[str | None] = []
         while True:
-            attrs.append(self.attr())
+            kind, value = self.peek()
+            if kind == "kw" and value in _AGG_FUNCS:
+                self.next()
+                aggs.append(value)
+                self.expect("punct", "(")
+                attrs.append(self.attr())
+                self.expect("punct", ")")
+            else:
+                aggs.append(None)
+                attrs.append(self.attr())
             if self.accept_kw("DESC"):
                 descs.append(True)
             else:
@@ -210,7 +224,7 @@ class _Parser:
             if self.peek() == ("punct", ","):
                 self.next()
                 continue
-            return attrs, descs
+            return attrs, descs, aggs
 
     def select_list(self) -> list[SelectItem]:
         if self.peek() == ("punct", "*"):

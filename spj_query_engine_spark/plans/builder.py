@@ -235,7 +235,18 @@ class _PlanBuilder:
         if not q.orderby:
             return df
         cols = []
-        for attr in q.orderby:
+        for i, attr in enumerate(q.orderby):
+            agg = q.orderby_agg[i] if i < len(q.orderby_agg) else None
+            if agg:
+                # extended grammar: ORDERBY AGG(attr) — the aggregate must be
+                # in the select list (it is what the sort key refers to)
+                name = self.agg_display_name(agg, attr)
+                if name not in df.columns:
+                    raise PlanError(
+                        f"ORDERBY {agg}({attr}) must also appear in the select list"
+                    )
+                cols.append(name)
+                continue
             name = self.display_name(attr)
             cols.append(name if name in df.columns else _mangle(attr))
         ascending: bool | list[bool] = True

@@ -158,3 +158,38 @@ def test_except_executes(spark, ecommerce, duck):
     assert_same_result(
         df, duck, "SELECT cid FROM CUSTOMER EXCEPT SELECT cid FROM CART"
     )
+
+
+def test_orderby_aggregate_topk(spark, ecommerce, duck):
+    # ORDER BY the aggregate itself (extended grammar) — the natural top-k
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            "SELECT CARTDETAILS.cartid, SUM(CARTDETAILS.qty) FROM CARTDETAILS "
+            "GROUPBY CARTDETAILS.cartid "
+            'ORDERBY SUM(CARTDETAILS.qty) DESC, CARTDETAILS.cartid ASC LIMIT "5"',
+            extended=True,
+        ),
+    )
+    assert_same_result(
+        df,
+        duck,
+        "SELECT cartid, CAST(SUM(qty) AS BIGINT) AS sum_qty FROM CARTDETAILS "
+        "GROUP BY cartid ORDER BY sum_qty DESC, cartid ASC LIMIT 5",
+    )
+
+
+def test_orderby_aggregate_requires_selected(spark, ecommerce):
+    from spj_query_engine_spark.plans.builder import PlanError
+
+    with pytest.raises(PlanError):
+        build_plan(
+            spark,
+            ecommerce,
+            parse(
+                "SELECT CARTDETAILS.cartid FROM CARTDETAILS "
+                "GROUPBY CARTDETAILS.cartid ORDERBY SUM(CARTDETAILS.qty) DESC",
+                extended=True,
+            ),
+        ).collect()
