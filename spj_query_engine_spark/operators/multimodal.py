@@ -301,9 +301,15 @@ def modality_lake_stats(
     spark, mm: DataFrame, modality: str = "image", path: str = LAKE_DIR
 ) -> DataFrame:
     """Write the partitioned lake, read ONE modality back (partition-pruned
-    scan), and aggregate its asset count + byte volume."""
+    scan), and aggregate its asset count + byte volume.  The read carries the
+    writer's explicit schema: a zero-row partitioned write leaves no data
+    files, and schema inference on it would throw instead of returning the
+    well-defined empty aggregate."""
     write_modality_lake(mm, path)
-    back = spark.read.parquet(path).filter(F.col("modality") == modality)
+    lake_schema = mm.withColumn("modality", F.lit("x")).schema
+    back = spark.read.schema(lake_schema).parquet(path).filter(
+        F.col("modality") == modality
+    )
     return back.agg(
         F.lit(modality).alias("modality"),
         F.count(F.lit(1)).alias("n_assets"),

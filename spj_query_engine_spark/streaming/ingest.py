@@ -224,10 +224,18 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    # merge-on-read: latest per key across the appended fragments
+    # merge-on-read: latest per key across the appended fragments.  Read with
+    # the EXPLICIT output schema: an empty stream appends no fragment at all,
+    # and schema inference on a missing/empty target would throw instead of
+    # yielding the well-defined empty result.
     from pyspark.sql import Window
 
-    frags = spark.read.parquet(tgt)
+    out_schema = "user_id long, last_event_id long, last_ts_ms long, last_value double"
+    import os as _os
+
+    if not _os.path.isdir(tgt):
+        return spark.createDataFrame([], out_schema)
+    frags = spark.read.schema(out_schema).parquet(tgt)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("last_ts_ms"), F.desc("last_event_id")
     )

