@@ -43,3 +43,27 @@ def test_runs_on_empty_tables(spark, empty_sf, name):
     # everything else must yield zero
     assert rows >= 0
     spark.catalog.clearCache()
+
+
+def test_null_and_empty_text_rows(spark):
+    """NULL/empty text rows degrade gracefully through every document
+    operator: shingle-based paths drop them (no shingles), projection-based
+    paths carry them with null/zero stats — never a crash."""
+    from spj_query_engine_spark.operators import dedup, textops
+
+    rows = [
+        (0, "hello world foo bar baz qux quux corge"),
+        (1, None),
+        (2, ""),
+        (3, "hello world foo bar baz qux quux corge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact dedup: identical texts group; null and empty are distinct groups
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert groups[0] == 2 and groups[1] == 1 and groups[2] == 1
+    # shingle paths see only the two real docs → exactly the planted pair
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 3)]
+    # projection paths keep every row
+    assert textops.token_stats(docs).count() == 4
+    assert textops.quality_score(docs).count() == 4
