@@ -144,26 +144,35 @@ def build_scaled(spark) -> None:
     open(os.path.join(SCALED, "_DONE_V2"), "w").close()
 
 
+def _scaled_fn(name: str, sf_dir: str):
+    """The callable to measure.  d06 takes its deployment knob EXPLICITLY:
+    quantizer cell count grows with the corpus so cell SIZE stays constant
+    (n_cells ≈ n_vectors / target_cell_size) — fixed cells at 10× data would
+    measure a misconfiguration (quadratic within-cell pairs), not the
+    algorithm.  The registered gate entry pins n_cells to its oracle's
+    constant, so the knob is passed through the operator here."""
+    if name == "d06_embedding_near_dup" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import dedup
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            return dedup.embedding_near_dup(emb, n_cells=160)
+
+        return fn
+    return REGISTRY[name].fn
+
+
 def run(spark, name: str, sf_dir: str) -> float:
-    wq = REGISTRY[name]
-    # Deployment-scaled knobs: quantizer cell counts grow with the corpus so
-    # cell SIZE stays constant (the documented 100 TB guidance for d06 —
-    # n_cells ≈ n_vectors / target_cell_size).  Fixed cells at 10× data would
-    # measure a misconfiguration (quadratic within-cell pairs), not the
-    # algorithm.
-    scaled = sf_dir == SCALED
-    spark.conf.set("spj.neardup.cells", "160" if scaled else "16")
-    try:
-        # one warmup for codegen, then a measured steady-state run (same
-        # protocol as bench.py)
-        for _ in range(1):
-            wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
-        t0 = time.time()
-        wq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-    finally:
-        spark.conf.unset("spj.neardup.cells")
+    fn = _scaled_fn(name, sf_dir)
+    # one warmup for codegen, then a measured steady-state run (same
+    # protocol as bench.py)
+    for _ in range(1):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
     spark.catalog.clearCache()
     return round(dt, 3)
 

@@ -37,8 +37,10 @@ def _unit_normalize_udf():
         import pandas as pd
 
         def one(arr):
-            if arr is None or len(arr) == 0:
+            if arr is None:
                 return None
+            if len(arr) == 0:
+                return []  # the oracle's nrm=0 branch maps [] -> [] , not NULL
             acc = 0.0
             xs = [float(x) for x in arr]  # float32 -> float64, exact
             for x in xs:

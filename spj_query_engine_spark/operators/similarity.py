@@ -41,6 +41,7 @@ SIGN_BITS = 12  # hyperplane count
 SIGN_BANDS = 3  # 3 bands × 4 bits for the candidate join
 _BAND_WIDTH = SIGN_BITS // SIGN_BANDS
 EMB_DIM = 64  # testdata embedding dimensionality (drives unrolled codegen)
+MAX_PLANE_DIM = 256  # LSH plane-matrix cap when the true dim is undeclared
 
 
 def dim_of(df: DataFrame, vec_col: str) -> int | None:
@@ -200,7 +201,12 @@ def lsh_topk(
     projection, candidate generation an equi-join on a few-bit key."""
     from spj_query_engine_spark.operators.core import spread
 
-    dim = dim_of(embeddings, vec_col) or EMB_DIM
+    # Plane-matrix size: the declared dim when known, else a generous cap.
+    # Oversizing is FREE and exact — the explode emits only positions that
+    # exist in the data, so plane rows beyond the true dimensionality never
+    # join and contribute nothing; a corpus wider than the cap (no conf set)
+    # would silently ignore the tail, hence the cap is deliberately large.
+    dim = dim_of(embeddings, vec_col) or MAX_PLANE_DIM
     # Bucket assignment as a matrix product in aggregate form: explode the
     # vector to (vid, pos, val) rows, broadcast-join the 64×12 plane matrix
     # on pos, then 13 codegen'd SUM aggregates per vid (12 plane dots + the

@@ -553,9 +553,16 @@ def native_sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> 
     oracle computes max(ts) + gap_ms; session identity (which events group
     together) is identical.  Output: one row per (user, session)."""
     gap_ms = gap_minutes * 60 * 1000
+    # Truncate to MILLISECONDS before windowing: the oracle (and every other
+    # temporal entry) sessionizes on epoch_ms values, while session_window
+    # compares raw microsecond timestamps — sub-ms residue (the events data
+    # is nanosecond-origin) would split/merge sessions differently exactly
+    # at the gap boundary.
     e = events.select(
         "user_id",
-        F.col("ts").cast(T.TimestampType()).alias("ts"),
+        F.timestamp_millis(
+            F.unix_millis(F.col("ts").cast(T.TimestampType()))
+        ).alias("ts"),
         "value",
     )
     agg = e.groupBy(

@@ -185,13 +185,18 @@ class _PlanBuilder:
             out = core.groupby_distinct(df, keys)
             out = self._having_filter(out)  # bare-key conditions only here
             return out.select(*[F.col(_mangle(a)).alias(self.display_name(a)) for a in q.groupby])
-        # Aggregates (D2). Non-aggregated select attrs must be grouping keys.
+        # Aggregates (D2). Non-aggregated select attrs must be grouping keys —
+        # but only when the SELECT list itself has aggregates: a GROUPBY
+        # query whose only aggregates live in HAVING keeps the reference's
+        # distinct-keys projection (non-key select columns DROP, they don't
+        # error), exactly as it would without the HAVING.
         keys = [_mangle(a) for a in q.groupby]
-        for item in q.select_list:
-            if not item.agg and _mangle(item.attr) not in keys:
-                raise PlanError(
-                    f"non-aggregated select column {item.attr} is not in GROUPBY"
-                )
+        if aggs:
+            for item in q.select_list:
+                if not item.agg and _mangle(item.attr) not in keys:
+                    raise PlanError(
+                        f"non-aggregated select column {item.attr} is not in GROUPBY"
+                    )
         agg_specs = [
             (item.agg, _mangle(item.attr), self.agg_display_name(item.agg, item.attr))
             for item in aggs
@@ -207,6 +212,12 @@ class _PlanBuilder:
                 seen.add(name)
         out = core.aggregate(df, keys, agg_specs)
         out = self._having_filter(out)
+        if not aggs:
+            # only HAVING carried aggregates: project the distinct-keys
+            # result (reference GROUPBY semantics — non-key columns drop)
+            return out.select(
+                *[F.col(_mangle(a)).alias(self.display_name(a)) for a in q.groupby]
+            )
         final_cols: list[Column] = []
         for item in q.select_list:
             if item.agg:

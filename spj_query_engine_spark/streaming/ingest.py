@@ -146,7 +146,11 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
 
     name = f"stream_session_{uuid.uuid4().hex[:8]}"
-    ev = stream_events(spark, sf_dir)
+    # ms truncation before windowing — the oracle sessionizes on epoch_ms;
+    # raw microsecond residue would flip sessions at the exact gap boundary
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts")))
+    )
     agg = (
         ev.withWatermark("ts", WATERMARK)
         .groupBy(
@@ -206,7 +210,7 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "user_id",
                 F.col("event_id").alias("last_event_id"),
-                F.unix_millis(F.col("ts")).alias("last_ts_ms"),
+                F.unix_micros(F.col("ts")).alias("last_ts_us"),
                 F.col("value").cast("double").alias("last_value"),
             )
         )
@@ -230,14 +234,14 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yielding the well-defined empty result.
     from pyspark.sql import Window
 
-    out_schema = "user_id long, last_event_id long, last_ts_ms long, last_value double"
+    out_schema = "user_id long, last_event_id long, last_ts_us long, last_value double"
     import os as _os
 
     if not _os.path.isdir(tgt):
         return spark.createDataFrame([], out_schema)
     frags = spark.read.schema(out_schema).parquet(tgt)
     w = Window.partitionBy("user_id").orderBy(
-        F.desc("last_ts_ms"), F.desc("last_event_id")
+        F.desc("last_ts_us"), F.desc("last_event_id")
     )
     return (
         frags.withColumn("rn", F.row_number().over(w))
@@ -262,7 +266,12 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     two buffered sides with watermark-driven state eviction, the shape of
     real-time attribution pipelines."""
     band_ms = STREAM_JOIN_MINUTES * 60 * 1000
-    ev = stream_events(spark, sf_dir)
+    # ms truncation on both sides: the oracle's band/ordering predicates are
+    # epoch_ms comparisons; raw microsecond residue would include/exclude
+    # pairs within the same millisecond differently at the band edges
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts")))
+    )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(

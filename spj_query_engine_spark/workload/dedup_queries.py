@@ -74,7 +74,14 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     from spj_query_engine_spark.operators.similarity import dim_of
 
-    return dedup.embedding_near_dup(emb, dim=dim_of(emb, "embedding"))
+    # n_cells is PINNED to the oracle's constant here: the registered oracle
+    # SQL freezes NEARDUP_CELLS at registration, so letting the runtime conf
+    # leak into this gate entry would make a deployment knob look like an
+    # engine bug.  Library callers (and scripts/bench_scale.py) pass n_cells
+    # explicitly to scale cell count with the corpus.
+    return dedup.embedding_near_dup(
+        emb, dim=dim_of(emb, "embedding"), n_cells=dedup.NEARDUP_CELLS
+    )
 
 
 @register(

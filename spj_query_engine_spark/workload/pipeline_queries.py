@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spj_query_engine_spark.catalog import load_tables
-from spj_query_engine_spark.operators import multimodal, temporal
+from spj_query_engine_spark.operators import multimodal, sampling, temporal
 from spj_query_engine_spark.streaming import ingest
 from spj_query_engine_spark.workload.registry import register
 
@@ -97,9 +97,7 @@ def e07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p01_train_split",
-    __import__(
-        "spj_query_engine_spark.operators.sampling", fromlist=["train_split_sql"]
-    ).train_split_sql(),
+    sampling.train_split_sql(),
     doc="Deterministic 80/10/10 train/val/test split by portable hash bucket "
     "of the row key — reproducible across engines and cluster layouts; pure "
     "projection, no shuffle.",
@@ -126,9 +124,7 @@ def e10_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p02_stratified_sample",
-    __import__(
-        "spj_query_engine_spark.operators.sampling", fromlist=["stratified_sample_sql"]
-    ).stratified_sample_sql(),
+    sampling.stratified_sample_sql(),
     doc="Deterministic 10% stratified sample: hash salted with the stratum "
     "(lang), so per-stratum kept sets are independent; pure projection + "
     "filter, reproducible on any cluster layout.",
@@ -142,9 +138,7 @@ def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p03_mixture_sample",
-    __import__(
-        "spj_query_engine_spark.operators.sampling", fromlist=["mixture_sample_sql"]
-    ).mixture_sample_sql(),
+    sampling.mixture_sample_sql(),
     doc="Weighted source-mixture sample (data-mixing recipe: 100/50/50/25% "
     "named tiers, 10% long tail) by salted portable hash; raising a rate "
     "strictly grows the kept set.  Pure projection + filter.",
@@ -169,9 +163,7 @@ def e13_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p04_uniform_k_sample",
-    __import__(
-        "spj_query_engine_spark.operators.sampling", fromlist=["uniform_k_sample_sql"]
-    ).uniform_k_sample_sql(),
+    sampling.uniform_k_sample_sql(),
     doc="Exactly-k uniform sample as a bottom-k sketch over a salted "
     "portable hash — reservoir sampling's result without sequential state; "
     "executes as TakeOrderedAndProject (per-partition top-k + merge, no "
@@ -199,20 +191,14 @@ def m05_modality_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p05_pack_sequences",
-    __import__(
-        "spj_query_engine_spark.operators.sampling", fromlist=["pack_sequences_sql"]
-    ).pack_sequences_sql(),
+    sampling.pack_sequences_sql(),
     doc="Deterministic sequence packing (LLM-pretraining concat-and-chunk): "
     "docs hash into %s independent packing streams, window cumsum assigns "
     "each doc its %s-token chunk span — parallelism scales with the stream "
     "count, no global sequence."
     % (
-        __import__(
-            "spj_query_engine_spark.operators.sampling", fromlist=["PACK_BUCKETS"]
-        ).PACK_BUCKETS,
-        __import__(
-            "spj_query_engine_spark.operators.sampling", fromlist=["PACK_CTX"]
-        ).PACK_CTX,
+        sampling.PACK_BUCKETS,
+        sampling.PACK_CTX,
     ),
 )
 def p05_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +213,7 @@ def p05_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            event_id AS last_event_id,
-           epoch_ms(ts) AS last_ts_ms,
+           epoch_us(ts) AS last_ts_us,
            value::DOUBLE AS last_value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spj_query_engine_spark.catalog import load_tables
+from spj_query_engine_spark.functions import vectorops
 from spj_query_engine_spark.operators import similarity
 from spj_query_engine_spark.workload.registry import register
 
@@ -74,9 +75,7 @@ def s05_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u01_pandas_normalize",
-    __import__(
-        "spj_query_engine_spark.functions.vectorops", fromlist=["normalize_embeddings_sql"]
-    ).normalize_embeddings_sql(),
+    vectorops.normalize_embeddings_sql(),
     doc="Arrow scalar pandas_udf surface: unit-normalize embeddings in a "
     "vectorized Python UDF whose sequential float64 fold reproduces the "
     "oracle's accumulation order exactly — the Python path, value-hash "

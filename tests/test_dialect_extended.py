@@ -193,3 +193,24 @@ def test_orderby_aggregate_requires_selected(spark, ecommerce):
                 extended=True,
             ),
         ).collect()
+
+
+def test_having_preserves_groupby_drop_semantics(spark, ecommerce, duck):
+    """GROUPBY-without-select-aggregates drops non-key select columns
+    (reference semantics); adding a HAVING aggregate must keep that
+    projection rule, not reject the query."""
+    df = build_plan(
+        spark,
+        ecommerce,
+        parse(
+            "SELECT CARTDETAILS.cartid, CARTDETAILS.qty FROM CARTDETAILS "
+            'GROUPBY CARTDETAILS.cartid HAVING COUNT(CARTDETAILS.qty)>"1"',
+            extended=True,
+        ),
+    )
+    assert df.columns == ["cartid"]  # qty dropped, as without HAVING
+    assert_same_result(
+        df,
+        duck,
+        "SELECT cartid FROM CARTDETAILS GROUP BY cartid HAVING COUNT(qty) > 1",
+    )

@@ -35,13 +35,23 @@ def empty_sf(spark, tmp_path_factory):
     return out
 
 
+#: entries with a non-zero well-defined row count on empty input:
+#: global aggregates yield exactly ONE row (SQL semantics); the funnel emits
+#: one zero-count row per static step (its oracle does the same)
+EXPECTED_ON_EMPTY = {
+    "q16_global_agg": 1,
+    "t10_approx_cardinality": 1,
+    "m05_modality_lake": 1,
+    "e08_funnel": 3,
+}
+
+
 @pytest.mark.parametrize("name", [n for n in sorted(REGISTRY) if n not in SKIP])
 def test_runs_on_empty_tables(spark, empty_sf, name):
     df = REGISTRY[name].fn(spark, empty_sf)
     rows = df.count()
-    # global aggregates yield exactly one row on empty input (SQL semantics);
-    # everything else must yield zero
-    assert rows >= 0
+    expected = EXPECTED_ON_EMPTY.get(name, 0)
+    assert rows == expected, f"{name}: {rows} rows on empty input, expected {expected}"
     spark.catalog.clearCache()
 
 
