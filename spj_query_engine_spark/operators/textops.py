@@ -533,3 +533,67 @@ def quality_median_filter_sql(table: str = "documents") -> str:
     FROM sl JOIN med USING (lang)
     WHERE sl.quality >= med.med_quality
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram commonness score (transparent LM-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_commonness(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average corpus-frequency of its tokens, scaled ×10⁶ —
+    the transparent unigram analog of LM-perplexity quality filters (docs of
+    rare/garbage tokens score low, boilerplate scores high; both tails get
+    reviewed in a real pipeline).
+
+    Exactness design: the score is Σ corpus_count(token) × 10⁶ /
+    (corpus_total × doc_tokens) — INTEGER sums (exact, order-free in both
+    engines) with ONE final double division of identical integers, so the
+    value hash can never drift; no logs, no float accumulation.  Shapes:
+    token explode → corpus count groupBy (one shuffle), occurrence re-join
+    on token (one shuffle), per-doc integer aggregate; the corpus total is
+    a broadcast single-row cross join."""
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (
+        tok.join(cnt, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("sum_cnt"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    score = (F.col("sum_cnt") * F.lit(1_000_000.0)) / (
+        F.col("total") * F.col("n_tok")
+    ).cast("double")
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col), portable_round(score, 6).alias("commonness")
+    )
+
+
+def unigram_commonness_sql(table: str = "documents") -> str:
+    score = "(sum_cnt * 1000000.0) / CAST(total * n_tok AS DOUBLE)"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM {table}
+    ),
+    tok_f AS (SELECT * FROM tok WHERE tok <> ''),
+    cnt AS (SELECT tok, count(*) AS cnt FROM tok_f GROUP BY tok),
+    tot AS (SELECT count(*)::BIGINT AS total FROM tok_f),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS sum_cnt, count(*) AS n_tok
+      FROM tok_f JOIN cnt USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, {portable_round_sql(score, 6)} AS commonness
+    FROM per_doc, tot
+    """

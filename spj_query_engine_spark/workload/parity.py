@@ -804,3 +804,23 @@ def q32_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+register(
+    "q33_ext_orderby_agg",
+    """
+    SELECT o_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS count_o_orderkey
+    FROM orders GROUP BY o_custkey
+    ORDER BY count_o_orderkey DESC, o_custkey ASC LIMIT 15
+    """,
+    doc="Extended grammar: ORDERBY on the AGGREGATE itself (the natural "
+    "top-k — most-active customers), parsed and planned end-to-end; "
+    "integer count keys + unique-key tie-break keep the LIMIT "
+    "deterministic; plans as TakeOrderedAndProject over the aggregate.",
+)(
+    extended_dialect_query(
+        "SELECT orders.o_custkey, COUNT(orders.o_orderkey) FROM orders "
+        "GROUPBY orders.o_custkey "
+        'ORDERBY COUNT(orders.o_orderkey) DESC, orders.o_custkey ASC LIMIT "15"'
+    )
+)

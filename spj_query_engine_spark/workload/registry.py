@@ -67,6 +67,8 @@ GATE_PRIORITY: list[str] = [
     "e16_stream_stream_join",
     "u01_pandas_normalize",
     "t11_quality_filter",
+    "t12_unigram_commonness",
+    "q33_ext_orderby_agg",
 ]
 
 

@@ -131,3 +131,14 @@ def t10_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_median_filter(_docs(spark, sf_dir))
+
+
+@register(
+    "t12_unigram_commonness",
+    textops.unigram_commonness_sql(),
+    doc="Unigram commonness score (transparent LM-perplexity analog): "
+    "per-doc average corpus token frequency x1e6; integer sums + one final "
+    "division keep the value hash exact - no logs, no float accumulation.",
+)
+def t12_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.unigram_commonness(_docs(spark, sf_dir))

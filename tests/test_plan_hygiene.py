@@ -27,7 +27,13 @@ SKIP = {
 #: - s03: the centroid assignment crossJoin (16 broadcast centroids/vector)
 #: - s01: broadcast query set joined on an inequality (no equi key by design)
 #: - d06: the IVF blocking reuses s03's centroid-assignment crossJoin
-BNLJ_OK = {"s03_ann_ivf", "s01_ann_bruteforce", "d06_embedding_near_dup"}
+#: - t12: broadcast single-row corpus-total cross join
+BNLJ_OK = {
+    "s03_ann_ivf",
+    "s01_ann_bruteforce",
+    "d06_embedding_near_dup",
+    "t12_unigram_commonness",
+}
 
 
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])
