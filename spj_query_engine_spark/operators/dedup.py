@@ -171,31 +171,19 @@ def minhash_signature(shingles: Column) -> Column:
     return F.array(*mins)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
-    on the shingle-hash sets.
-
-    Plan shape: per-row signature → explode LSH_BANDS band keys per doc →
-    self-equi-join on (band, key) → distinct candidate pairs → join shingle
-    sets back by id → Jaccard filter.  Every join is an equi-join on a short
-    hash key; at 100 TB the band join dominates and AQE's skew splitting
-    handles hot buckets (plus: identical empty-signature docs all land in one
-    bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
-    """
-    inv = shingle_index(docs, text_col, id_col).persist()
-    # signatures as 12 codegen'd MIN aggregates over the inverted index (one
-    # shuffle on doc_id, map-side partial mins) — NOT array HOFs, which run
-    # interpreted.  Docs without shingles have no rows here; they could only
-    # ever form jaccard-0 pairs, which the threshold filter drops anyway.
+def _minhash_bands(inv: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from a shingle inverted index.
+    Signatures as MINHASH_K codegen'd MIN aggregates over the index (one
+    shuffle on doc_id, map-side partial mins) — NOT array HOFs, which run
+    interpreted.  Docs without shingles have no rows here; they could only
+    ever form jaccard-0 pairs, which the threshold filter drops anyway."""
     sigs = inv.groupBy("doc_id").agg(
         *[
             F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
             for j, (a, b) in enumerate(_MINHASH_AB)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -212,6 +200,23 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
+    on the shingle-hash sets.
+
+    Plan shape: per-row signature → explode LSH_BANDS band keys per doc →
+    self-equi-join on (band, key) → distinct candidate pairs → join shingle
+    sets back by id → Jaccard filter.  Every join is an equi-join on a short
+    hash key; at 100 TB the band join dominates and AQE's skew splitting
+    handles hot buckets (plus: identical empty-signature docs all land in one
+    bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
+    """
+    inv = shingle_index(docs, text_col, id_col).persist()
+    bands = _minhash_bands(inv)
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -280,6 +285,115 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     JOIN shset sa ON sa.doc_id = cand.doc_a
     JOIN shset sb ON sb.doc_id = cand.doc_b
     WHERE {portable_round_sql(jacc, 6)} >= {JACCARD_T}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (ingestion-time shape)
+# ---------------------------------------------------------------------------
+
+INC_MOD = 10
+INC_NEW = 8  # doc_id % INC_MOD >= INC_NEW → the incoming batch (~20%)
+
+
+def incremental_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ingestion-time dedup: match an INCOMING batch against the EXISTING
+    corpus only — never corpus×corpus.  (The held-out batch here is the
+    deterministic ``doc_id % INC_MOD >= INC_NEW`` slice; in production the
+    batch is today's crawl and the corpus side is the persisted band
+    index.)
+
+    This is the shape that makes continuous ingestion affordable at 100 TB:
+    the corpus band index is computed once and reused (amortized, exactly
+    like the bucketed-join lever), each new batch joins only its own bands
+    against it, and the quadratic old×old direction never forms.  Output:
+    each new doc's BEST corpus match at Jaccard ≥ JACCARD_T (drop these,
+    keep the rest of the batch)."""
+    inv = shingle_index(docs, text_col, id_col).persist()
+    bands = _minhash_bands(inv)
+    is_new = (F.col("doc_id") % INC_MOD) >= INC_NEW
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    cb = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band", "key"
+    )
+    cand = nb.join(cb, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = inv.select(F.col("doc_id").alias("new_id"), F.col("g").alias("g_a"))
+    ib = inv.select(F.col("doc_id").alias("corpus_id2"), F.col("g").alias("g_b"))
+    common = (
+        cand.join(ia, "new_id")
+        .join(
+            ib,
+            (F.col("corpus_id") == F.col("corpus_id2")) & (F.col("g_a") == F.col("g_b")),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    ).cast("double")
+    scored = (
+        common.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", portable_round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_dedup_sql(table: str = "documents") -> str:
+    perm_mins = ",\n             ".join(
+        f"coalesce(list_min(list_transform(sh, x -> {minhash_perm_sql('x', a, b)})), "
+        f"{MERSENNE61}) AS m{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + " AS key FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    jacc = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)::DOUBLE"
+    )
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    sigs AS (SELECT doc_id,
+             {perm_mins}
+             FROM shset),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM bands n JOIN bands c
+               ON n.band = c.band AND n.key = c.key
+             WHERE n.doc_id % {INC_MOD} >= {INC_NEW}
+               AND c.doc_id % {INC_MOD} < {INC_NEW}),
+    scored AS (
+      SELECT cand.new_id, cand.corpus_id, {portable_round_sql(jacc, 6)} AS jaccard
+      FROM cand
+      JOIN shset sa ON sa.doc_id = cand.new_id
+      JOIN shset sb ON sb.doc_id = cand.corpus_id
+      WHERE {portable_round_sql(jacc, 6)} >= {JACCARD_T}
+    )
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY new_id
+                                   ORDER BY jaccard DESC, corpus_id ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
     """
 
 

@@ -132,3 +132,16 @@ def d08_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination(_docs(spark, sf_dir))
+
+
+@register(
+    "d11_incremental_dedup",
+    dedup.incremental_dedup_sql(),
+    doc="Ingestion-time incremental dedup: the incoming batch (doc_id %% %s "
+    ">= %s) band-joins against the EXISTING corpus index only - the "
+    "quadratic corpus-x-corpus direction never forms, and the corpus bands "
+    "amortize across batches; each new doc reports its best corpus match "
+    "at Jaccard >= %s." % (dedup.INC_MOD, dedup.INC_NEW, dedup.JACCARD_T),
+)
+def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.incremental_dedup(_docs(spark, sf_dir))

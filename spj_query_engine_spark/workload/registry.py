@@ -69,6 +69,7 @@ GATE_PRIORITY: list[str] = [
     "t11_quality_filter",
     "t12_unigram_commonness",
     "q33_ext_orderby_agg",
+    "d11_incremental_dedup",
 ]
 
 
