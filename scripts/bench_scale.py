@@ -45,8 +45,10 @@ from spj_query_engine_spark.catalog import load_tables
 from spj_query_engine_spark.workload import REGISTRY
 
 BASE = "/root/testdata/sf0.1"
-SCALED = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spj_scale10")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+SCALED = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/spj_scale{REPLICAS}"
+)
 FAMILY = [
     "d01_exact_dedup",
     "d02_minhash_lsh",
@@ -101,14 +103,15 @@ def build_scaled(spark) -> None:
             "n_chars",
         )
         doc_parts.append(salted)
+        rot = r % dim  # rotation must stay within the dimensionality
         rolled = emb.select(
             (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
             (
                 F.concat(
-                    F.slice(F.col("embedding"), r + 1, dim - r),
-                    F.slice(F.col("embedding"), 1, r),
+                    F.slice(F.col("embedding"), rot + 1, dim - rot),
+                    F.slice(F.col("embedding"), 1, rot),
                 )
-                if r
+                if rot
                 else F.col("embedding")
             ).alias("embedding"),
             "label",
@@ -157,7 +160,7 @@ def _scaled_fn(name: str, sf_dir: str):
 
         def fn(spark, d):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            return dedup.embedding_near_dup(emb, n_cells=160)
+            return dedup.embedding_near_dup(emb, n_cells=16 * REPLICAS)
 
         return fn
     return REGISTRY[name].fn
@@ -179,6 +182,7 @@ def run(spark, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    name_filter = sys.argv[2:]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="spj-bench-scale",
@@ -194,17 +198,20 @@ def main() -> None:
         except Exception:
             results = {}
     for name in FAMILY:
+        if name_filter and not any(f in name for f in name_filter):
+            continue
         if name in results:
             continue
         base_s = run(spark, name, BASE)
         scale_s = run(spark, name, SCALED)
         results[name] = {
             "sf0.1_sec": base_s,
-            "x10_sec": scale_s,
+            f"x{REPLICAS}_sec": scale_s,
             "ratio": round(scale_s / base_s, 2) if base_s else None,
         }
         print(
-            f"  {name}: 1x {base_s}s -> 10x {scale_s}s (ratio {results[name]['ratio']})",
+            f"  {name}: 1x {base_s}s -> {REPLICAS}x {scale_s}s "
+            f"(ratio {results[name]['ratio']})",
             flush=True,
         )
         if out_path:  # incremental write — survives a timeout kill
