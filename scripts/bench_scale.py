@@ -56,6 +56,7 @@ FAMILY = [
     "d04_simhash_pairs",
     "d05_ngram_jaccard",
     "d06_embedding_near_dup",
+    "d12_near_dup_2level",
     "d07_dup_clusters",
     "d09_cc_alternating",
     "s01_ann_bruteforce",
@@ -161,6 +162,18 @@ def _scaled_fn(name: str, sf_dir: str):
         def fn(spark, d):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
             return dedup.embedding_near_dup(emb, n_cells=16 * REPLICAS)
+
+        return fn
+    if name == "d12_near_dup_2level" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import dedup
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            leaves = 16 * REPLICAS
+            return dedup.embedding_near_dup_2level(
+                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
+            )
 
         return fn
     return REGISTRY[name].fn

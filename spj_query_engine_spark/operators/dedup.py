@@ -797,6 +797,159 @@ def embedding_near_dup(
     )
 
 
+NEARDUP_BRANCH = 4  # level-1 fan-out for the two-level (hierarchical) variant
+
+
+def embedding_near_dup_2level(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_cells: int | None = None,
+    branch: int = NEARDUP_BRANCH,
+    n_assign: int = NEARDUP_ASSIGN,
+) -> DataFrame:
+    """Embedding near-dup pairs with a TWO-LEVEL quantizer assignment — the
+    shape that survives scaling the cell count with the corpus.
+
+    The flat variant (:func:`embedding_near_dup`) assigns each vector by
+    crossJoin against ALL ``n_cells`` centroids: with the documented
+    guidance n_cells ∝ n (constant cell size), assignment cost is
+    n × n_cells = O(n²/cell_size) — measured 282× wall at 100× input.
+    Here centroids form a two-level tree (IMI/hierarchical-k-means shape,
+    public methodology): ``branch`` level-1 centroids partition the
+    ``n_cells`` leaf centroids, a vector finds its nearest level-1 cell
+    (n × branch) then its nearest leaves WITHIN that cell
+    (n × n_cells/branch) — total n × (branch + n_cells/branch), minimized
+    at branch ≈ √n_cells.  All centroid choices are deterministic prefix
+    vectors, so the DuckDB oracle replays the full tree exactly.
+
+    Approximation note: a leaf inherits exactly one level-1 parent; vectors
+    probe only leaves under their own level-1 cell, so pairs straddling a
+    level-1 boundary are missed unless a shared leaf catches them — the
+    standard hierarchical-quantizer trade, mitigated by ``n_assign``
+    multi-probe at the leaf level (and level-1 cells are few and large, so
+    boundary mass is small)."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return dot_product(x, y, dim)
+
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.operators.core import spread
+
+    if n_cells is None:
+        n_cells = NEARDUP_CELLS
+    base = spread(embeddings, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    c1 = base.filter(F.col("id") < branch).select(
+        F.col("id").alias("c1"), F.col("v").alias("c1_vec")
+    )
+    leaf = base.filter(F.col("id") < n_cells).select(
+        F.col("id").alias("leaf"), F.col("v").alias("leaf_vec")
+    )
+    # each leaf centroid's level-1 parent
+    lw = Window.partitionBy("leaf").orderBy(F.desc("lsim"), F.asc("c1"))
+    leaf_parent = (
+        leaf.crossJoin(F.broadcast(c1))
+        .select(
+            "leaf", "leaf_vec", "c1",
+            cosine_sim(F.col("leaf_vec"), F.col("c1_vec")).alias("lsim"),
+        )
+        .withColumn("rnk", F.row_number().over(lw))
+        .filter(F.col("rnk") == 1)
+        .select("leaf", "leaf_vec", "c1")
+    )
+    # each vector's level-1 cell (n × branch pairs)
+    vw = Window.partitionBy("id").orderBy(F.desc("vsim"), F.asc("c1"))
+    v_l1 = (
+        base.crossJoin(F.broadcast(c1))
+        .select(
+            "id", "v", "norm", "c1",
+            cosine_sim(F.col("v"), F.col("c1_vec")).alias("vsim"),
+        )
+        .withColumn("rnk", F.row_number().over(vw))
+        .filter(F.col("rnk") == 1)
+        .select("id", "v", "norm", "c1")
+    )
+    # nearest n_assign leaves WITHIN the vector's level-1 cell
+    aw = Window.partitionBy("id").orderBy(F.desc("asim"), F.asc("leaf"))
+    blocked = (
+        v_l1.join(F.broadcast(leaf_parent), "c1")
+        .select(
+            "id", "v", "norm", "leaf",
+            cosine_sim(F.col("v"), F.col("leaf_vec")).alias("asim"),
+        )
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") <= n_assign)
+        .select(F.col("leaf").alias("blk"), "id", "v", "norm")
+    )
+    a = blocked.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = blocked.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = portable_round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_T)
+        .distinct()
+    )
+
+
+def embedding_near_dup_2level_sql(
+    table: str = "embeddings",
+    n_cells: int = NEARDUP_CELLS,
+    branch: int = NEARDUP_BRANCH,
+    n_assign: int = NEARDUP_ASSIGN,
+) -> str:
+    lsim = cosine_sim_sql("l.embedding", "c.embedding")
+    vsim = cosine_sim_sql("b.embedding", "c.embedding")
+    asim = cosine_sim_sql("v.v", "lp.leaf_vec")
+    sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
+    return f"""
+    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} WHERE vec_id < {branch}),
+    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} WHERE vec_id < {n_cells}),
+    leaf_parent AS (
+      SELECT leaf, leaf_vec, c1 FROM (
+        SELECT l.leaf, l.embedding AS leaf_vec, c.c1,
+               row_number() OVER (PARTITION BY l.leaf
+                                  ORDER BY {lsim} DESC, c.c1 ASC) AS rnk
+        FROM leafc l CROSS JOIN c1 c
+      ) WHERE rnk = 1
+    ),
+    v_l1 AS (
+      SELECT id, v, c1 FROM (
+        SELECT b.vec_id AS id, b.embedding AS v, c.c1,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {vsim} DESC, c.c1 ASC) AS rnk
+        FROM {table} b CROSS JOIN c1 c
+      ) WHERE rnk = 1
+    ),
+    blocked AS (
+      SELECT blk, id, v FROM (
+        SELECT lp.leaf AS blk, v.id, v.v,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {asim} DESC, lp.leaf ASC) AS rnk
+        FROM v_l1 v JOIN leaf_parent lp ON v.c1 = lp.c1
+      ) WHERE rnk <= {n_assign}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, {sim} AS cosine
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+    WHERE {sim} >= {COSINE_T}
+    """
+
+
 def embedding_near_dup_sql(
     table: str = "embeddings",
     n_cells: int = NEARDUP_CELLS,

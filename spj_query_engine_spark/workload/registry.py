@@ -70,6 +70,7 @@ GATE_PRIORITY: list[str] = [
     "t12_unigram_commonness",
     "q33_ext_orderby_agg",
     "d11_incremental_dedup",
+    "d12_near_dup_2level",
 ]
 
 

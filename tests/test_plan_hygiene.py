@@ -32,6 +32,7 @@ BNLJ_OK = {
     "s03_ann_ivf",
     "s01_ann_bruteforce",
     "d06_embedding_near_dup",
+    "d12_near_dup_2level",
     "t12_unigram_commonness",
 }
 
