@@ -78,6 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reads those as TimestampType already — only long nanos convert.
         if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Canonicalize every timestamp column to TimestampType.
+
+    Parquet written without ``isAdjustedToUTC`` surfaces as TIMESTAMP_NTZ
+    under Spark 4's NTZ inference; event-time watermarks and several
+    chronon functions require TimestampType.  With the session pinned to
+    UTC (session.py) the cast is value-preserving and matches DuckDB's
+    UTC-naive reading of the same file, so oracle hashes are unaffected.
+    The engine accepts all three on-disk representations the testdata has
+    shipped with: TIMESTAMP(NANOS)-as-long, micros-NTZ, and micros-UTC.
+    """
+    for col, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -114,7 +131,9 @@ def register_tables(
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
             spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
-            dfs[name] = spark.table(name)
+            # External tables read the footer type directly — re-apply the
+            # NTZ canonicalization the load_table path gives temp views.
+            dfs[name] = _normalize_timestamps(spark.table(name))
         else:
             df.createOrReplaceTempView(name)
     return dfs

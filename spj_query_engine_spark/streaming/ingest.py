@@ -49,8 +49,14 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Canonicalize event time to TimestampType whichever way the parquet
+    # stored it (nanos-as-long, micros-NTZ, micros-UTC) — watermarks reject
+    # TIMESTAMP_NTZ, and the UTC-pinned session makes the cast lossless.
+    for col, dt in stream.dtypes:
+        if name == "events" and col == "ts" and dt == "bigint":
+            stream = stream.withColumn(col, F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            stream = stream.withColumn(col, F.col(col).cast("timestamp"))
     return stream
 
 
