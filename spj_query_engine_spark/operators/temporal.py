@@ -688,3 +688,102 @@ def gap_fill_locf_sql(table: str = "events", grid_ms: int = GRID_MS) -> str:
     )
     SELECT user_id, grid_ms, value AS locf_value FROM j WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (e17) and per-window heavy hitters (e18)
+# ---------------------------------------------------------------------------
+
+COHORT_WEEK_MS = 7 * 24 * 3600 * 1000  # cohort bucket width
+
+
+def cohort_retention(events: DataFrame, week_ms: int = COHORT_WEEK_MS) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they return.
+
+    Scale shape: the corpus collapses to DISTINCT (user, week) FIRST — one
+    shuffle over a frame bounded by users × weeks, not events — then a window
+    min per user and one aggregate.  ``n_users`` is ``COUNT(*)`` over rows
+    already unique per (user, week), so no COUNT DISTINCT shuffle-dedup of
+    raw events ever happens.  At 100 TB the distinct is the only pass that
+    sees the full event stream, and it partial-aggregates map-side."""
+    uw = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_millis(F.col("ts").cast(T.TimestampType())) / F.lit(week_ms))
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        uw.withColumn("cohort_week", F.min("week").over(w))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(table: str = "events", week_ms: int = COHORT_WEEK_MS) -> str:
+    return f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / {week_ms}) AS BIGINT) AS week
+      FROM {table}
+    ),
+    c AS (
+      SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw
+    )
+    SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+    FROM c GROUP BY 1, 2
+    """
+
+
+HH_TOP_K = 3  # heavy hitters kept per window
+
+
+def window_heavy_hitters(
+    events: DataFrame, hours: int = ROLLUP_HOURS, k: int = HH_TOP_K
+) -> DataFrame:
+    """Top-k event types per tumbling window by event count.
+
+    Built on the e01 rollup: the ranking window runs over the ALREADY
+    AGGREGATED frame (one row per bucket × type — bounded by windows ×
+    distinct types, independent of event count), so the per-window sort
+    never sees raw events.  Ties break on event_type for a deterministic,
+    oracle-stable ranking."""
+    width_ms = hours * 3600 * 1000
+    counts = (
+        events.groupBy(
+            F.floor(F.unix_millis(F.col("ts").cast(T.TimestampType())) / F.lit(width_ms))
+            .cast("long")
+            .alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bucket", "event_type", "n_events", "rank")
+    )
+
+
+def window_heavy_hitters_sql(
+    table: str = "events", hours: int = ROLLUP_HOURS, k: int = HH_TOP_K
+) -> str:
+    width_ms = hours * 3600 * 1000
+    return f"""
+    WITH counts AS (
+      SELECT CAST(floor(epoch_ms(ts) / {width_ms}) AS BIGINT) AS bucket,
+             event_type, count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n_events, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY bucket
+                                   ORDER BY n_events DESC, event_type ASC) AS rank
+      FROM counts
+    ) WHERE rank <= {k}
+    """

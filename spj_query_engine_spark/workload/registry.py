@@ -71,6 +71,8 @@ GATE_PRIORITY: list[str] = [
     "q33_ext_orderby_agg",
     "d11_incremental_dedup",
     "d12_near_dup_2level",
+    "e17_cohort_retention",
+    "e18_heavy_hitters",
 ]
 
 

@@ -115,3 +115,29 @@ def e12_native_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.gap_fill_locf(ev)
+
+
+@register(
+    "e17_cohort_retention",
+    temporal.cohort_retention_sql(),
+    doc="Cohort-retention matrix (first-activity week x weeks-since): events "
+    "collapse to DISTINCT (user, week) before any windowing, so the "
+    "retention counts are plain COUNT(*) over pre-deduped rows — no "
+    "COUNT DISTINCT over raw events.",
+)
+def e17_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.cohort_retention(ev)
+
+
+@register(
+    "e18_heavy_hitters",
+    temporal.window_heavy_hitters_sql(),
+    doc="Top-%d event types per %dh tumbling window: rank runs over the "
+    "pre-aggregated bucket x type frame (bounded by windows x types), "
+    "never raw events; deterministic tie-break on event_type."
+    % (temporal.HH_TOP_K, temporal.ROLLUP_HOURS),
+)
+def e18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.window_heavy_hitters(ev)

@@ -138,3 +138,47 @@ def test_moving_stats_frame_and_gaps(events):
     # user 2: values 4, 5 at minutes 10, 20 — frames never cross users
     assert got[4]["mov_avg"] == 4.0 and got[4]["gap_ms"] is None
     assert got[5]["mov_avg"] == 4.5 and got[5]["gap_ms"] == 10 * 60_000
+
+
+def test_cohort_retention_offsets(spark):
+    wk = temporal.COHORT_WEEK_MS // 1000  # one week in seconds
+    base = dt.datetime(2024, 1, 4)  # mid-week, away from bucket edges
+    rows = [
+        # user 1: weeks 0, 1, 3 relative to first activity (plus a same-week
+        # repeat that must NOT double-count)
+        (1, 1, base, "view", 1.0),
+        (2, 1, base + dt.timedelta(seconds=60), "view", 1.0),
+        (3, 1, base + dt.timedelta(seconds=wk), "view", 1.0),
+        (4, 1, base + dt.timedelta(seconds=3 * wk), "view", 1.0),
+        # user 2: first active one week later, returns the week after
+        (5, 2, base + dt.timedelta(seconds=wk), "view", 1.0),
+        (6, 2, base + dt.timedelta(seconds=2 * wk), "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["cohort_week"] , r["week_offset"]): r["n_users"]
+        for r in temporal.cohort_retention(ev).collect()
+    }
+    c1 = min(k[0] for k in got)  # user 1's cohort week
+    assert got[(c1, 0)] == 1 and got[(c1, 1)] == 1 and got[(c1, 3)] == 1
+    assert (c1, 2) not in got  # user 1 skipped week 2
+    assert got[(c1 + 1, 0)] == 1 and got[(c1 + 1, 1)] == 1  # user 2's cohort
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    base = dt.datetime(2024, 1, 1, 1, 0)
+    rows = (
+        [(i, 1, base, "view", 1.0) for i in range(3)]
+        + [(10 + i, 1, base, "click", 1.0) for i in range(2)]
+        + [(20 + i, 1, base, "purchase", 1.0) for i in range(2)]  # tie with click
+        + [(30, 1, base, "refund", 1.0)]  # 4th place, cut by k=3
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = temporal.window_heavy_hitters(ev, hours=1, k=3).collect()
+    assert [(r["event_type"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        ("view", 1), ("click", 2), ("purchase", 3)  # tie broken alphabetically
+    ]
