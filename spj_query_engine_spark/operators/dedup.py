@@ -1197,3 +1197,92 @@ def apply_dedup_sql(table: str = "documents") -> str:
       SELECT doc_id FROM ({clusters}) WHERE NOT is_canonical
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level boilerplate dedup (d13): non-overlapping token-block hashes
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 8  # tokens per non-overlapping chunk
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> DataFrame:
+    """Per-document boilerplate fraction at sub-document granularity: split
+    each doc into NON-OVERLAPPING ``chunk_tokens``-token blocks, hash each
+    block, and report what fraction of a doc's blocks occur more than once
+    corpus-wide (within-doc repeats count — a doc repeating its own block IS
+    boilerplate).  This is the chunk-level exact-substring dedup pass LLM
+    pipelines run between whole-doc exact dedup (d01) and fuzzy dedup (d02):
+    it catches shared headers/footers that whole-doc hashing misses and
+    near-dup shingling drowns out.
+
+    Scale shape: chunking is a pure projection (token array → ``F.slice``
+    per block — no explode of raw text rows); only 16-byte md5 digests enter
+    the two aggregates (global block counts, then per-doc rollup).  Digest
+    keys are uniform, so neither shuffle can skew."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    chunked = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        # Token-less docs have no chunks on either engine (Spark's
+        # sequence(0, -1) would otherwise count DOWN; DuckDB's range(0, 0)
+        # is empty) — drop them before the chunk transform.
+        .filter(F.size("toks") > 0)
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {chunk_tokens}.0)) - 1), "
+                f"i -> md5(array_join(slice(toks, i * {chunk_tokens} + 1, {chunk_tokens}), ' ')))"
+            ).alias("digests"),
+        )
+        .select(id_col, F.explode("digests").alias("digest"))
+    )
+    counts = chunked.groupBy("digest").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        chunked.join(counts, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_chunks",
+        "n_dup_chunks",
+        portable_round(
+            F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def chunk_dedup_stats_sql(
+    table: str = "documents", chunk_tokens: int = CHUNK_TOKENS
+) -> str:
+    frac = portable_round_sql("n_dup_chunks / CAST(n_chunks AS DOUBLE)", 6)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    chunked AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, i * {chunk_tokens} + 1, (i + 1) * {chunk_tokens}), ' ')) AS digest
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / {chunk_tokens}.0) AS BIGINT))) AS u(i)
+    ),
+    counts AS (SELECT digest, count(*) AS n_occ FROM chunked GROUP BY digest),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      FROM chunked JOIN counts USING (digest) GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks, {frac} AS dup_frac FROM per_doc
+    """

@@ -18,7 +18,7 @@ them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spj_query_engine_spark.functions.hashing import (
@@ -596,4 +596,73 @@ def unigram_commonness_sql(table: str = "documents") -> str:
     )
     SELECT doc_id, {portable_round_sql(score, 6)} AS commonness
     FROM per_doc, tot
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (t13)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3  # terms kept per document
+IDF_SCALE = 1_000_000  # integer idf = (N_docs * IDF_SCALE) div document_freq
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """Top-k characteristic terms per document by an integer-exact TF-IDF:
+    score = tf × ((N_docs × 10⁶) div df).  The integer ratio replaces
+    log(N/df) — same monotone ordering in df for fixed tf, but pure BIGINT
+    arithmetic, so the cross-engine hash can never drift on libm log ulps.
+
+    Scale shape: after the explode, everything runs on the (doc, term, tf)
+    aggregate — one shuffle to build it, one equi-join on term against the
+    document-frequency frame (stop-term rows fan out at most N_docs wide,
+    AQE's skew split handles the head terms), one ranking window per doc.
+    Raw text never shuffles; N_docs is a broadcast single-row aggregate."""
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr(f"tf * ((n_docs * {IDF_SCALE}) div df)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("score").cast("long").alias("score"), "rank")
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM {table}
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * ((n.n_docs * {IDF_SCALE}) // df.df) AS BIGINT) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
     """

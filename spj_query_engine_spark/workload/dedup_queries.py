@@ -159,3 +159,16 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d12_near_dup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return dedup.embedding_near_dup_2level(emb)
+
+
+@register(
+    "d13_chunk_dedup",
+    dedup.chunk_dedup_stats_sql(),
+    doc="Chunk-level boilerplate stats: non-overlapping %d-token block "
+    "hashes, per-doc fraction occurring >1x corpus-wide - the exact "
+    "sub-document dedup pass between whole-doc hashing (d01) and fuzzy "
+    "shingling (d02); chunking is a pure projection, only digests "
+    "shuffle." % dedup.CHUNK_TOKENS,
+)
+def d13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.chunk_dedup_stats(_docs(spark, sf_dir))

@@ -73,6 +73,8 @@ GATE_PRIORITY: list[str] = [
     "d12_near_dup_2level",
     "e17_cohort_retention",
     "e18_heavy_hitters",
+    "t13_tfidf_top_terms",
+    "d13_chunk_dedup",
 ]
 
 

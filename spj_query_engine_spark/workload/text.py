@@ -142,3 +142,15 @@ def t11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t12_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_commonness(_docs(spark, sf_dir))
+
+
+@register(
+    "t13_tfidf_top_terms",
+    textops.tfidf_top_terms_sql(),
+    doc="Top-%d characteristic terms per doc by integer-exact TF-IDF "
+    "(score = tf x (N x 1e6 div df) - BIGINT arithmetic, no libm log "
+    "drift); ranking window runs over the (doc, term, tf) aggregate, "
+    "never raw text." % textops.TFIDF_TOP_K,
+)
+def t13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.tfidf_top_terms(_docs(spark, sf_dir))

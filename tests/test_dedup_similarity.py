@@ -206,3 +206,37 @@ def test_apply_dedup_drops_exact_and_near(spark):
     assert 1 in survivors and 4 in survivors
     assert 2 not in survivors  # exact dup
     assert 3 not in survivors  # near-dup, cluster canonical is 1
+
+
+def test_chunk_dedup_counts_shared_and_self_repeats(spark):
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    w8 = " ".join(f"w{i}" for i in range(8))  # one full chunk, shared by 1+2
+    cdocs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                w8 + " tail one",          # chunk2 = 'tail one' (unique)
+                w8 + " tail two",          # shares chunk1 with doc 1
+                "solo " * 8 + "solo " * 8,  # self-repeating doc
+                "unique words only here",
+            ],
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup_stats(spark.createDataFrame(cdocs)).collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
+    assert got[2]["n_dup_chunks"] == 1
+    assert got[3]["n_chunks"] == 2 and got[3]["n_dup_chunks"] == 2  # self-repeat
+    assert got[4]["n_dup_chunks"] == 0
+    con = _duck.connect()
+    con.register("documents", cdocs)
+    assert_same_result(
+        dedup.chunk_dedup_stats(spark.createDataFrame(cdocs)),
+        con,
+        dedup.chunk_dedup_stats_sql(),
+    )

@@ -201,3 +201,31 @@ def test_stratified_sample_per_stratum_independence(spark):
     assert again.count() == out.count()
     assert again.join(out.select("doc_id"), "doc_id").count() == out.count()
     out.unpersist()
+
+
+def test_tfidf_top_terms(docs_df, docs_duck):
+    assert_same_result(
+        textops.tfidf_top_terms(docs_df), docs_duck, textops.tfidf_top_terms_sql()
+    )
+
+
+def test_tfidf_ranks_rare_terms_above_stopwords(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "shared shared zebra",
+                    "shared shared yak",
+                    "shared shared shared",  # tf(shared)=3 but df=3 → low idf
+                ],
+            }
+        )
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in textops.tfidf_top_terms(df, k=1).collect()
+    }
+    # the unique term beats the corpus-wide one despite lower tf
+    assert got[(1, 1)] == "zebra" and got[(2, 1)] == "yak"
+    assert got[(3, 1)] == "shared"
