@@ -666,3 +666,71 @@ def tfidf_top_terms_sql(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map pandas surface: per-language robust quality stats (u02)
+# ---------------------------------------------------------------------------
+
+
+def quality_mad_by_lang(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language robust quality statistics — median and median absolute
+    deviation — computed in a GROUPED-MAP pandas UDF (``applyInPandas``).
+
+    This is the module's deliberate exception to the no-Python rule: the
+    grouped Arrow batch is the right surface for statistics that need the
+    whole group in memory (MAD is two dependent order-statistics passes).
+    One shuffle on the grouping key; each group arrives as a single Arrow
+    batch, so per-language medians are exact.  Groups are language-sized —
+    at 100 TB you'd pre-aggregate to (lang, quality-histogram) first; the
+    operator SHAPE (shuffle → grouped Arrow batch → per-group pandas) is
+    what this entry proves, value-hash-verified against the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    scored = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    sl = scored.join(docs.select(id_col, "lang"), id_col)
+
+    def mad_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["quality"].to_numpy(dtype=np.float64)
+        med = float(np.median(q))
+        mad = float(np.median(np.abs(q - med)))
+
+        def pround(x: float, d: int) -> float:
+            s = float(10**d)
+            return np.floor(x * s + 0.5) / s
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(q)],
+                "med_quality": [pround(med, 4)],
+                "mad_quality": [pround(mad, 4)],
+            }
+        )
+
+    return sl.groupBy("lang").applyInPandas(
+        mad_fn, "lang string, n_docs long, med_quality double, mad_quality double"
+    )
+
+
+def quality_mad_by_lang_sql(table: str = "documents") -> str:
+    """Oracle: the same two order statistics via quantile_cont (numpy median
+    on a sorted float64 array ≡ quantile_cont(0.5) linear interpolation)."""
+    med = portable_round_sql("quantile_cont(quality, 0.5)", 4)
+    mad = portable_round_sql("quantile_cont(abs_dev, 0.5)", 4)
+    return f"""
+    WITH q AS ({quality_score_sql(table)}),
+    sl AS (SELECT q.doc_id, q.quality, d.lang FROM q JOIN {table} d ON q.doc_id = d.doc_id),
+    med AS (SELECT lang, quantile_cont(quality, 0.5) AS med_quality FROM sl GROUP BY lang),
+    dev AS (
+      SELECT sl.lang, sl.quality, abs(sl.quality - med.med_quality) AS abs_dev
+      FROM sl JOIN med USING (lang)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           {med.replace('quality', 'dev.quality')} AS med_quality,
+           {mad} AS mad_quality
+    FROM dev GROUP BY lang
+    """

@@ -824,3 +824,55 @@ register(
         'ORDERBY COUNT(orders.o_orderkey) DESC, orders.o_custkey ASC LIMIT "15"'
     )
 )
+
+
+# --- q34: TPC-H Q17 shape — small-quantity-order revenue (correlated avg) ---
+Q34_BRAND = "Brand#23"
+
+
+@register(
+    "q34_small_qty_revenue",
+    f"""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l.l_partkey) AS sum_qty,
+             COUNT(*) OVER (PARTITION BY l.l_partkey) AS cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = '{Q34_BRAND}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           (floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0) AS avg_yearly
+    FROM li
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt < sum_qty
+    """,
+    doc="TPC-H-Q17-shaped query: per-part average via a window over the "
+    "brand-filtered fact (the correlated-subquery shape, decorrelated), "
+    "with the 0.2x-avg threshold multiplied out to pure decimal/integer "
+    "arithmetic (qty x 5 x cnt < sum_qty) so no double rounding can flip "
+    "a boundary row between engines.",
+)
+def q34_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.functions.hashing import portable_round
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    p = t["part"].filter(F.col("p_brand") == Q34_BRAND).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        li.withColumn("sum_qty", F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+    )
+    return qualified.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        portable_round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
+        ).alias("avg_yearly"),
+    )

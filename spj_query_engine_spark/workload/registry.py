@@ -75,6 +75,8 @@ GATE_PRIORITY: list[str] = [
     "e18_heavy_hitters",
     "t13_tfidf_top_terms",
     "d13_chunk_dedup",
+    "q34_small_qty_revenue",
+    "u02_grouped_mad",
 ]
 
 

@@ -154,3 +154,14 @@ def t12_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "u02_grouped_mad",
+    textops.quality_mad_by_lang_sql(),
+    doc="Grouped-map pandas surface (applyInPandas): per-language quality "
+    "median + MAD, each group one Arrow batch - the whole-group-in-memory "
+    "statistics shape, value-hash verified against quantile_cont.",
+)
+def u02_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_mad_by_lang(_docs(spark, sf_dir))

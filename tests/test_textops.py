@@ -229,3 +229,30 @@ def test_tfidf_ranks_rare_terms_above_stopwords(spark):
     # the unique term beats the corpus-wide one despite lower tf
     assert got[(1, 1)] == "zebra" and got[(2, 1)] == "yak"
     assert got[(3, 1)] == "shared"
+
+
+def test_quality_mad_by_lang(spark):
+    ldocs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "lang": ["en", "en", "en", "fr", "fr"],
+            "text": [
+                "the cat is on the mat",
+                "a dog and a fox",
+                "x",
+                "le chat est la",
+                "un deux trois quatre cinq six sept",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", ldocs)
+    assert_same_result(
+        textops.quality_mad_by_lang(spark.createDataFrame(ldocs)),
+        con,
+        textops.quality_mad_by_lang_sql(),
+    )
+    got = {r["lang"]: r for r in textops.quality_mad_by_lang(spark.createDataFrame(ldocs)).collect()}
+    assert got["en"]["n_docs"] == 3 and got["fr"]["n_docs"] == 2
+    # two-doc group: MAD = half the gap between the two qualities
+    assert got["fr"]["mad_quality"] >= 0.0
