@@ -34,6 +34,7 @@ BNLJ_OK = {
     "d06_embedding_near_dup",
     "d12_near_dup_2level",
     "t12_unigram_commonness",
+    "t13_tfidf_top_terms",  # broadcast single-row N_docs cross join
 }
 
 
