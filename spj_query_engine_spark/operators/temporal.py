@@ -787,3 +787,59 @@ def window_heavy_hitters_sql(
       FROM counts
     ) WHERE rank <= {k}
     """
+
+
+GAP_BUCKET_MIN = 1  # histogram bucket width (minutes)
+GAP_BUCKET_CAP = 120  # buckets above this collapse into one overflow bin
+
+
+def gap_histogram(
+    events: DataFrame,
+    bucket_min: int = GAP_BUCKET_MIN,
+    cap: int = GAP_BUCKET_CAP,
+) -> DataFrame:
+    """Distribution of inter-event gaps (e19): per-user consecutive-event
+    deltas, bucketed into ``bucket_min``-minute bins with one overflow bin
+    at ``cap`` — the arrival-process profile that sizes sessionization gaps
+    and streaming watermarks.
+
+    Scale shape: one shuffle (partition by user) for the LAG pass, then a
+    map-side-combining count over at most ``cap + 1`` integer buckets — the
+    aggregate output is bounded by the bucket count, independent of event
+    volume."""
+    bucket_ms = bucket_min * 60 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        )
+        .withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return (
+        gaps.select(
+            F.least(F.floor(F.col("gap_ms") / F.lit(bucket_ms)), F.lit(cap))
+            .cast("long")
+            .alias("gap_bucket")
+        )
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+def gap_histogram_sql(
+    table: str = "events", bucket_min: int = GAP_BUCKET_MIN, cap: int = GAP_BUCKET_CAP
+) -> str:
+    bucket_ms = bucket_min * 60 * 1000
+    return f"""
+    WITH g AS (
+      SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+      FROM {table}
+    )
+    SELECT CAST(least(floor(gap_ms / {bucket_ms}), {cap}) AS BIGINT) AS gap_bucket,
+           count(*) AS n_gaps
+    FROM g WHERE gap_ms IS NOT NULL GROUP BY 1
+    """

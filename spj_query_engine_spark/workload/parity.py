@@ -876,3 +876,36 @@ def q34_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
         ).alias("avg_yearly"),
     )
+
+
+# --- q35: TPC-H Q4 shape — EXISTS with a cross-table residual predicate ---
+
+
+@register(
+    "q35_priority_waiting",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H-Q4-shaped query: EXISTS subquery with a predicate spanning "
+    "both tables (ship after order date) — plans as a LEFT SEMI hash join "
+    "on the equi key with the inequality as a join residual, then a "
+    "pre-aggregated rollup; the semi join dedups order rows in the join "
+    "itself, so no DISTINCT pass exists anywhere.",
+)
+def q35_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o, li = t["orders"], t["lineitem"]
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"]
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -77,6 +77,8 @@ GATE_PRIORITY: list[str] = [
     "d13_chunk_dedup",
     "q34_small_qty_revenue",
     "u02_grouped_mad",
+    "q35_priority_waiting",
+    "e19_gap_histogram",
 ]
 
 

@@ -141,3 +141,16 @@ def e17_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.window_heavy_hitters(ev)
+
+
+@register(
+    "e19_gap_histogram",
+    temporal.gap_histogram_sql(),
+    doc="Inter-event gap histogram (%d-min bins, overflow at %d): LAG pass "
+    "on one user shuffle, then a map-side-combining count over a "
+    "bucket-bounded key space - the arrival profile that sizes session "
+    "gaps and watermarks." % (temporal.GAP_BUCKET_MIN, temporal.GAP_BUCKET_CAP),
+)
+def e19_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.gap_histogram(ev)

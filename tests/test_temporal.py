@@ -182,3 +182,19 @@ def test_heavy_hitters_rank_and_ties(spark):
     assert [(r["event_type"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
         ("view", 1), ("click", 2), ("purchase", 3)  # tie broken alphabetically
     ]
+
+
+def test_gap_histogram_buckets_and_overflow(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, "view", 1.0),
+        (2, 1, base + dt.timedelta(seconds=30), "view", 1.0),   # 0-min bucket
+        (3, 1, base + dt.timedelta(minutes=5, seconds=30), "view", 1.0),  # 5-min
+        (4, 2, base, "view", 1.0),
+        (5, 2, base + dt.timedelta(days=1), "view", 1.0),       # overflow bin
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["gap_bucket"]: r["n_gaps"] for r in temporal.gap_histogram(ev).collect()}
+    assert got == {0: 1, 5: 1, temporal.GAP_BUCKET_CAP: 1}
