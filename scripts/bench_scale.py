@@ -77,6 +77,13 @@ FAMILY = [
     "e11_moving_stats",
     "e12_native_session",
     "e14_gap_fill",
+    # round-2 late additions
+    "d13_chunk_dedup",
+    "t13_tfidf_top_terms",
+    "u02_grouped_mad",
+    "e17_cohort_retention",
+    "e18_heavy_hitters",
+    "e19_gap_histogram",
 ]
 
 
