@@ -1286,3 +1286,39 @@ def chunk_dedup_stats_sql(
     )
     SELECT doc_id, n_chunks, n_dup_chunks, {frac} AS dup_frac FROM per_doc
     """
+
+
+def apply_embedding_dedup(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Semantic (embedding-space) dedup end product (d14): survivors after
+    dropping every non-canonical member of the cosine near-duplicate
+    clusters — :func:`embedding_near_dup_2level` pairs →
+    :func:`dup_clusters` components → keep the min-id representative.
+    The embedding twin of :func:`apply_dedup` (which walks MinHash text
+    clusters): both anti-join an id-only loser frame, so at 100 TB the
+    final pass shuffles longs, never vectors."""
+    pairs = embedding_near_dup_2level(embeddings, vec_col, id_col).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    losers = (
+        dup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return embeddings.select(id_col).join(losers, id_col, "left_anti")
+
+
+def apply_embedding_dedup_sql(table: str = "embeddings") -> str:
+    pairs_body = (
+        "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+        + embedding_near_dup_2level_sql(table)
+        + ")"
+    )
+    clusters = dup_clusters_sql(pairs_body)
+    return f"""
+    SELECT vec_id FROM {table}
+    WHERE vec_id NOT IN (
+      SELECT doc_id FROM ({clusters}) WHERE NOT is_canonical
+    )
+    """

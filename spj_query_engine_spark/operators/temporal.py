@@ -843,3 +843,55 @@ def gap_histogram_sql(
            count(*) AS n_gaps
     FROM g WHERE gap_ms IS NOT NULL GROUP BY 1
     """
+
+
+RANGE_WINDOW_MS = 3600 * 1000  # time-range window frame width (1h)
+
+
+def trailing_range_stats(events: DataFrame, window_ms: int = RANGE_WINDOW_MS) -> DataFrame:
+    """Trailing TIME-RANGE window features (e20): for each event, the count
+    and value-sum of the same user's events in the preceding hour INCLUDING
+    the current row — a RANGE frame over event-time millis, not a ROWS
+    frame (e11): frame membership depends on timestamps, so co-timestamped
+    events all see the same frame and the result is tie-order independent.
+
+    Scale shape: one shuffle (partition by user) + one ordered pass; Spark
+    evaluates the range frame with a sliding two-pointer over each sorted
+    partition — O(events) per user, no self-join against the hour band."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-window_ms, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+            F.col("value"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_value_1h"),
+        )
+    )
+
+
+def trailing_range_stats_sql(table: str = "events", window_ms: int = RANGE_WINDOW_MS) -> str:
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM {table}
+    )
+    SELECT event_id, user_id, ts_ms,
+           count(*) OVER w AS n_prev_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN {window_ms} PRECEDING AND CURRENT ROW)
+    """

@@ -734,3 +734,54 @@ def quality_mad_by_lang_sql(table: str = "documents") -> str:
            {mad} AS mad_quality
     FROM dev GROUP BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (t14)
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary profile (t14): total token occurrences,
+    distinct vocabulary size, hapax legomena count and fraction — the
+    Heaps'/Zipf-law health numbers a tokenizer-training or dedup run checks
+    before touching a new corpus.
+
+    Scale shape: one explode → one groupBy(token) with map-side partial
+    counts, then a single-row rollup OVER THE VOCABULARY frame (bounded by
+    distinct tokens, not occurrences).  All-integer outputs except the one
+    final fraction."""
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_tok.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+    ).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "vocab_size",
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        portable_round(
+            F.col("n_hapax") / F.col("vocab_size").cast("double"), 6
+        ).alias("hapax_frac"),
+    )
+
+
+def vocab_stats_sql(table: str = "documents") -> str:
+    frac = portable_round_sql("n_hapax / CAST(vocab_size AS DOUBLE)", 6)
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM {table}
+    ),
+    per_tok AS (SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           {frac} AS hapax_frac
+    FROM per_tok
+    """

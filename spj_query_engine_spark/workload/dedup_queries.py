@@ -172,3 +172,16 @@ def d12_near_dup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_dedup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "d14_embedding_dedup",
+    dedup.apply_embedding_dedup_sql(),
+    doc="Semantic dedup end product: embedding near-dup pairs (d12's "
+    "two-level quantizer) -> connected components -> keep the min-id "
+    "representative; the final anti-join moves id-only frames, never "
+    "vectors - the embedding twin of d08.",
+)
+def d14_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup.apply_embedding_dedup(emb)

@@ -79,6 +79,9 @@ GATE_PRIORITY: list[str] = [
     "u02_grouped_mad",
     "q35_priority_waiting",
     "e19_gap_histogram",
+    "e20_range_window",
+    "t14_vocab_stats",
+    "d14_embedding_dedup",
 ]
 
 

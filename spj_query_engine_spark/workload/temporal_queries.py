@@ -154,3 +154,16 @@ def e18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e19_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.gap_histogram(ev)
+
+
+@register(
+    "e20_range_window",
+    temporal.trailing_range_stats_sql(),
+    doc="Trailing 1h TIME-RANGE window features per event (RANGE frame on "
+    "event-time millis, not a ROWS frame): co-timestamped events share a "
+    "frame so the result is tie-order independent; evaluated as one "
+    "ordered pass per user partition, no self-join against the band.",
+)
+def e20_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.trailing_range_stats(ev)

@@ -165,3 +165,14 @@ def t13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u02_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_mad_by_lang(_docs(spark, sf_dir))
+
+
+@register(
+    "t14_vocab_stats",
+    textops.vocab_stats_sql(),
+    doc="Corpus vocabulary profile: token total, vocab size, hapax count "
+    "and fraction (Heaps'/Zipf health check) - one token groupBy with "
+    "map-side partials, rollup bounded by the vocabulary.",
+)
+def t14_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.vocab_stats(_docs(spark, sf_dir))

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "d12_near_dup_2level",
     "t12_unigram_commonness",
     "t13_tfidf_top_terms",  # broadcast single-row N_docs cross join
+    "d14_embedding_dedup",  # composes d12's whitelisted centroid assignment
 }
 
 

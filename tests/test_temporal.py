@@ -198,3 +198,23 @@ def test_gap_histogram_buckets_and_overflow(spark):
     )
     got = {r["gap_bucket"]: r["n_gaps"] for r in temporal.gap_histogram(ev).collect()}
     assert got == {0: 1, 5: 1, temporal.GAP_BUCKET_CAP: 1}
+
+
+def test_trailing_range_window_ties_share_frame(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, 1, base, "view", 1.0),
+        (2, 1, base + dt.timedelta(minutes=30), "view", 2.0),
+        (3, 1, base + dt.timedelta(minutes=30), "view", 4.0),  # co-timestamped
+        (4, 1, base + dt.timedelta(minutes=89), "view", 8.0),  # 1st falls out
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["event_id"]: r for r in temporal.trailing_range_stats(ev).collect()}
+    assert got[1]["n_prev_1h"] == 1
+    # RANGE frame: both co-timestamped events see each other → identical stats
+    assert got[2]["n_prev_1h"] == 3 and got[3]["n_prev_1h"] == 3
+    assert got[2]["sum_value_1h"] == got[3]["sum_value_1h"] == 7.0
+    # event 4: events at +30min are inside its trailing hour, event 1 is not
+    assert got[4]["n_prev_1h"] == 3 and got[4]["sum_value_1h"] == 14.0

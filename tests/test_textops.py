@@ -256,3 +256,18 @@ def test_quality_mad_by_lang(spark):
     assert got["en"]["n_docs"] == 3 and got["fr"]["n_docs"] == 2
     # two-doc group: MAD = half the gap between the two qualities
     assert got["fr"]["mad_quality"] >= 0.0
+
+
+def test_vocab_stats_hapax(spark):
+    vdocs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a a b unique", "b c C"]}
+    )
+    row = textops.vocab_stats(spark.createDataFrame(vdocs)).collect()[0]
+    assert row["n_tokens"] == 7
+    assert row["vocab_size"] == 4  # a, b, unique, c (lowercased)
+    assert row["n_hapax"] == 1  # only 'unique'
+    con = duckdb.connect()
+    con.register("documents", vdocs)
+    assert_same_result(
+        textops.vocab_stats(spark.createDataFrame(vdocs)), con, textops.vocab_stats_sql()
+    )
