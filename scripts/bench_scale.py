@@ -84,6 +84,8 @@ FAMILY = [
     "e17_cohort_retention",
     "e18_heavy_hitters",
     "e19_gap_histogram",
+    "e20_range_window",
+    "t14_vocab_stats",
 ]
 
 
