@@ -40,7 +40,9 @@ def empty_sf(spark, tmp_path_factory):
 #: one zero-count row per static step (its oracle does the same)
 EXPECTED_ON_EMPTY = {
     "q16_global_agg": 1,
+    "q34_small_qty_revenue": 1,
     "t10_approx_cardinality": 1,
+    "t14_vocab_stats": 1,
     "m05_modality_lake": 1,
     "e08_funnel": 3,
 }

@@ -97,3 +97,20 @@ def test_gate_priority_names_resolve():
     unresolved = [n for n in GATE_PRIORITY if n not in REGISTRY]
     assert not unresolved, f"GATE_PRIORITY names not in REGISTRY: {unresolved}"
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY), "duplicate names"
+
+
+def test_unproven_entries_fill_gate_window():
+    """The driver's gate records only the first 50 queries() entries per
+    round.  Every entry not yet proven by a prior CORRECTNESS_r*.json must
+    sit inside that window, or it can never convert to driver-proven."""
+    from spj_query_engine_spark.workload.registry import (
+        _gate_order,
+        _proven_names,
+    )
+
+    order = _gate_order()
+    assert set(order) == set(REGISTRY)
+    unproven = [n for n in order if n not in _proven_names()]
+    window = set(order[:50])
+    overflow = [n for n in unproven[:50] if n not in window]
+    assert not overflow, f"unproven entries outside the 50-slot gate window: {overflow}"
