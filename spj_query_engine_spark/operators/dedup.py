@@ -1322,3 +1322,113 @@ def apply_embedding_dedup_sql(table: str = "embeddings") -> str:
       SELECT doc_id FROM ({clusters}) WHERE NOT is_canonical
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (d15) — the transformation d13's stats point at
+# ---------------------------------------------------------------------------
+
+BOILER_MAX_OCC = 2  # blocks occurring more often corpus-wide are boilerplate
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    max_occ: int = BOILER_MAX_OCC,
+) -> DataFrame:
+    """Remove corpus-wide duplicated blocks from each document and emit the
+    CLEANED text (doc_id, n_blocks, n_kept, clean_text) — the C4-style
+    boilerplate strip that d13 only measures: any ``chunk_tokens``-token
+    block occurring more than ``max_occ`` times across the corpus (shared
+    headers, footers, navigation chrome) is dropped from every document,
+    and the survivors are reassembled in original order.
+
+    Scale shape: the boilerplate list is the SMALL side — block digests
+    with count > max_occ, a tiny fraction of the corpus — so the removal
+    is a LEFT ANTI join of blocks against digests (broadcastable at any
+    realistic boilerplate volume).  Reassembly is one groupBy(doc) with an
+    order-restoring ``array_sort(collect_list(struct(idx, block)))`` —
+    per-doc state is bounded by document length, never corpus size.  Raw
+    text shuffles exactly once (the rebuild); the counting aggregate moves
+    16-byte digests only."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {chunk_tokens}.0)) - 1), "
+                f"i -> array_join(slice(toks, i * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+            ).alias("blocks"),
+        )
+    )
+    blocks = base.select(id_col, F.posexplode("blocks").alias("idx", "block"))
+    boiler = (
+        blocks.select(F.md5("block").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > max_occ)
+        .select("digest")
+    )
+    kept = blocks.join(
+        boiler, F.md5(F.col("block")) == F.col("digest"), "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, block))), "
+            "s -> s.block), ' ')"
+        ).alias("clean_text"),
+    )
+    totals = base.select(id_col, F.size("blocks").cast("long").alias("n_blocks"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def strip_boilerplate_sql(
+    table: str = "documents",
+    chunk_tokens: int = CHUNK_TOKENS,
+    max_occ: int = BOILER_MAX_OCC,
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    blocks AS (
+      SELECT doc_id, i,
+             array_to_string(
+               list_slice(toks, i * {chunk_tokens} + 1, (i + 1) * {chunk_tokens}), ' ') AS block
+      FROM nz, unnest(range(0, CAST(ceil(len(toks) / {chunk_tokens}.0) AS BIGINT))) AS u(i)
+    ),
+    boiler AS (
+      SELECT md5(block) AS digest FROM blocks GROUP BY 1 HAVING count(*) > {max_occ}
+    ),
+    kept AS (
+      SELECT * FROM blocks WHERE md5(block) NOT IN (SELECT digest FROM boiler)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(block, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(ceil(len(toks) / {chunk_tokens}.0) AS BIGINT) AS n_blocks
+      FROM nz
+    )
+    SELECT totals.doc_id, totals.n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals LEFT JOIN rebuilt r ON totals.doc_id = r.doc_id
+    """

@@ -895,3 +895,67 @@ def trailing_range_stats_sql(table: str = "events", window_ms: int = RANGE_WINDO
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
                  RANGE BETWEEN {window_ms} PRECEDING AND CURRENT ROW)
     """
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile sketch gate (e21)
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ACC = 10_000  # GK accuracy knob: rank error <= n / accuracy
+APPROX_PCT_RANK_TOL = 0.02  # allowed |rank(sketch value)/n - p| beyond the 1/n step
+
+
+def approx_percentile_check(
+    events: DataFrame,
+    points: tuple = PCT_POINTS,
+    accuracy: int = APPROX_PCT_ACC,
+    rank_tol: float = APPROX_PCT_RANK_TOL,
+) -> DataFrame:
+    """Sketch-based quantiles — ``approx_percentile`` (Greenwald-Khanna,
+    SIGMOD'01) of the value column per event type — verified IN-ENGINE
+    against the sketch's ACTUAL guarantee, which is on rank, not value:
+    for every group and probe point p, the fraction of the group's values
+    at or below the sketch's answer must sit within ``rank_tol`` (+ the
+    1/n quantization step) of p.  A value-space tolerance would be wrong
+    here: in a heavy tail the gap between adjacent order statistics at
+    p99 can be an arbitrary fraction of the range, so even a PERFECT
+    rank-exact sketch fails a value gate on small groups.  One row
+    (n_groups, within_tol) with a constant oracle — the t10/s05 pattern.
+
+    The sketch is THE quantile tool at 100 TB: bounded mergeable state per
+    group versus e09's exact path that must see every value.  The second
+    pass over events here is the verification itself (counting ranks of
+    the probe answers via a broadcast of groups × points probe rows)."""
+    pts = ", ".join(str(p) for p in points)
+    sk = events.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array({pts}), {accuracy})").alias(
+            "approx"
+        )
+    )
+    probes = sk.select(
+        "event_type", F.posexplode("approx").alias("i", "v")
+    ).withColumn("p", F.element_at(F.expr(f"array({pts})"), F.col("i") + 1))
+    scored = (
+        events.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type", "p", "v")
+        .agg(
+            F.sum((F.col("value") <= F.col("v")).cast("long")).alias("at_or_below"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    frac = F.col("at_or_below") / F.col("n").cast("double")
+    ok = F.abs(frac - F.col("p")) <= F.lit(rank_tol) + 1.0 / F.col("n")
+    return scored.agg(
+        F.count_distinct("event_type").cast("long").alias("n_groups"),
+        F.min(ok.cast("long")).cast("long").alias("within_tol"),
+    )
+
+
+def approx_percentile_check_sql(table: str = "events") -> str:
+    """Constant oracle: the group count is exact (DuckDB recomputes it);
+    the tolerance bound is the assertion the Spark side must reproduce."""
+    return (
+        f"SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups, "
+        f"CAST(CASE WHEN count(*) > 0 THEN 1 ELSE NULL END AS BIGINT) AS within_tol "
+        f"FROM {table}"
+    )

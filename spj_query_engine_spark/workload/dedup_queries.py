@@ -185,3 +185,17 @@ def d13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d14_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return dedup.apply_embedding_dedup(emb)
+
+
+@register(
+    "d15_strip_boilerplate",
+    dedup.strip_boilerplate_sql(),
+    doc="Boilerplate REMOVAL (the transformation d13's stats point at): "
+    "drop every %d-token block occurring >%dx corpus-wide, reassemble "
+    "surviving blocks in order into clean_text; removal is a LEFT ANTI "
+    "join against the (small) boilerplate digest list, counting moves "
+    "digests only, text shuffles once for the rebuild."
+    % (dedup.CHUNK_TOKENS, dedup.BOILER_MAX_OCC),
+)
+def d15_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.strip_boilerplate(_docs(spark, sf_dir))

@@ -167,3 +167,18 @@ def e19_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e20_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.trailing_range_stats(ev)
+
+
+@register(
+    "e21_approx_percentile",
+    temporal.approx_percentile_check_sql(),
+    doc="Sketch quantiles gated on the sketch's ACTUAL (rank) guarantee: "
+    "for every event type and probe point p, the fraction of values at or "
+    "below approx_percentile's answer must sit within %.0f%% rank error "
+    "(+1/n step) of p - bounded mergeable state per group, the 100 TB "
+    "replacement for e09's exact sort-based path; constant oracle, the "
+    "t10/s05 gate pattern." % (temporal.APPROX_PCT_RANK_TOL * 100),
+)
+def e21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.approx_percentile_check(ev)

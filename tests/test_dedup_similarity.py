@@ -240,3 +240,49 @@ def test_chunk_dedup_counts_shared_and_self_repeats(spark):
         con,
         dedup.chunk_dedup_stats_sql(),
     )
+
+
+def test_strip_boilerplate_removes_shared_blocks(spark):
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    boiler = " ".join(f"nav{i}" for i in range(8))  # the shared 8-token header
+    bdocs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                boiler + " body one is here yes indeed truly now",
+                boiler + " body two is here yes indeed truly now",
+                boiler + " body three is here yes indeed sadly now",
+                "standalone words that occur nowhere else at all",
+            ],
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.strip_boilerplate(spark.createDataFrame(bdocs)).collect()
+    }
+    # the header occurs 3x (> BOILER_MAX_OCC=2) -> removed everywhere
+    for d in (1, 2, 3):
+        assert got[d]["n_blocks"] == 2 and got[d]["n_kept"] == 1
+        assert not got[d]["clean_text"].startswith("nav0")
+    assert got[1]["clean_text"] == "body one is here yes indeed truly now"
+    # untouched doc survives verbatim (lowercased)
+    assert got[4]["n_kept"] == got[4]["n_blocks"] == 1
+    assert got[4]["clean_text"] == bdocs.text[3]
+    con = _duck.connect()
+    con.register("documents", bdocs)
+    assert_same_result(
+        dedup.strip_boilerplate(spark.createDataFrame(bdocs)),
+        con,
+        dedup.strip_boilerplate_sql(),
+    )
+
+
+def test_strip_boilerplate_keeps_at_or_below_max_occ(spark):
+    """Blocks at exactly max_occ occurrences stay (boundary semantics)."""
+    blk = " ".join(f"b{i}" for i in range(8))
+    bdocs = pd.DataFrame({"doc_id": [1, 2], "text": [blk, blk]})  # 2 = max_occ
+    got = dedup.strip_boilerplate(spark.createDataFrame(bdocs)).collect()
+    assert all(r["n_kept"] == 1 and r["clean_text"] == blk for r in got)

@@ -42,6 +42,7 @@ EXPECTED_ON_EMPTY = {
     "q16_global_agg": 1,
     "q34_small_qty_revenue": 1,
     "t10_approx_cardinality": 1,
+    "e21_approx_percentile": 1,
     "t14_vocab_stats": 1,
     "m05_modality_lake": 1,
     "e08_funnel": 3,

@@ -218,3 +218,23 @@ def test_trailing_range_window_ties_share_frame(spark):
     assert got[2]["sum_value_1h"] == got[3]["sum_value_1h"] == 7.0
     # event 4: events at +30min are inside its trailing hour, event 1 is not
     assert got[4]["n_prev_1h"] == 3 and got[4]["sum_value_1h"] == 14.0
+
+
+def test_approx_percentile_gate_holds(spark):
+    """The GK sketch at accuracy 10k must sit within tolerance of the exact
+    interpolated percentile on a skewed constructed distribution."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.exponential(10.0, 4000), rng.normal(500, 1, 50)])
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_type": ["a"] * 2025 + ["b"] * 2025,
+                "value": vals,
+            }
+        )
+    )
+    row = temporal.approx_percentile_check(ev).collect()[0]
+    assert row["n_groups"] == 2
+    assert row["within_tol"] == 1
