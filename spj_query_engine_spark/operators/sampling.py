@@ -297,3 +297,90 @@ def pack_sequences_sql(
            CAST(floor((cum - 1) / {ctx}) AS BIGINT) AS chunk_last
     FROM cumd
     """
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunking (p06) — RAG / long-context splitting
+# ---------------------------------------------------------------------------
+
+RAG_CHUNK = 32  # tokens per chunk
+RAG_STRIDE = 24  # chunk start step (overlap = RAG_CHUNK - RAG_STRIDE)
+
+
+def overlap_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    size: int = RAG_CHUNK,
+    stride: int = RAG_STRIDE,
+) -> DataFrame:
+    """Split each document into OVERLAPPING ``size``-token windows every
+    ``stride`` tokens — the retrieval/RAG chunking step (p05 packs for
+    pretraining with hard cuts; retrieval needs overlap so no answer span
+    straddles a boundary unseen).  Emits one row per chunk:
+    (doc_id, chunk_idx, tok_start, n_tok_chunk, digest) with the digest
+    standing in for chunk text so downstream dedup/embedding stages move
+    16-byte keys, not strings.
+
+    Chunk count is ``max(1, ceil((n - overlap) / stride))`` — every token
+    is covered, the last chunk is never a strict sub-span of its
+    predecessor, and a short doc yields exactly one chunk.  Scale shape:
+    pure per-row projection (sequence → transform → posexplode); no
+    shuffle at all, and the ~size/stride row fan-out is the declared cost."""
+    overlap = size - stride
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(key_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.expr(
+        f"transform(sequence(0, greatest(1, "
+        f"int(ceil((size(toks) - {overlap}) / {stride}.0))) - 1), "
+        f"i -> i * {stride})"
+    )
+    return (
+        base.select(
+            key_col,
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "tok_start"),
+        )
+        .select(
+            key_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.expr(f"slice(toks, tok_start + 1, {size})").alias("chunk"),
+        )
+        .select(
+            key_col,
+            "chunk_idx",
+            "tok_start",
+            F.size("chunk").cast("long").alias("n_tok_chunk"),
+            F.md5(F.array_join("chunk", " ")).alias("digest"),
+        )
+    )
+
+
+def overlap_chunks_sql(
+    table: str = "documents",
+    size: int = RAG_CHUNK,
+    stride: int = RAG_STRIDE,
+) -> str:
+    overlap = size - stride
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx, i * {stride} AS tok_start,
+             list_slice(toks, i * {stride} + 1, i * {stride} + {size}) AS chunk
+      FROM nz, unnest(range(0, greatest(1,
+             CAST(ceil((len(toks) - {overlap}) / {stride}.0) AS BIGINT)))) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, tok_start,
+           CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
+           md5(array_to_string(chunk, ' ')) AS digest
+    FROM chunks
+    """

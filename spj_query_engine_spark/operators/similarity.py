@@ -541,3 +541,118 @@ def ivf_trained_recall_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
         f"SELECT {k}::BIGINT AS k, {n_queries}::BIGINT AS n_queries, "
         f"1::BIGINT AS recall_ok"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN self-join (s06) — every vector's top-k neighbors via shared IVF cells
+# ---------------------------------------------------------------------------
+
+KNN_K = 3  # neighbors kept per vector
+KNN_CELLS = 16  # default cell count (conf `spj.knn.cells` scales it)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KNN_K,
+    n_cells: int = KNN_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """k-NN SELF-join: every vector's top-``k`` cosine neighbors across the
+    whole corpus — the batch-ANN workhorse behind kNN-graph construction
+    (HNSW/NN-Descent seeding, graph-based semantic dedup, label
+    propagation).  s01–s04 answer a handful of queries; this answers n.
+
+    All-pairs is n² and never acceptable; the IVF decomposition bounds the
+    work: each vector joins only members of its ``n_probe`` nearest cells,
+    giving Σ_cells |probers| × |members| scored pairs (≈ n²·probe/cells,
+    tunable via conf ``spj.knn.cells`` ≈ corpus/target_cell_size — same
+    lever as d12; centroids stay seed-deterministic so the oracle replays
+    assignment exactly).  Candidate generation is one equi-join on cell id;
+    scoring joins ship only (id, vec) pairs; per-vector top-k is a window
+    over candidate sets bounded by cell size, never the corpus."""
+    from spj_query_engine_spark.operators.core import spread
+
+    n_cells = int(
+        embeddings.sparkSession.conf.get("spj.knn.cells", str(n_cells))
+    )
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    homes = ranked.filter(F.col("rnk") == 1).select(
+        F.col("vid").alias("mid"), "cid"
+    )
+    probes = ranked.filter(F.col("rnk") <= n_probe).select(
+        F.col("vid").alias("qid"), "cid"
+    )
+    cand = (
+        probes.join(homes, "cid")
+        .filter(F.col("qid") != F.col("mid"))
+        .select("qid", "mid")
+        .distinct()
+    )
+    q = emb.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    m = emb.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("mid"))
+    return (
+        cand.join(q, "qid")
+        .join(m, "mid")
+        .select(
+            F.col("qid").alias(id_col), F.col("mid").alias("nbr_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
+        ))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_sql(
+    table: str = "embeddings",
+    k: int = KNN_K,
+    n_cells: int = KNN_CELLS,
+    n_probe: int = N_PROBE,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    homes AS (SELECT vid AS mid, cid FROM ranked WHERE rnk = 1),
+    probes AS (SELECT vid AS qid, cid FROM ranked WHERE rnk <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT p.qid, h.mid
+      FROM probes p JOIN homes h ON p.cid = h.cid
+      WHERE p.qid != h.mid
+    ),
+    scored AS (
+      SELECT cand.qid AS vec_id, cand.mid AS nbr_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.qid
+      JOIN {table} m ON m.vec_id = cand.mid
+    )
+    SELECT vec_id, nbr_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

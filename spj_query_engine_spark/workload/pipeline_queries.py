@@ -242,3 +242,16 @@ def e15_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e16_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "p06_overlap_chunks",
+    sampling.overlap_chunks_sql(),
+    doc="RAG chunking: overlapping %d-token windows every %d tokens "
+    "(p05's retrieval twin - overlap so no answer span straddles a cut "
+    "unseen); one digest row per chunk, pure projection fan-out, zero "
+    "shuffles." % (sampling.RAG_CHUNK, sampling.RAG_STRIDE),
+)
+def p06_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.overlap_chunks(docs)

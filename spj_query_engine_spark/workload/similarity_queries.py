@@ -85,3 +85,17 @@ def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.functions.vectorops import normalize_embeddings
 
     return normalize_embeddings(_emb(spark, sf_dir))
+
+
+@register(
+    "s06_knn_join",
+    similarity.knn_join_sql(),
+    doc="k-NN SELF-join: top-%d cosine neighbors for EVERY vector via "
+    "shared IVF cells (probe-%d candidate equi-join, exact rerank within "
+    "cells) - the kNN-graph construction step; scored pairs bounded by "
+    "n^2*probe/cells with cells tunable via conf spj.knn.cells, never "
+    "all-pairs." % (similarity.KNN_K, similarity.N_PROBE),
+)
+def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_join(emb)

@@ -286,3 +286,23 @@ def test_strip_boilerplate_keeps_at_or_below_max_occ(spark):
     bdocs = pd.DataFrame({"doc_id": [1, 2], "text": [blk, blk]})  # 2 = max_occ
     got = dedup.strip_boilerplate(spark.createDataFrame(bdocs)).collect()
     assert all(r["n_kept"] == 1 and r["clean_text"] == blk for r in got)
+
+
+def test_knn_join_recovers_planted_neighbors(spark):
+    """With one cell per planted cluster, every vector's #1 neighbor must
+    be its cluster-mate, and no vector may pair with itself."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),   # near 0
+        (3, [0.05, 0.99, 0.0, 0.0]),   # near 1
+        (4, [0.98, 0.0, 0.1, 0.0]),    # near 0
+        (5, [0.0, 0.97, 0.0, 0.12]),   # near 1
+    ]
+    emb6 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.knn_join(emb6, k=2, n_cells=2, n_probe=1).collect()
+    top1 = {r["vec_id"]: r["nbr_id"] for r in got if r["rank"] == 1}
+    assert all(r["vec_id"] != r["nbr_id"] for r in got)
+    cluster = {0: {2, 4}, 2: {0, 4}, 4: {0, 2}, 1: {3, 5}, 3: {1, 5}, 5: {1, 3}}
+    for vid, nbr in top1.items():
+        assert nbr in cluster[vid], f"{vid}: top-1 neighbor {nbr} not in planted cluster"

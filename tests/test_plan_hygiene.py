@@ -36,6 +36,7 @@ BNLJ_OK = {
     "t12_unigram_commonness",
     "t13_tfidf_top_terms",  # broadcast single-row N_docs cross join
     "d14_embedding_dedup",  # composes d12's whitelisted centroid assignment
+    "s06_knn_join",  # same broadcast centroid-assignment crossJoin as s03
 }
 
 

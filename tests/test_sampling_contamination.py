@@ -63,3 +63,40 @@ def test_contamination_partial_overlap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["contamination"] for r in dedup.contamination(docs).collect()}
     assert 0.0 < got[1] < 1.0
+
+
+def test_overlap_chunks_boundaries(spark):
+    """Chunk count = max(1, ceil((n - overlap)/stride)); every token is
+    covered; consecutive chunks overlap by exactly size - stride tokens."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.sampling import (
+        overlap_chunks,
+        overlap_chunks_sql,
+    )
+    from tests.conftest import assert_same_result
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            # boundary cases around size=32 / stride=24 / overlap=8:
+            "text": [words(8), words(32), words(33), words(56), words(57)],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    got = overlap_chunks(sdf).toPandas()
+    n_chunks = got.groupby("doc_id").size().to_dict()
+    assert n_chunks == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+    # every chunk starts on the stride grid and the last covers the tail
+    for doc_id, n in [(3, 33), (4, 56), (5, 57)]:
+        sub = got[got.doc_id == doc_id].sort_values("chunk_idx")
+        assert list(sub.tok_start) == [24 * i for i in range(len(sub))]
+        last = sub.iloc[-1]
+        assert last.tok_start + last.n_tok_chunk == n  # tail covered
+    con = _duck.connect()
+    con.register("documents", docs)
+    assert_same_result(overlap_chunks(sdf), con, overlap_chunks_sql())
