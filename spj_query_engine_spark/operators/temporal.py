@@ -959,3 +959,86 @@ def approx_percentile_check_sql(table: str = "events") -> str:
         f"CAST(CASE WHEN count(*) > 0 THEN 1 ELSE NULL END AS BIGINT) AS within_tol "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly growth accounting (e22)
+# ---------------------------------------------------------------------------
+
+
+def growth_accounting(events: DataFrame, week_ms: int = COHORT_WEEK_MS) -> DataFrame:
+    """Weekly growth accounting — the product-analytics ledger: per week,
+    every active user is exactly one of NEW (first-ever week), RETAINED
+    (also active the week before) or RESURRECTED (active before, but not
+    last week); CHURNED(w) = active(w-1) - retained(w), the users who
+    did not come back.  n_new + n_retained + n_resurrected = n_active by
+    construction — the invariant the test asserts.
+
+    Scale shape (same discipline as e17): collapse to DISTINCT
+    (user, week) first — the only pass over raw events, partial-aggregated
+    map-side — then one LAG window per user over the user-week frame
+    (bounded by users × weeks) and a weekly rollup.  The churn ledger is
+    a self-join of the WEEKLY aggregate against itself at week-1: a frame
+    of one row per week, broadcast for free."""
+    uw = (
+        events.select(
+            "user_id",
+            F.floor(
+                F.unix_millis(F.col("ts").cast(T.TimestampType())) / F.lit(week_ms)
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lab = uw.withColumn("prev", F.lag("week").over(w))
+    status = (
+        F.when(F.col("prev").isNull(), F.lit("new"))
+        .when(F.col("week") - F.col("prev") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    weekly = lab.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((status == "new").cast("long")).alias("n_new"),
+        F.sum((status == "retained").cast("long")).alias("n_retained"),
+        F.sum((status == "resurrected").cast("long")).alias("n_resurrected"),
+    )
+    prev = weekly.select(
+        (F.col("week") + 1).alias("week"), F.col("n_active").alias("prev_active")
+    )
+    return weekly.join(prev, "week", "left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+def growth_accounting_sql(table: str = "events", week_ms: int = COHORT_WEEK_MS) -> str:
+    return f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / {week_ms}) AS BIGINT) AS week
+      FROM {table}
+    ),
+    lab AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+      FROM uw
+    ),
+    weekly AS (
+      SELECT week, count(*) AS n_active,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN week - prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND week - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM lab GROUP BY week
+    )
+    SELECT w.week, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+           CAST(COALESCE(p.n_active, 0) - w.n_retained AS BIGINT) AS n_churned
+    FROM weekly w LEFT JOIN weekly p ON p.week = w.week - 1
+    """

@@ -909,3 +909,66 @@ def q35_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --- q36: TPC-H Q22 shape — above-average balance, never-ordered customers ---
+Q36_NATIONS = (1, 3, 5, 7, 9, 11, 13)  # the Q22 country-code IN-set analog
+
+
+@register(
+    "q36_global_sales_opportunity",
+    f"""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_nationkey IN {Q36_NATIONS}
+    ),
+    thr AS (
+      SELECT CAST(SUM(bal) AS DECIMAL(18,2)) AS sum_bal,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pool WHERE bal > 0
+    ),
+    eligible AS (
+      SELECT p.c_custkey, p.c_nationkey, p.bal
+      FROM pool p, thr
+      WHERE p.bal * thr.n > thr.sum_bal
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H-Q22-shaped query: customers of selected nations with "
+    "above-average positive balance and no COMPLETED (F-status) orders - "
+    "scalar-aggregate "
+    "threshold broadcast as a single-row cross join, the avg comparison "
+    "multiplied out to pure decimal (bal x n > sum) so no double-rounding "
+    "boundary flip, anti join against orders, then rollup.",
+)
+def q36_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    pool = (
+        t["customer"]
+        .filter(F.col("c_nationkey").isin(*Q36_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    thr = pool.filter(F.col("bal") > 0).agg(
+        F.sum("bal").cast("decimal(18,2)").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    eligible = pool.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal") * F.col("n") > F.col("sum_bal")
+    )
+    finished = t["orders"].filter(F.col("o_orderstatus") == "F")
+    never_ordered = eligible.join(
+        finished, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )

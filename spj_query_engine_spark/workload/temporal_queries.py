@@ -182,3 +182,17 @@ def e20_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.approx_percentile_check(ev)
+
+
+@register(
+    "e22_growth_accounting",
+    temporal.growth_accounting_sql(),
+    doc="Weekly growth accounting: every active user classified new / "
+    "retained / resurrected (churned = prev active - retained) - distinct "
+    "(user, week) first so raw events shuffle once, one LAG window over "
+    "the user-week frame, churn ledger joins the one-row-per-week rollup "
+    "against itself.",
+)
+def e22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.growth_accounting(ev)

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "t13_tfidf_top_terms",  # broadcast single-row N_docs cross join
     "d14_embedding_dedup",  # composes d12's whitelisted centroid assignment
     "s06_knn_join",  # same broadcast centroid-assignment crossJoin as s03
+    "q36_global_sales_opportunity",  # broadcast single-row scalar threshold
 }
 
 

@@ -238,3 +238,33 @@ def test_approx_percentile_gate_holds(spark):
     row = temporal.approx_percentile_check(ev).collect()[0]
     assert row["n_groups"] == 2
     assert row["within_tol"] == 1
+
+
+def test_growth_accounting_ledger_invariants(spark):
+    """new + retained + resurrected = active every week; churned(w) equals
+    prev week's active minus retained; a planted gap resurrects."""
+    rows = [
+        # user 1: weeks 0,1,2 (retained twice)
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-08 00:00:00"), (1, "2024-01-15 00:00:00"),
+        # user 2: weeks 0,2 (gap -> resurrected in week 2)
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-15 00:00:00"),
+        # user 3: week 1 only (new in 1, churned counted at 2)
+        (3, "2024-01-08 00:00:00"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, u, ts, "view", 1.0) for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["week"]: r for r in temporal.growth_accounting(ev).collect()}
+    weeks = sorted(got)
+    w0, w1, w2 = weeks
+    for wk in weeks:
+        r = got[wk]
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+    assert got[w0]["n_active"] == 2 and got[w0]["n_new"] == 2
+    assert got[w1]["n_active"] == 2 and got[w1]["n_retained"] == 1 and got[w1]["n_new"] == 1
+    assert got[w1]["n_churned"] == 1  # user 2 sat out week 1
+    assert got[w2]["n_resurrected"] == 1  # user 2 came back
+    assert got[w2]["n_churned"] == 1  # user 3 gone
