@@ -656,3 +656,129 @@ def knn_join_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (s07) — compress vectors to M sub-space codes
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim → 8 × 8-dim)
+PQ_K = 16  # centroids per subspace
+
+
+def _l2sq(x: Column, y: Column, n: int) -> Column:
+    """Unrolled squared-L2 with LEFT-TO-RIGHT accumulation (bit-identical
+    to the oracle's list_reduce fold, same discipline as dot_product)."""
+    out = F.lit(0.0)
+    for i in range(1, n + 1):
+        d = F.element_at(x, i).cast("double") - F.element_at(y, i).cast("double")
+        out = out + d * d
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): split each vector
+    into ``m`` sub-spaces, assign every sub-vector to its nearest of
+    ``k_cent`` per-sub-space centroids, emit the code word — 64 float32s
+    become ``m`` small ints (512 → 8 bytes/vector at these settings), the
+    compression that makes billion-vector ANN indexes fit in RAM.
+    Codebooks are seed-deterministic (sub-vectors of the first ``k_cent``
+    vectors — k-means iteration 0, same convention as the IVF quantizer)
+    so the DuckDB oracle replays assignment bit-for-bit; ties break on
+    code asc via struct-min.
+
+    Output: (vec_id, codes array<int>, err2) where err2 is the total
+    squared reconstruction error, folded in sub-space order so both
+    engines accumulate identically.  Scale shape: the corpus explodes to
+    n×m sub-vector rows, joins the BROADCAST m×k codebook (128 rows),
+    and partial-aggregates the per-(vec, sub-space) min map-side — one
+    shuffle of n×m narrow rows, no all-pairs anywhere."""
+    from spj_query_engine_spark.operators.core import spread
+
+    sub = dim // m
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    subvecs = F.expr(
+        f"transform(sequence(0, {m - 1}), i -> slice(vec, i * {sub} + 1, {sub}))"
+    )
+    parts = emb.select("vid", F.posexplode(subvecs).alias("sub_m", "subvec"))
+    cent = emb.filter(F.col("vid") < k_cent).select(
+        F.col("vid").cast("int").alias("code"),
+        F.posexplode(subvecs).alias("sub_m", "csub"),
+    )
+    scored = parts.join(F.broadcast(cent), "sub_m").select(
+        "vid",
+        "sub_m",
+        "code",
+        _l2sq(F.col("subvec"), F.col("csub"), sub).alias("d"),
+    )
+    best = scored.groupBy("vid", "sub_m").agg(
+        F.min(F.struct(F.col("d"), F.col("code"))).alias("best")
+    )
+    per_vec = best.groupBy("vid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub_m, best.code AS code))), "
+            "s -> s.code)"
+        ).alias("codes"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(sub_m, best.d AS d))), "
+            "s -> s.d), 0.0D, (acc, v) -> acc + v)"
+        ).alias("err2_raw"),
+    )
+    return per_vec.select(
+        F.col("vid").alias(id_col),
+        "codes",
+        portable_round(F.col("err2_raw"), 4).alias("err2"),
+    )
+
+
+def pq_encode_sql(
+    table: str = "embeddings", m: int = PQ_M, k_cent: int = PQ_K
+) -> str:
+    def l2sq(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(len({x})), i -> "
+            f"({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE) * ({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    err2 = portable_round_sql(
+        "list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sub_m)), (acc, v) -> acc + v)",
+        4,
+    )
+    return f"""
+    WITH parts AS (
+      SELECT vec_id AS vid, sub_m,
+             list_slice(embedding, sub_m * (len(embedding) // {m}) + 1,
+                        (sub_m + 1) * (len(embedding) // {m})) AS subvec
+      FROM {table}, unnest(range(0, {m})) AS u(sub_m)
+    ),
+    cent AS (
+      SELECT CAST(vid AS INTEGER) AS code, sub_m, subvec AS csub
+      FROM parts WHERE vid < {k_cent}
+    ),
+    scored AS (
+      SELECT p.vid, p.sub_m, c.code, {l2sq('p.subvec', 'c.csub')} AS d
+      FROM parts p JOIN cent c USING (sub_m)
+    ),
+    best AS (
+      SELECT vid, sub_m, code, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid, sub_m
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vid AS vec_id,
+           list(code ORDER BY sub_m) AS codes,
+           {err2} AS err2
+    FROM best GROUP BY vid
+    """

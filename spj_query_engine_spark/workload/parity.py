@@ -972,3 +972,99 @@ def q36_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal").cast("double").alias("totacctbal"),
     )
+
+
+# --- q37: TPC-H Q16 shape — supplier counts per part attribute group ---
+Q37_EXCL_BRAND = "Brand#45"
+Q37_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@register(
+    "q37_supplier_counts",
+    f"""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{Q37_EXCL_BRAND}'
+      AND p.p_size IN {Q37_SIZES}
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H-Q16-shaped query: distinct suppliers per (brand, size) "
+    "group, excluding one brand and every negative-balance supplier "
+    "(the NOT-IN complaints filter) - dimension filters push to the part "
+    "scan, the exclusion list broadcasts as an anti join, and the "
+    "count-distinct runs as Spark's two-phase expand aggregate.",
+)
+def q37_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    p = (
+        t["part"]
+        .filter(
+            (F.col("p_brand") != Q37_EXCL_BRAND)
+            & F.col("p_size").isin(*Q37_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return li.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+# --- q38: one-pass table profile (the runtime analog of `.stat` catalogs) ---
+Q38_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q38_table_profile",
+    """
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    """
+    + ",\n".join(
+        f"        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c},\n"
+        f"        CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c}"
+        for c in Q38_COLS
+    )
+    + """
+      FROM orders
+    )
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS col_name, n_rows, null_{c} AS n_nulls, ndv_{c} AS n_distinct FROM a"
+        for c in Q38_COLS
+    ),
+    doc="One-pass per-column table profile (row count, null count, exact "
+    "NDV) in long format - the runtime analog of the reference's .stat "
+    "catalog files (RandomDB.java stats -> PlanCost), executed as ONE "
+    "aggregate with Spark's two-phase expand for the multi-column "
+    "count-distinct; at 100 TB swap NDV to approx_count_distinct (t10 "
+    "gates that sketch), same single-pass shape.",
+)
+def q38_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            for c in Q38_COLS
+        ],
+        *[F.count_distinct(c).alias(f"ndv_{c}") for c in Q38_COLS],
+    )
+    stack = (
+        f"stack({len(Q38_COLS)}, "
+        + ", ".join(f"'{c}', null_{c}, ndv_{c}" for c in Q38_COLS)
+        + ") as (col_name, n_nulls, n_distinct)"
+    )
+    return a.select(F.expr(stack), "n_rows").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct"
+    )

@@ -99,3 +99,18 @@ def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.knn_join(emb)
+
+
+@register(
+    "s07_pq_encode",
+    similarity.pq_encode_sql(),
+    doc="Product quantization (Jegou et al.): %d sub-spaces x %d "
+    "seed-deterministic centroids compress 64 floats to %d bytes per "
+    "vector + squared reconstruction error - n x m narrow rows join a "
+    "broadcast 128-row codebook, per-(vec, subspace) min partial-aggregates "
+    "map-side; the compression behind RAM-resident billion-vector ANN."
+    % (similarity.PQ_M, similarity.PQ_K, similarity.PQ_M),
+)
+def s07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.pq_encode(emb)

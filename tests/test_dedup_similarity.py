@@ -306,3 +306,25 @@ def test_knn_join_recovers_planted_neighbors(spark):
     cluster = {0: {2, 4}, 2: {0, 4}, 4: {0, 2}, 1: {3, 5}, 3: {1, 5}, 5: {1, 3}}
     for vid, nbr in top1.items():
         assert nbr in cluster[vid], f"{vid}: top-1 neighbor {nbr} not in planted cluster"
+
+
+def test_pq_encode_centroids_self_code(emb):
+    """Seed vectors ARE the codebook: with k_cent=2, vectors 0 and 10 (the
+    two seeds after id-order) must... — use a constructed frame where ids
+    0..1 are seeds: each seed encodes to its own code in every subspace
+    with zero reconstruction error."""
+    rows = [
+        (0, [float(i) for i in range(8)]),
+        (1, [float(7 - i) for i in range(8)]),
+        (2, [float(i) + 0.1 for i in range(8)]),  # near seed 0
+    ]
+    emb8 = __import__("pyspark.sql", fromlist=["SparkSession"])  # noqa: F841
+    spark = emb.sparkSession
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(df, m=2, k_cent=2, dim=8).collect()
+    }
+    assert got[0]["codes"] == [0, 0] and got[0]["err2"] == 0.0
+    assert got[1]["codes"] == [1, 1] and got[1]["err2"] == 0.0
+    assert got[2]["codes"] == [0, 0] and got[2]["err2"] > 0.0

@@ -41,6 +41,7 @@ def empty_sf(spark, tmp_path_factory):
 EXPECTED_ON_EMPTY = {
     "q16_global_agg": 1,
     "q34_small_qty_revenue": 1,
+    "q38_table_profile": 4,  # one profile row per profiled column
     "t10_approx_cardinality": 1,
     "e21_approx_percentile": 1,
     "t14_vocab_stats": 1,
