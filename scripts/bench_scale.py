@@ -86,6 +86,14 @@ FAMILY = [
     "e19_gap_histogram",
     "e20_range_window",
     "t14_vocab_stats",
+    # round-2 session-3 additions
+    "d15_strip_boilerplate",
+    "s06_knn_join",
+    "s07_pq_encode",
+    "s08_pq_adc_topk",
+    "p06_overlap_chunks",
+    "e21_approx_percentile",
+    "e22_growth_accounting",
 ]
 
 

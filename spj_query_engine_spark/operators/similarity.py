@@ -782,3 +782,132 @@ def pq_encode_sql(
            {err2} AS err2
     FROM best GROUP BY vid
     """
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """ANN over PQ codes by Asymmetric Distance Computation (s08): each
+    query builds a tiny (m × k_cent) lookup table of exact sub-space
+    distances to every codeword, and every database vector's approximate
+    distance is the m-term LUT sum addressed by its codes — the classic
+    PQ search (Jégou et al. §IV): the corpus is scanned as CODES (8 bytes
+    a vector), never as floats.
+
+    Scale shape: the LUT (n_queries × m × k_cent rows) broadcasts; the
+    exploded code column equi-joins it on (sub_m, code); the per-(query,
+    vector) sum folds in sub-space order so both engines accumulate
+    identically — making this approximate index fully VALUE-replayable in
+    SQL (codes and codebooks are seed-deterministic), a stronger check
+    than a recall gate.  Top-k ranks on the rounded distance with id
+    tie-break, s01's convention."""
+    from spj_query_engine_spark.operators.core import spread
+
+    sub = dim // m
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    subvecs = F.expr(
+        f"transform(sequence(0, {m - 1}), i -> slice(vec, i * {sub} + 1, {sub}))"
+    )
+    dbx = pq_encode(embeddings, vec_col, id_col, m, k_cent, dim).select(
+        F.col(id_col).alias("cand_id"),
+        F.posexplode("codes").alias("sub_m", "code"),
+    )
+    qparts = emb.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("qid"), F.posexplode(subvecs).alias("sub_m", "qsub")
+    )
+    cent = emb.filter(F.col("vid") < k_cent).select(
+        F.col("vid").cast("int").alias("code"),
+        F.posexplode(subvecs).alias("sub_m", "csub"),
+    )
+    lut = qparts.join(F.broadcast(cent), "sub_m").select(
+        "qid", "sub_m", "code", _l2sq(F.col("qsub"), F.col("csub"), sub).alias("d")
+    )
+    contrib = dbx.join(F.broadcast(lut), ["sub_m", "code"]).filter(
+        F.col("cand_id") != F.col("qid")
+    )
+    scored = contrib.groupBy("qid", "cand_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(sub_m, d))), "
+            "s -> s.d), 0.0D, (acc, v) -> acc + v)"
+        ).alias("adc_raw")
+    )
+    return (
+        scored.select(
+            F.col("qid").alias("query_id"),
+            "cand_id",
+            portable_round(F.col("adc_raw"), 6).alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+        ))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_adc_topk_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+) -> str:
+    def l2sq(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(len({x})), i -> "
+            f"({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE) * ({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    adc = portable_round_sql(
+        "list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sub_m)), (acc, v) -> acc + v)",
+        6,
+    )
+    return f"""
+    WITH enc AS ({pq_encode_sql(table, m, k_cent)}),
+    dbx AS (
+      SELECT vec_id AS cand_id, sub_m, codes[sub_m + 1] AS code
+      FROM enc, unnest(range(0, {m})) AS u(sub_m)
+    ),
+    qparts AS (
+      SELECT vec_id AS qid, sub_m,
+             list_slice(embedding, sub_m * (len(embedding) // {m}) + 1,
+                        (sub_m + 1) * (len(embedding) // {m})) AS qsub
+      FROM {table}, unnest(range(0, {m})) AS u(sub_m)
+      WHERE vec_id < {n_queries}
+    ),
+    centp AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, sub_m,
+             list_slice(embedding, sub_m * (len(embedding) // {m}) + 1,
+                        (sub_m + 1) * (len(embedding) // {m})) AS csub
+      FROM {table}, unnest(range(0, {m})) AS u(sub_m)
+      WHERE vec_id < {k_cent}
+    ),
+    lut AS (
+      SELECT q.qid, q.sub_m, c.code, {l2sq('q.qsub', 'c.csub')} AS d
+      FROM qparts q JOIN centp c USING (sub_m)
+    ),
+    contrib AS (
+      SELECT x.cand_id, l.qid, x.sub_m, l.d
+      FROM dbx x JOIN lut l ON l.sub_m = x.sub_m AND l.code = x.code
+      WHERE x.cand_id != l.qid
+    ),
+    scored AS (
+      SELECT qid AS query_id, cand_id, {adc} AS adc
+      FROM contrib GROUP BY qid, cand_id
+    )
+    SELECT query_id, cand_id, adc, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -1068,3 +1068,83 @@ def q38_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(F.expr(stack), "n_rows").select(
         "col_name", "n_rows", "n_nulls", "n_distinct"
     )
+
+
+# --- q39: TPC-H Q21 shape — suppliers who alone shipped slow ---
+Q39_SLOW_DAYS = 60
+_Q39_MS = Q39_SLOW_DAYS * 86_400_000
+
+
+@register(
+    "q39_waiting_suppliers",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN epoch_ms(l_shipdate) > epoch_ms(
+                    (SELECT o2.o_orderdate FROM orders o2
+                     WHERE o2.o_orderkey = l_orderkey)) + {_Q39_MS}
+                  THEN 1 ELSE 0 END AS slow
+      FROM lineitem
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.slow = 1
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.slow = 1)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H-Q21-shaped query: suppliers whose line item was the ONLY "
+    "slow one (ship > order date + %d days) in a completed multi-supplier "
+    "order - EXISTS as a LEFT SEMI join (other supplier present) plus "
+    "NOT EXISTS as a LEFT ANTI join (no OTHER slow supplier), both on the "
+    "order key with the supplier inequality as join residual; the hardest "
+    "reference-era planner shape, no DISTINCT pass anywhere."
+    % Q39_SLOW_DAYS,
+)
+def q39_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "o_orderstatus",
+            (
+                F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+                > F.unix_millis(F.col("o_orderdate").cast("timestamp")) + _Q39_MS
+            ).alias("slow"),
+        )
+    )
+    l1 = li.filter(F.col("slow") & (F.col("o_orderstatus") == "F")).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("slow")).select("l_orderkey", "l_suppkey").alias("l3")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -114,3 +114,17 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.pq_encode(emb)
+
+
+@register(
+    "s08_pq_adc_topk",
+    similarity.pq_adc_topk_sql(),
+    doc="PQ-ADC search: per-query (subspace x codeword) distance lookup "
+    "table broadcasts, the corpus scans as 8-byte codes equi-joined on "
+    "(sub_m, code), per-pair distance folds in subspace order - the "
+    "classic compressed-domain ANN; codes + codebooks are deterministic "
+    "so even this approximate index is value-hash replayed in SQL.",
+)
+def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.pq_adc_topk(emb)

@@ -328,3 +328,22 @@ def test_pq_encode_centroids_self_code(emb):
     assert got[0]["codes"] == [0, 0] and got[0]["err2"] == 0.0
     assert got[1]["codes"] == [1, 1] and got[1]["err2"] == 0.0
     assert got[2]["codes"] == [0, 0] and got[2]["err2"] > 0.0
+
+
+def test_pq_adc_ranks_planted_cluster(emb):
+    """ADC distance through the code domain must rank the planted
+    cluster-mate first: vector 2 quantizes to seed 0's codes, so its
+    nearest ADC candidate is vector 0."""
+    spark = emb.sparkSession
+    rows = [
+        (0, [float(i) for i in range(8)]),
+        (1, [float(7 - i) * 3.0 for i in range(8)]),
+        (2, [float(i) + 0.1 for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.pq_adc_topk(
+        df, k=1, n_queries=3, m=2, k_cent=2, dim=8
+    ).collect()
+    top1 = {r["query_id"]: r["cand_id"] for r in got}
+    assert top1[2] == 0
+    assert all(r["adc"] >= 0.0 for r in got)
