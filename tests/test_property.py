@@ -213,3 +213,46 @@ def test_parser_total_on_garbage(tokens):
             parse(text, extended=extended)
         except DialectParseError:
             pass
+
+
+@given(
+    doc_lens=st.lists(
+        st.integers(min_value=0, max_value=70), min_size=1, max_size=10
+    ),
+    vocab=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_random_docs_boilerplate_and_chunks(spark, doc_lens, vocab):
+    """Token-count boundary sweep for the block/window document operators:
+    random doc lengths (0, 1, exact block multiples, …) with a small vocab
+    (forcing heavy corpus-wide block repetition) must match the DuckDB
+    oracles value-for-value for both d15 (strip_boilerplate) and p06
+    (overlap_chunks)."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.dedup import (
+        strip_boilerplate,
+        strip_boilerplate_sql,
+    )
+    from spj_query_engine_spark.operators.sampling import (
+        overlap_chunks,
+        overlap_chunks_sql,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(doc_lens)),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % vocab}" for j in range(n))
+                for i, n in enumerate(doc_lens)
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    try:
+        assert_same_result(strip_boilerplate(sdf), con, strip_boilerplate_sql())
+        assert_same_result(overlap_chunks(sdf), con, overlap_chunks_sql())
+    finally:
+        con.close()
