@@ -193,6 +193,15 @@ def _scaled_fn(name: str, sf_dir: str):
             )
 
         return fn
+    if name == "s06_knn_join" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import similarity
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            return similarity.knn_join(emb, n_cells=16 * REPLICAS)
+
+        return fn
     return REGISTRY[name].fn
 
 

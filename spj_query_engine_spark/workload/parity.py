@@ -1148,3 +1148,63 @@ def q39_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --- q40: TPC-H Q20 shape — dominant suppliers of selected parts ---
+Q40_NAME_SUBSTR = "re"  # part-name filter (Q20's p_name LIKE 'forest%' analog)
+
+
+@register(
+    "q40_dominant_suppliers",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps
+      JOIN tot ON tot.l_partkey = ps.l_partkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+                 AND p.p_name LIKE '%{Q40_NAME_SUBSTR}%'
+      WHERE ps.qty * 5 > tot.total
+    )
+    SELECT s.s_name, CAST(s.s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    doc="TPC-H-Q20-shaped query: suppliers who shipped more than "
+    "a FIFTH of some matching part's total quantity - two stacked aggregates on the "
+    "same grouping prefix (the second reuses the first's shuffle "
+    "partitioning), the name filter pushed to the part scan and broadcast, "
+    "the share test in pure decimal (qty x 5 > total), and the final "
+    "IN as a LEFT SEMI join on the supplier key.",
+)
+def q40_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    named = (
+        t["part"]
+        .filter(F.col("p_name").contains(Q40_NAME_SUBSTR))
+        .select("p_partkey")
+    )
+    dominant = (
+        ps.join(tot, "l_partkey")
+        .join(F.broadcast(named), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") * 5 > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"))
+    )
