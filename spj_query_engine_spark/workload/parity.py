@@ -1208,3 +1208,61 @@ def q40_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_nationkey").cast("long").alias("s_nationkey"))
     )
+
+
+# --- q41: TPC-H Q10 shape — returned-item revenue ranking ---
+Q41_FROM = "1996-07-01"
+Q41_TO = "1997-01-01"
+
+
+@register(
+    "q41_returned_item_ranking",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q41_FROM}'
+      AND o.o_orderdate < TIMESTAMP '{Q41_TO}'
+    GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+    doc="TPC-H-Q10-shaped query: customers ranked by lost revenue from "
+    "RETURNED items in one half-year - return-flag and date predicates "
+    "pushed to both fact scans, customer dimension broadcast, "
+    "decimal-exact revenue, deterministic top-20 TakeOrderedAndProject.",
+)
+def q41_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(Q41_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q41_TO).cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

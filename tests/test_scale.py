@@ -92,3 +92,41 @@ def test_q31_bucketed_entry_zero_exchange(spark):
 
     df = REGISTRY["q31_bucketed_join_agg"].fn(spark, SF_DIR)
     assert scale.exchanges_in_plan(df) == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The runtime row-level bloom filter — Spark's semi-join reduction for
+    shuffle joins a broadcast can't cover — injects when enabled: the
+    selective build side aggregates a bloom_filter_agg and the fact side
+    probes it (BloomFilterMightContain) BELOW the join, so at 100 TB most
+    non-matching fact rows die at the scan instead of crossing the shuffle.
+    Kept opt-in (local[32] fixtures are broadcast-sized); this test pins
+    the lever working so a cluster deployment can switch it on."""
+    from spj_query_engine_spark.catalog import load_tables
+
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "BloomFilterMightContain" in plan or "bloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
