@@ -1042,3 +1042,54 @@ def growth_accounting_sql(table: str = "events", week_ms: int = COHORT_WEEK_MS) 
            CAST(COALESCE(p.n_active, 0) - w.n_retained AS BIGINT) AS n_churned
     FROM weekly w LEFT JOIN weekly p ON p.week = w.week - 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-user feature assembly (e23) — the feature-store export
+# ---------------------------------------------------------------------------
+
+FEATURE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_features(
+    events: DataFrame, types: tuple = FEATURE_TYPES
+) -> DataFrame:
+    """Assemble one ML feature row per user from the event stream: pivoted
+    per-type counts (the fixed vocabulary makes the pivot a static column
+    set — Spark's ``groupBy().pivot(col, values)`` compiles to exactly
+    these conditional aggregates), total activity, recency (last-event
+    time) and decimal-exact spend — the feature-store export that feeds a
+    training joiner.
+
+    Scale shape: ONE groupBy(user) pass with map-side partial aggregation;
+    every feature is a conditional aggregate, so adding features widens
+    the row, never adds a shuffle.  An unbounded-vocabulary pivot would be
+    data-dependent schema — the fixed ``types`` tuple is the contract."""
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in types
+    ]
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *aggs,
+        F.max(F.unix_millis(F.col("ts").cast(T.TimestampType()))).alias(
+            "last_ts_ms"
+        ),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def user_features_sql(table: str = "events", types: tuple = FEATURE_TYPES) -> str:
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+    SELECT user_id, count(*) AS n_events,
+           {cols},
+           max(epoch_ms(ts)) AS last_ts_ms,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {table} GROUP BY user_id
+    """

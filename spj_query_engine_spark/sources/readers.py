@@ -52,3 +52,21 @@ def read_json(
     if schema is not None:
         return spark.read.json(path, schema=_schema_of(schema))
     return spark.read.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: TableSpec | T.StructType | None = None
+) -> DataFrame:
+    """ORC source — the columnar neighbour of the parquet path with the
+    same scan properties (predicate pushdown, column pruning, splittable
+    stripes); included so a lake standardized on ORC can feed the engine
+    without conversion.  Schema is optional: ORC files self-describe, a
+    provided spec just pins the read types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(_schema_of(schema))
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

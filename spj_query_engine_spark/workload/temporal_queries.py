@@ -196,3 +196,17 @@ def e21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.growth_accounting(ev)
+
+
+@register(
+    "e23_user_features",
+    temporal.user_features_sql(),
+    doc="Feature-store export: one ML feature row per user - pivoted "
+    "per-type counts over the fixed event vocabulary (static-schema "
+    "pivot), total activity, recency, decimal-exact spend; ONE "
+    "groupBy(user) with map-side partials, features widen the row but "
+    "never add a shuffle.",
+)
+def e23_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.user_features(ev)

@@ -232,3 +232,27 @@ def test_csv_parquet_sinks_roundtrip(spark, tmp_path):
     write_result_csv(df, cv)
     back = spark.read.option("header", True).option("inferSchema", True).csv(cv)
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_orc_roundtrip_matches_parquet_path(spark, tmp_path):
+    """ORC write → read returns the identical frame, and pushdown reaches
+    the ORC scan (PushedFilters in the FileScan orc node)."""
+    from spj_query_engine_spark.catalog import load_tables
+    from spj_query_engine_spark.sources.readers import read_orc, write_orc
+
+    from tests.conftest import SF_DIR
+
+    nation = load_tables(spark, SF_DIR, ("nation",))["nation"]
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
+    from pyspark.sql import functions as F
+
+    filtered = read_orc(spark, path).filter(F.col("n_nationkey") < 5)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "LessThan(n_nationkey,5)" in plan
