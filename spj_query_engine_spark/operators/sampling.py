@@ -384,3 +384,80 @@ def overlap_chunks_sql(
            md5(array_to_string(chunk, ' ')) AS digest
     FROM chunks
     """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (p07) — near-duplicates must share a split
+# ---------------------------------------------------------------------------
+
+LEAK_SEED = 53
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = LEAK_SEED,
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across the
+    boundary: p01 hashes each doc independently, so the two sides of a
+    MinHash near-dup pair can land in train and test — the contamination
+    a held-out set must exclude.  Here the split key is the doc's
+    near-dup CLUSTER id (min reachable doc_id via d02 pairs → d07
+    components; singletons key on themselves), so every member of a
+    cluster lands in the same split by construction.
+
+    Scale shape: the cluster frame (only docs that appear in some pair —
+    a small fraction of the corpus) left-joins the id-only doc list; the
+    split itself stays a pure hash projection.  Output: (doc_id,
+    group_id, split)."""
+    from spj_query_engine_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, text_col, key_col).select("doc_a", "doc_b")
+    clusters = dup_clusters(pairs).select(
+        F.col("doc_id").alias(key_col), "cluster_id"
+    )
+    keyed = docs.select(key_col).join(clusters, key_col, "left").select(
+        F.col(key_col),
+        F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("group_id"),
+    )
+    b = _bucket(F.col("group_id"), seed)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return keyed.select(key_col, "group_id", split.alias("split"))
+
+
+def leakage_safe_split_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = LEAK_SEED,
+) -> str:
+    from spj_query_engine_spark.operators.dedup import (
+        dup_clusters_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    pairs_body = (
+        "SELECT doc_a, doc_b FROM (" + minhash_lsh_pairs_sql(table) + ")"
+    )
+    clusters = dup_clusters_sql(pairs_body)
+    b = _bucket_sql("group_id", seed)
+    return f"""
+    WITH clusters AS ({clusters}),
+    keyed AS (
+      SELECT d.{key_col}, COALESCE(c.cluster_id, d.{key_col}) AS group_id
+      FROM {table} d LEFT JOIN clusters c ON c.doc_id = d.{key_col}
+    )
+    SELECT {key_col}, group_id,
+           CASE WHEN {b} < {train_pct} THEN 'train'
+                WHEN {b} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """

@@ -785,3 +785,67 @@ def vocab_stats_sql(table: str = "documents") -> str:
            {frac} AS hapax_frac
     FROM per_tok
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (t15)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20  # merge candidates reported
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = BPE_TOP_K
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every ADJACENT
+    token pair across the corpus and rank the top-``k`` merge candidates —
+    the statistic each BPE round recomputes after applying the previous
+    merge.  (Real training loops this; one exact round is the verifiable
+    unit, and the loop is this same query re-run on re-paired tokens.)
+
+    Scale shape: pair extraction is a pure projection (token array →
+    ``transform`` over a sequence — raw text never explodes before the
+    pair rollup), the count partial-aggregates map-side, and the final
+    ranking window runs over the pair-count frame, bounded by distinct
+    pair vocabulary, never corpus size."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    pairs = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bpe_pair_counts_sql(table: str = "documents", k: int = BPE_TOP_K) -> str:
+    return f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT toks[i + 1] || ' ' || toks[i + 2] AS pair
+      FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM counts
+    ) WHERE rank <= {k}
+    """

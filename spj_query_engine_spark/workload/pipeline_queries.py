@@ -255,3 +255,18 @@ def e16_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p06_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.overlap_chunks(docs)
+
+
+@register(
+    "p07_leakage_safe_split",
+    sampling.leakage_safe_split_sql(),
+    doc="Leakage-safe train/val/test split: the split key is the MinHash "
+    "near-dup CLUSTER id (d02 pairs -> d07 components; singletons key on "
+    "themselves) so both sides of every near-dup pair land in the same "
+    "split by construction - the held-out-set contamination guard p01's "
+    "independent per-doc hash cannot give; the cluster frame is small and "
+    "the split stays a hash projection.",
+)
+def p07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.leakage_safe_split(docs)

@@ -176,3 +176,16 @@ def u02_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.vocab_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "t15_bpe_pairs",
+    textops.bpe_pair_counts_sql(),
+    doc="BPE tokenizer training, iteration 1: adjacent-token pair counts "
+    "ranked to the top-%d merge candidates - pair extraction is a pure "
+    "projection over the token array, counts partial-aggregate map-side, "
+    "and the ranking window runs over the pair VOCABULARY frame, never "
+    "the corpus." % textops.BPE_TOP_K,
+)
+def t15_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_pair_counts(_docs(spark, sf_dir))

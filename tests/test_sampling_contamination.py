@@ -100,3 +100,47 @@ def test_overlap_chunks_boundaries(spark):
     con = _duck.connect()
     con.register("documents", docs)
     assert_same_result(overlap_chunks(sdf), con, overlap_chunks_sql())
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Both sides of a planted near-dup pair (and an exact dup) must land
+    in the SAME split; singletons keep p01-style hash placement."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base.replace("lazy", "sleepy"),  # near-dup of 1
+                base,  # exact dup of 1
+                "entirely different content about distributed query engines at scale",
+            ],
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sampling.leakage_safe_split(spark.createDataFrame(docs)).collect()
+    }
+    assert len(got) == 4
+    assert got[1]["group_id"] == got[2]["group_id"] == got[3]["group_id"] == 1
+    assert got[1]["split"] == got[2]["split"] == got[3]["split"]
+    assert got[4]["group_id"] == 4
+
+
+def test_bpe_pairs_counts_planted_bigram(spark):
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.textops import bpe_pair_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["new york new york", "new york city", "solo"],
+        }
+    )
+    got = bpe_pair_counts(spark.createDataFrame(docs), k=3).collect()
+    by_rank = {r["rank"]: (r["pair"], r["n"]) for r in got}
+    assert by_rank[1] == ("new york", 3)
+    assert by_rank[2] == ("york city", 1)  # tie broken lexicographically
