@@ -328,3 +328,53 @@ def stream_stream_join_sql(events: str = "events", minutes: int = STREAM_JOIN_MI
      AND epoch_ms(c.ts) >= epoch_ms(p.ts) - {band_ms}
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """
+
+
+def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (e24): the event stream joins a batch
+    dimension (per-user lifetime order count + decimal spend, aggregated
+    once from the orders table) — the micro-batch broadcast join every
+    production scorer/feature-enricher runs, distinct from both the
+    stateful as-of (e10) and the stream-stream join (e16).  The static
+    side is planned per micro-batch as an ordinary broadcast hash join;
+    no streaming state exists at all, so nothing can grow.
+
+    Driven over the finite events directory the result equals the batch
+    equi-join — the oracle."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spj_query_engine_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    dim = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("lifetime_spend"),
+    )
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    enriched = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "user_id", "event_type")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("o_custkey"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("lifetime_spend"), F.lit(0.0)).alias("lifetime_spend"),
+        )
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1266,3 +1266,51 @@ def q41_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --- q42: decile report — NTILE + per-decile rollup ---
+
+
+@register(
+    "q42_spend_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, total,
+             ntile(10) OVER (ORDER BY total DESC, o_custkey ASC) AS decile
+      FROM spend
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(total) AS DOUBLE) AS decile_spend,
+           CAST(MIN(total) AS DOUBLE) AS min_spend,
+           CAST(MAX(total) AS DOUBLE) AS max_spend
+    FROM tiled GROUP BY decile
+    """,
+    doc="Customer-spend decile report: decimal-exact per-customer totals, "
+    "NTILE(10) over a deterministic (total DESC, custkey ASC) order, then "
+    "a per-decile rollup - the remaining analytic-window surface (q30 "
+    "covers row_number/lag/running sums); the tile window runs over the "
+    "per-customer aggregate, never raw orders.",
+)
+def q42_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("total").cast("double").alias("decile_spend"),
+        F.min("total").cast("double").alias("min_spend"),
+        F.max("total").cast("double").alias("max_spend"),
+    )

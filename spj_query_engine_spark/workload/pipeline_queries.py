@@ -270,3 +270,26 @@ def p06_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.leakage_safe_split(docs)
+
+
+@register(
+    "e24_stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(d.lifetime_spend, 0.0) AS lifetime_spend
+    FROM events e
+    LEFT JOIN (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_spend
+      FROM orders GROUP BY o_custkey
+    ) d ON d.o_custkey = e.user_id
+    """,
+    doc="Stream-STATIC enrichment: the event stream broadcast-joins a "
+    "batch per-user dimension (order count + decimal lifetime spend) in "
+    "every micro-batch - the production feature-enricher shape with ZERO "
+    "streaming state; finite replay equals the batch left join, the "
+    "oracle.",
+)
+def e24_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_streaming_enrich(spark, sf_dir)
