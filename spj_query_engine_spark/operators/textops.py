@@ -849,3 +849,51 @@ def bpe_pair_counts_sql(table: str = "documents", k: int = BPE_TOP_K) -> str:
       FROM counts
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (t16) — model evaluation at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Evaluate the t03 language classifier against the corpus's labeled
+    ``lang`` column as a CONFUSION MATRIX — one row per (actual, predicted)
+    cell with count and row-relative share.  The model-eval-at-scale
+    shape: score (projection) → join labels on the row key → two-key
+    rollup bounded by langs², never corpus size; at 100 TB the only full
+    pass is the scoring projection itself.
+
+    The share denominator is the per-actual row total via a window over
+    the CELL frame (langs² rows), so no second corpus pass exists."""
+    pred = language_id(docs, text_col, id_col)
+    labeled = docs.select(F.col(id_col), F.col("lang").alias("lang_actual"))
+    cells = (
+        labeled.join(pred, id_col)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang_actual")
+    return cells.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        portable_round(
+            F.col("n") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def langid_confusion_sql(table: str = "documents") -> str:
+    share = portable_round_sql(
+        "n / CAST(SUM(n) OVER (PARTITION BY lang_actual) AS DOUBLE)", 6
+    )
+    return f"""
+    WITH pred AS ({language_id_sql(table)}),
+    cells AS (
+      SELECT d.lang AS lang_actual, p.lang_pred, count(*) AS n
+      FROM {table} d JOIN pred p ON p.doc_id = d.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT lang_actual, lang_pred, n, {share} AS share FROM cells
+    """

@@ -189,3 +189,15 @@ def t14_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t15_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "t16_langid_confusion",
+    textops.langid_confusion_sql(),
+    doc="Model evaluation at corpus scale: t03's language classifier vs "
+    "the labeled lang column as a confusion matrix (count + row share per "
+    "(actual, predicted) cell) - scoring is the only full pass, the "
+    "rollup and share window run over the langs^2 cell frame.",
+)
+def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.langid_confusion(_docs(spark, sf_dir))

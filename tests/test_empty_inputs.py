@@ -81,3 +81,26 @@ def test_null_and_empty_text_rows(spark):
     # projection paths keep every row
     assert textops.token_stats(docs).count() == 4
     assert textops.quality_score(docs).count() == 4
+
+
+def test_null_and_empty_text_through_new_block_ops(spark):
+    """The block/window document operators added this round drop NULL and
+    token-less docs identically to their oracles: only real docs emit
+    blocks/chunks/pairs."""
+    from spj_query_engine_spark.operators import dedup, sampling, textops
+
+    rows = [
+        (0, "hello world foo bar baz qux quux corge nine ten"),
+        (1, None),
+        (2, ""),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sb = dedup.strip_boilerplate(docs).collect()
+    assert sorted(r["doc_id"] for r in sb) == [0]
+    oc = sampling.overlap_chunks(docs).collect()
+    assert sorted({r["doc_id"] for r in oc}) == [0]
+    bp = textops.bpe_pair_counts(docs).collect()
+    assert all(" " in r["pair"] for r in bp) and len(bp) == 9
+    ls = sampling.leakage_safe_split(docs).collect()
+    assert len(ls) == 4  # the split labels EVERY doc, text or not
