@@ -1314,3 +1314,43 @@ def q42_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total").cast("double").alias("min_spend"),
         F.max("total").cast("double").alias("max_spend"),
     )
+
+
+# --- q43: explicit GROUPING SETS + grouping_id ---
+
+
+@register(
+    "q43_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (not the ROLLUP/CUBE shorthands q20/q27 "
+    "cover): three chosen aggregation levels in ONE pass over orders via "
+    "Spark's Expand operator, with grouping_id disambiguating the NULL "
+    "semantics - the same single-scan multi-level shape both engines "
+    "plan.",
+)
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
+    )
