@@ -1093,3 +1093,60 @@ def user_features_sql(table: str = "events", types: tuple = FEATURE_TYPES) -> st
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM {table} GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rollup (e25)
+# ---------------------------------------------------------------------------
+
+SLIDE_WIDTH_H = 6  # window width
+SLIDE_STEP_H = 3  # slide step (each event lands in width/step windows)
+
+
+def sliding_rollup(
+    events: DataFrame, width_h: int = SLIDE_WIDTH_H, step_h: int = SLIDE_STEP_H
+) -> DataFrame:
+    """SLIDING event-time window aggregate (``F.window`` with a slide):
+    every event contributes to width/step overlapping windows — the
+    trailing-aggregate view a monitoring/feature pipeline reads (e01's
+    tumbling windows partition; these overlap).  Spark expands each row
+    into its window memberships before the rollup, so the shuffle carries
+    the window replication explicitly — the declared ×(width/step) cost,
+    still map-side partial-aggregated per (window, type)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{width_h} hours", f"{step_h} hours").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("wstart_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rollup_sql(
+    table: str = "events", width_h: int = SLIDE_WIDTH_H, step_h: int = SLIDE_STEP_H
+) -> str:
+    width = width_h * 3600 * 1000
+    step = step_h * 3600 * 1000
+    return f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type, value FROM {table}),
+    expanded AS (
+      SELECT k * {step} AS wstart_ms, event_type, value
+      FROM ev, unnest(range(
+        CAST(floor((t - {width}) / {step}) AS BIGINT) + 1,
+        CAST(floor(t / {step}) AS BIGINT) + 1)) AS u(k)
+    )
+    SELECT wstart_ms, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY wstart_ms, event_type
+    """

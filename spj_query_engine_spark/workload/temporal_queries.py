@@ -210,3 +210,17 @@ def e22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e23_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.user_features(ev)
+
+
+@register(
+    "e25_sliding_rollup",
+    temporal.sliding_rollup_sql(),
+    doc="SLIDING event-time windows (%dh wide every %dh): each event lands "
+    "in width/step overlapping windows - the trailing-aggregate view; "
+    "Spark expands window memberships before the rollup so the x2 "
+    "replication is the declared cost, still partial-aggregated map-side."
+    % (temporal.SLIDE_WIDTH_H, temporal.SLIDE_STEP_H),
+)
+def e25_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.sliding_rollup(ev)
