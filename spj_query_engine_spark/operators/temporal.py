@@ -1150,3 +1150,59 @@ def sliding_rollup_sql(
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM expanded GROUP BY wstart_ms, event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) matrix (e26)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order user-journey model: counts and row-normalized
+    probabilities of every (previous event type → event type) transition
+    within a user's time-ordered stream — the Markov matrix behind
+    next-action prediction and funnel diagnosis.
+
+    Scale shape: one LAG pass per user partition (ties broken on
+    event_id, the e19 discipline), then a rollup + share window both
+    bounded by types², never corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    cells = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sw = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "event_type",
+        "n",
+        portable_round(F.col("n") / F.sum("n").over(sw).cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+def event_transitions_sql(table: str = "events") -> str:
+    p = portable_round_sql(
+        "n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)", 6
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM {table}
+    ),
+    cells AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n, {p} AS p FROM cells
+    """

@@ -224,3 +224,16 @@ def e23_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e25_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.sliding_rollup(ev)
+
+
+@register(
+    "e26_event_transitions",
+    temporal.event_transitions_sql(),
+    doc="First-order Markov transition matrix over user event streams: "
+    "(prev type -> type) counts + row-normalized probabilities - one LAG "
+    "pass per user shuffle, rollup and share window bounded by types^2; "
+    "the next-action/funnel-diagnosis model.",
+)
+def e26_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.event_transitions(ev)
