@@ -268,3 +268,31 @@ def test_growth_accounting_ledger_invariants(spark):
     assert got[w1]["n_churned"] == 1  # user 2 sat out week 1
     assert got[w2]["n_resurrected"] == 1  # user 2 came back
     assert got[w2]["n_churned"] == 1  # user 3 gone
+
+
+def test_event_transitions_probabilities(spark):
+    """Planted journey view->click->view->purchase: transition rows must
+    count ordered adjacencies per user and normalize per prev_type."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "view"),
+        (4, 1, "2024-01-01 00:03:00", "purchase"),
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-01 00:01:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, t, 1.0) for (i, u, ts, t) in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["prev_type"], r["event_type"]): (r["n"], r["p"])
+        for r in temporal.event_transitions(ev).collect()
+    }
+    assert got[("view", "click")] == (2, 0.666667)  # 2 of view's 3 exits
+    assert got[("view", "purchase")] == (1, 0.333333)
+    assert got[("click", "view")] == (1, 1.0)
+    assert ("purchase", "view") not in got  # no wrap across stream end
+    assert ("view", "view") not in got  # user boundary respected
