@@ -256,3 +256,46 @@ def test_random_docs_boilerplate_and_chunks(spark, doc_lens, vocab):
         assert_same_result(overlap_chunks(sdf), con, overlap_chunks_sql())
     finally:
         con.close()
+
+
+@given(
+    n_users=st.integers(min_value=1, max_value=5),
+    n_events=st.integers(min_value=1, max_value=40),
+    gap_minutes=st.integers(min_value=1, max_value=2000),
+)
+@settings(**_SETTINGS)
+def test_random_event_streams_ledger_ops(spark, n_users, n_events, gap_minutes):
+    """Random event streams (deterministic pseudo-random layout) through
+    the growth-accounting ledger and transition matrix, each compared
+    value-for-value against its DuckDB oracle; the ledger invariant
+    new+retained+resurrected=active must hold on every row."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.temporal import (
+        event_transitions,
+        event_transitions_sql,
+        growth_accounting,
+        growth_accounting_sql,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = []
+    for i in range(n_events):
+        u = (i * 7919) % n_users
+        t = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            minutes=(i * 104729) % (gap_minutes * n_events)
+        )
+        rows.append((i, u, t, types[(i * 31) % 3], 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    try:
+        assert_same_result(growth_accounting(sdf), con, growth_accounting_sql())
+        assert_same_result(event_transitions(sdf), con, event_transitions_sql())
+    finally:
+        con.close()
+    for r in growth_accounting(sdf).collect():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
