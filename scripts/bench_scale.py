@@ -94,6 +94,7 @@ FAMILY = [
     "p06_overlap_chunks",
     "e21_approx_percentile",
     "e22_growth_accounting",
+    "s09_knn_join_2level",
 ]
 
 
@@ -200,6 +201,18 @@ def _scaled_fn(name: str, sf_dir: str):
         def fn(spark, d):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
             return similarity.knn_join(emb, n_cells=16 * REPLICAS)
+
+        return fn
+    if name == "s09_knn_join_2level" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import similarity
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            leaves = 16 * REPLICAS
+            return similarity.knn_join_2level(
+                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
+            )
 
         return fn
     return REGISTRY[name].fn

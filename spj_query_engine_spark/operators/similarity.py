@@ -911,3 +911,158 @@ def pq_adc_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+KNN_BRANCH = 4  # level-1 fan-out for the two-level k-NN assignment
+
+
+def knn_join_2level(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KNN_K,
+    n_cells: int = KNN_CELLS,
+    branch: int = KNN_BRANCH,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """k-NN self-join with a TWO-LEVEL quantizer assignment (s09) — s06's
+    100×-scale form.  s06 assigns by crossJoin against ALL cells; with the
+    required guidance n_cells ∝ n, that assignment is O(n²/cell_size) —
+    the d06-vs-d12 lesson replayed on the k-NN join.  Here a vector finds
+    its nearest of ``branch`` level-1 centroids (n × branch), then its
+    ``n_probe`` nearest LEAF cells within that level-1 cell
+    (n × n_cells/branch); candidate generation and exact rerank are
+    unchanged equi-joins on the leaf id.  Total assignment cost
+    n × (branch + n_cells/branch), minimized at branch ≈ √n_cells; the
+    tree is deterministic prefix vectors, fully oracle-replayable.
+
+    Boundary note: as in d12, neighbors straddling a level-1 boundary are
+    reachable only through a shared probed leaf — the standard
+    hierarchical trade, bounded by the leaf-level multi-probe."""
+    from spj_query_engine_spark.operators.core import spread
+    from spj_query_engine_spark.operators.dedup import cosine_sim
+
+    base = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    c1 = base.filter(F.col("vid") < branch).select(
+        F.col("vid").alias("c1"), F.col("vec").alias("c1_vec")
+    )
+    leaf = base.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("leaf"), F.col("vec").alias("leaf_vec")
+    )
+    lw = Window.partitionBy("leaf").orderBy(F.desc("lsim"), F.asc("c1"))
+    leaf_parent = (
+        leaf.crossJoin(F.broadcast(c1))
+        .select(
+            "leaf", "leaf_vec", "c1",
+            cosine_sim(F.col("leaf_vec"), F.col("c1_vec")).alias("lsim"),
+        )
+        .withColumn("rnk", F.row_number().over(lw))
+        .filter(F.col("rnk") == 1)
+        .select("leaf", "leaf_vec", "c1")
+    )
+    vw = Window.partitionBy("vid").orderBy(F.desc("vsim"), F.asc("c1"))
+    v_l1 = (
+        base.crossJoin(F.broadcast(c1))
+        .select(
+            "vid", "vec", "c1",
+            cosine_sim(F.col("vec"), F.col("c1_vec")).alias("vsim"),
+        )
+        .withColumn("rnk", F.row_number().over(vw))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "vec", "c1")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("asim"), F.asc("leaf"))
+    ranked = (
+        v_l1.join(F.broadcast(leaf_parent), "c1")
+        .select(
+            "vid", "leaf",
+            cosine_sim(F.col("vec"), F.col("leaf_vec")).alias("asim"),
+        )
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    homes = ranked.filter(F.col("rnk") == 1).select(
+        F.col("vid").alias("mid"), "leaf"
+    )
+    probes = ranked.filter(F.col("rnk") <= n_probe).select(
+        F.col("vid").alias("qid"), "leaf"
+    )
+    cand = (
+        probes.join(homes, "leaf")
+        .filter(F.col("qid") != F.col("mid"))
+        .select("qid", "mid")
+        .distinct()
+    )
+    q = base.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    m = base.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
+    return (
+        cand.join(q, "qid")
+        .join(m, "mid")
+        .select(
+            F.col("qid").alias(id_col), F.col("mid").alias("nbr_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
+        ))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_2level_sql(
+    table: str = "embeddings",
+    k: int = KNN_K,
+    n_cells: int = KNN_CELLS,
+    branch: int = KNN_BRANCH,
+    n_probe: int = N_PROBE,
+) -> str:
+    lsim = cosine_sim_sql("l.embedding", "c.embedding")
+    vsim = cosine_sim_sql("b.embedding", "c.embedding")
+    asim = cosine_sim_sql("v.v", "lp.leaf_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
+    return f"""
+    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} WHERE vec_id < {branch}),
+    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} WHERE vec_id < {n_cells}),
+    leaf_parent AS (
+      SELECT leaf, leaf_vec, c1 FROM (
+        SELECT l.leaf, l.embedding AS leaf_vec, c.c1,
+               row_number() OVER (PARTITION BY l.leaf
+                                  ORDER BY {lsim} DESC, c.c1 ASC) AS rnk
+        FROM leafc l CROSS JOIN c1 c
+      ) WHERE rnk = 1
+    ),
+    v_l1 AS (
+      SELECT id, v, c1 FROM (
+        SELECT b.vec_id AS id, b.embedding AS v, c.c1,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {vsim} DESC, c.c1 ASC) AS rnk
+        FROM {table} b CROSS JOIN c1 c
+      ) WHERE rnk = 1
+    ),
+    ranked AS (
+      SELECT lp.leaf, v.id,
+             row_number() OVER (PARTITION BY v.id
+                                ORDER BY {asim} DESC, lp.leaf ASC) AS rnk
+      FROM v_l1 v JOIN leaf_parent lp ON v.c1 = lp.c1
+    ),
+    homes AS (SELECT id AS mid, leaf FROM ranked WHERE rnk = 1),
+    probes AS (SELECT id AS qid, leaf FROM ranked WHERE rnk <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT p.qid, h.mid
+      FROM probes p JOIN homes h ON p.leaf = h.leaf
+      WHERE p.qid != h.mid
+    ),
+    scored AS (
+      SELECT cand.qid AS vec_id, cand.mid AS nbr_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.qid
+      JOIN {table} m ON m.vec_id = cand.mid
+    )
+    SELECT vec_id, nbr_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

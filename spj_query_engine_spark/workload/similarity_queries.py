@@ -128,3 +128,18 @@ def s07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.pq_adc_topk(emb)
+
+
+@register(
+    "s09_knn_join_2level",
+    similarity.knn_join_2level_sql(),
+    doc="k-NN self-join through a TWO-LEVEL quantizer tree (s06's "
+    "100x-scale form): assignment costs n x (branch + leaves/branch) "
+    "instead of n x leaves, so scaling the cell count with the corpus "
+    "stays linear - the d06-vs-d12 lesson applied to kNN-graph "
+    "construction; candidates and exact rerank unchanged equi-joins on "
+    "the leaf id.",
+)
+def s09_knn_join_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_join_2level(emb)

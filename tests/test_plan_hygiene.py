@@ -38,6 +38,7 @@ BNLJ_OK = {
     "d14_embedding_dedup",  # composes d12's whitelisted centroid assignment
     "s06_knn_join",  # same broadcast centroid-assignment crossJoin as s03
     "q36_global_sales_opportunity",  # broadcast single-row scalar threshold
+    "s09_knn_join_2level",  # broadcast level-1 centroid crossJoin (d12 shape)
 }
 
 
