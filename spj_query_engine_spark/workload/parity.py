@@ -1354,3 +1354,63 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
     )
+
+
+# --- q44: referential-integrity audit — the data-quality gate ---
+
+
+@register(
+    "q44_referential_audit",
+    """
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'childless_orders' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'customerless_orders' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_bad
+    """,
+    doc="Referential-integrity audit (the data-quality gate an ingest "
+    "pipeline runs before publishing a snapshot): orphaned facts and "
+    "childless parents counted via LEFT ANTI joins on each FK edge - "
+    "each check is one anti hash join + count, no DISTINCT anywhere, "
+    "and a healthy snapshot reports zeros.",
+)
+def q44_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+
+    def anti_count(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        return (
+            child.join(parent, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_bad"))
+            .select(F.lit(name).alias("check_name"), "n_bad")
+        )
+
+    checks = [
+        anti_count(
+            "orphan_lineitems",
+            t["lineitem"].select("l_orderkey"), "l_orderkey",
+            t["orders"].select("o_orderkey"), "o_orderkey",
+        ),
+        anti_count(
+            "childless_orders",
+            t["orders"].select("o_orderkey", "o_custkey"), "o_orderkey",
+            t["lineitem"].select("l_orderkey"), "l_orderkey",
+        ),
+        anti_count(
+            "customerless_orders",
+            t["orders"].select("o_custkey"), "o_custkey",
+            t["customer"].select("c_custkey"), "c_custkey",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -42,6 +42,7 @@ EXPECTED_ON_EMPTY = {
     "q16_global_agg": 1,
     "q34_small_qty_revenue": 1,
     "q38_table_profile": 4,  # one profile row per profiled column
+    "q44_referential_audit": 3,  # one global-agg row per FK check
     "t10_approx_cardinality": 1,
     "e21_approx_percentile": 1,
     "t14_vocab_stats": 1,
