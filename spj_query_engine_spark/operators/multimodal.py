@@ -325,3 +325,42 @@ def modality_lake_stats_sql(table: str = "documents", modality: str = "image") -
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM {table} WHERE doc_id % 3 = {idx}
     """
+
+
+def payload_dedup(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary-payload exact dedup (m06): group assets by md5 of the RAW
+    BYTES — the multimodal twin of the text path d01 (which hashes the
+    decoded string).  An asset lake dedups on payload bytes before any
+    decode: identical files under different ids are one storage object
+    and one training example.  Output one row per distinct payload:
+    keeper id (min), copy count, byte size.
+
+    Scale shape: the digest is a projection; the rollup shuffles 16-byte
+    digests + two longs, never payloads."""
+    return (
+        mm.select(
+            F.col(id_col),
+            F.md5(F.col("payload")).alias("digest"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .select("digest", "keep_id", "n_copies", "n_bytes")
+    )
+
+
+def payload_dedup_sql(table: str = "documents") -> str:
+    """Oracle: payloads are UTF-8 text bytes here, so md5(text) replays the
+    byte digest exactly."""
+    return f"""
+    SELECT md5(text) AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+    FROM {table}
+    GROUP BY md5(text)
+    """

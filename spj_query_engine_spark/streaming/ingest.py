@@ -378,3 +378,55 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window rollup (e27): watermark + F.window with a
+    slide on the event stream — each event updates width/step overlapping
+    window states in the store (e05 proves tumbling; overlapping window
+    state is the strictly harder bookkeeping).  Driven to completion in
+    complete mode the result equals the batch sliding rollup — the
+    oracle."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spj_query_engine_spark.operators.temporal import (
+        SLIDE_STEP_H,
+        SLIDE_WIDTH_H,
+    )
+
+    name = f"stream_sliding_{_uuid.uuid4().hex[:8]}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_H} hours", f"{SLIDE_STEP_H} hours"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("wstart_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -293,3 +293,28 @@ def p07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e24_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_streaming_enrich(spark, sf_dir)
+
+
+@register(
+    "m06_payload_dedup",
+    multimodal.payload_dedup_sql(),
+    doc="Binary-payload exact dedup: assets grouped by md5 of the RAW "
+    "bytes (the multimodal twin of text-path d01) - the storage-level "
+    "dedup an asset lake runs before any decode; digests are a "
+    "projection, the rollup shuffles 16-byte keys, never payloads.",
+)
+def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.payload_dedup(_mm(spark, sf_dir))
+
+
+@register(
+    "e27_stream_sliding",
+    temporal.sliding_rollup_sql(),
+    doc="Streaming SLIDING-window rollup: watermark + overlapping window "
+    "state (each event updates width/step window states in the store - "
+    "the strictly harder bookkeeping e05's tumbling case avoids); finite "
+    "replay in complete mode equals the batch sliding rollup, the "
+    "oracle.",
+)
+def e27_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_streaming_sliding(spark, sf_dir)
