@@ -80,3 +80,50 @@ def normalize_embeddings_sql(table: str = "embeddings") -> str:
                 ELSE list_transform(embedding, x -> {elem}) END AS unit_vec
     FROM n
     """
+
+
+def source_stats_arrow(docs):
+    """Per-source corpus stats through ``applyInArrow`` (u03) — the RAW
+    Arrow grouped API: the group arrives as a ``pyarrow.Table`` and is
+    aggregated with Arrow compute kernels, no pandas materialization at
+    all — the lowest-overhead Python surface (u01 = scalar pandas_udf,
+    u02 = grouped-map pandas, u03 = grouped-map Arrow).  The work is
+    deliberately a plain rollup so the oracle is trivial; the entry
+    proves the API contract (Arrow batch in, Arrow table out,
+    value-hash-identical arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        total = pc.sum(table.column("n_chars")).as_py() or 0
+        src = table.column("source")[0].as_py()
+        mean = __import__("math").floor(total / n * 10_000 + 0.5) / 10_000
+        return pa.table(
+            {
+                "source": [src],
+                "n_docs": [n],
+                "total_chars": [int(total)],
+                "mean_chars": [mean],
+            }
+        )
+
+    return (
+        docs.select("source", "n_chars")
+        .groupBy("source")
+        .applyInArrow(
+            stats,
+            "source string, n_docs long, total_chars long, mean_chars double",
+        )
+    )
+
+
+def source_stats_arrow_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           floor(SUM(n_chars) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS mean_chars
+    FROM {table} GROUP BY source
+    """

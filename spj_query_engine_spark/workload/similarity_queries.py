@@ -143,3 +143,16 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s09_knn_join_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.knn_join_2level(emb)
+
+
+@register(
+    "u03_arrow_grouped",
+    vectorops.source_stats_arrow_sql(),
+    doc="Grouped-map RAW-ARROW surface (applyInArrow): per-source corpus "
+    "stats aggregated with Arrow compute kernels, no pandas "
+    "materialization - the third Python path (u01 scalar pandas_udf, "
+    "u02 grouped pandas, u03 grouped Arrow), value-hash verified.",
+)
+def u03_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return vectorops.source_stats_arrow(docs)
