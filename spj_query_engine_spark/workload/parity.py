@@ -1414,3 +1414,61 @@ def q44_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- q45: recursive CTE — bounded transitive closure in pure SQL ---
+Q45_HOPS = 4
+
+
+def _q45_oracle() -> str:
+    from spj_query_engine_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql()})
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r, d) AS (
+      SELECT u, v AS r, 1 AS d FROM edges
+      UNION ALL
+      SELECT e.u, r.r, r.d + 1 FROM edges e JOIN reach r ON e.v = r.u
+      WHERE r.d < {Q45_HOPS}
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@register(
+    "q45_recursive_closure",
+    _q45_oracle(),
+    doc="WITH RECURSIVE (new in Spark 4) driven end-to-end: min-label "
+    "transitive closure within %d hops over the MinHash near-dup pair "
+    "graph - Spark's recursive CTE only allows UNION ALL, so cycles are "
+    "bounded by an explicit depth column (the same fixed-hop contract as "
+    "d07's propagation loop; d09 remains the unbounded-diameter path at "
+    "scale); the oracle replays the identical bounded recursion." % Q45_HOPS,
+)
+def q45_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("q45_pairs")
+    return spark.sql(f"""
+    WITH RECURSIVE edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM q45_pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM q45_pairs
+    ),
+    reach(u, r, d) AS (
+      SELECT u, v AS r, 1 AS d FROM edges
+      UNION ALL
+      SELECT e.u, r.r, r.d + 1 FROM edges e JOIN reach r ON e.v = r.u
+      WHERE r.d < {Q45_HOPS}
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id FROM reach GROUP BY u
+    """)
