@@ -1206,3 +1206,48 @@ def event_transitions_sql(table: str = "events") -> str:
     )
     SELECT prev_type, event_type, n, {p} AS p FROM cells
     """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured property extraction (e28)
+# ---------------------------------------------------------------------------
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """Schema-on-read over the JSON ``props`` column (e28): ``from_json``
+    with an explicit schema turns the string payload into a typed struct
+    in one codegen'd expression (JsonToStructs) — the semi-structured
+    ingestion path every event pipeline runs; string-plucking via
+    get_json_object re-parses per field, the typed struct parses once.
+
+    Rollup per event type over the extracted property: count, null count
+    (malformed/missing → NULL, never an error), exact sum/min/max and
+    distinct count — the profile that decides whether a JSON field is
+    promotable to a first-class column."""
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = events.select(
+        "event_type", F.from_json(F.col("props"), schema).alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("p.k").isNull().cast("long")).alias("n_missing"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.count_distinct(F.col("p.k")).alias("ndv_k"),
+    )
+
+
+def json_props_rollup_sql(table: str = "events") -> str:
+    return f"""
+    WITH parsed AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM {table}
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS ndv_k
+    FROM parsed GROUP BY event_type
+    """

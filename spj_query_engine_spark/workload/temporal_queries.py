@@ -237,3 +237,17 @@ def e25_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e26_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.event_transitions(ev)
+
+
+@register(
+    "e28_json_props",
+    temporal.json_props_rollup_sql(),
+    doc="Semi-structured schema-on-read: from_json with an explicit "
+    "schema types the JSON props column in ONE codegen'd parse "
+    "(JsonToStructs) - malformed rows become NULLs, never errors - then "
+    "a per-type profile (count/missing/sum/min/max/ndv) of the extracted "
+    "property; the promote-this-field-to-a-column decision query.",
+)
+def e28_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.json_props_rollup(ev)

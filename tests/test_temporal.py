@@ -296,3 +296,23 @@ def test_event_transitions_probabilities(spark):
     assert got[("click", "view")] == (1, 1.0)
     assert ("purchase", "view") not in got  # no wrap across stream end
     assert ("view", "view") not in got  # user boundary respected
+
+
+def test_json_props_malformed_rows_become_nulls(spark):
+    """Schema-on-read contract: malformed JSON and missing keys count as
+    n_missing, never raise."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", 1.0, '{"k": 5}'),
+        (2, 1, "2024-01-01 00:01:00", "view", 1.0, "not json"),
+        (3, 1, "2024-01-01 00:02:00", "view", 1.0, '{"other": 1}'),
+        (4, 1, "2024-01-01 00:03:00", "view", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = temporal.json_props_rollup(ev).collect()[0]
+    assert got["n_events"] == 4 and got["n_missing"] == 3
+    assert got["sum_k"] == 5 and got["ndv_k"] == 1
