@@ -95,11 +95,19 @@ FAMILY = [
     "e21_approx_percentile",
     "e22_growth_accounting",
     "s09_knn_join_2level",
+    "e23_user_features",
+    "e25_sliding_rollup",
+    "e26_event_transitions",
+    "e28_json_props",
+    "m06_payload_dedup",
+    "t15_bpe_pairs",
+    "t16_langid_confusion",
+    "p07_leakage_safe_split",
 ]
 
 
 def build_scaled(spark) -> None:
-    if os.path.exists(os.path.join(SCALED, "_DONE_V2")):
+    if os.path.exists(os.path.join(SCALED, "_DONE_V3")):
         return
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
@@ -143,6 +151,7 @@ def build_scaled(spark) -> None:
                 "ts",
                 "event_type",
                 "value",
+                "props",
             )
         )
     all_docs = doc_parts[0]
@@ -163,7 +172,7 @@ def build_scaled(spark) -> None:
     all_ev.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SCALED, "events.parquet")
     )
-    open(os.path.join(SCALED, "_DONE_V2"), "w").close()
+    open(os.path.join(SCALED, "_DONE_V3"), "w").close()
 
 
 def _scaled_fn(name: str, sf_dir: str):
@@ -254,8 +263,13 @@ def main() -> None:
             continue
         if name in results:
             continue
-        base_s = run(spark, name, BASE)
-        scale_s = run(spark, name, SCALED)
+        try:
+            base_s = run(spark, name, BASE)
+            scale_s = run(spark, name, SCALED)
+        except Exception as exc:  # record and continue — one bad entry must
+            # not abort the whole sweep (exit code hides in a pipeline)
+            print(f"  {name}: ERROR {str(exc)[:160]}", flush=True)
+            continue
         results[name] = {
             "sf0.1_sec": base_s,
             f"x{REPLICAS}_sec": scale_s,
