@@ -897,3 +897,96 @@ def langid_confusion_sql(table: str = "documents") -> str:
     )
     SELECT lang_actual, lang_pred, n, {share} AS share FROM cells
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty (t17) — how much of a document is phrasing seen nowhere else
+# ---------------------------------------------------------------------------
+
+
+def bigram_novelty(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BIGRAM NOVELTY: the fraction of a doc's distinct
+    adjacent-token bigrams that occur in no other document.  The
+    dedup-adjacent quality signal — boilerplate-heavy docs score near 0,
+    genuinely novel text near 1 — computed with integer counts and one
+    final division so the value hash is exact.
+
+    Scale shape: bigram extraction is the t15 projection
+    (``transform`` over a token sequence, no pre-rollup explode of raw
+    text), per-doc DISTINCT bounds each doc's contribution, document
+    frequency is one groupBy over the bigram vocabulary, and the per-doc
+    rollup re-joins on the bigram key — two shuffles total, both on keys
+    whose cardinality is the bigram vocabulary, never corpus bytes.
+    Docs with fewer than two tokens emit zero bigrams and report NULL
+    novelty (no denominator), preserved by the LEFT join from the full
+    document list."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    doc_bigrams = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 2), "
+                        "i -> concat(toks[i], ' ', toks[i + 1]))"
+                    )
+                )
+            ).alias("bg"),
+        )
+    )
+    df_counts = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        doc_bigrams.join(df_counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+            portable_round(
+                F.col("n_unique") / F.col("n_bigrams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def bigram_novelty_sql(table: str = "documents") -> str:
+    novelty = portable_round_sql("n_unique / CAST(n_bigrams AS DOUBLE)", 6)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    doc_bigrams AS (
+      SELECT DISTINCT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
+      FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    df_counts AS (SELECT bg, count(*) AS df FROM doc_bigrams GROUP BY bg),
+    per_doc AS (
+      SELECT d.doc_id,
+             count(*) AS n_bigrams,
+             SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM doc_bigrams d JOIN df_counts f ON f.bg = d.bg
+      GROUP BY d.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+           {novelty} AS novelty
+    FROM {table} a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+    """

@@ -1472,3 +1472,259 @@ def q45_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id FROM reach GROUP BY u
     """)
+
+
+# --- q46: PIVOT — wide status × priority report ---
+
+
+@register(
+    "q46_pivot_report",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: long->wide status x priority report via DataFrame.pivot "
+    "with the pivot values enumerated explicitly (no extra "
+    "distinct-values job, and the output schema is static - the form "
+    "that scales; an unenumerated pivot runs a driver-side DISTINCT "
+    "first).  Single shuffle on the groupBy key; each cell is a "
+    "conditional aggregate, which is exactly how the oracle replays it "
+    "(FILTER clauses).  Missing cells: counts coalesce to 0, sums stay "
+    "NULL - matching SQL FILTER semantics on both engines.",
+)
+def q46_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("o_totalprice")).alias("total"))
+    )
+    cols = [F.col("o_orderpriority")]
+    for status in ("F", "O", "P"):
+        low = status.lower()
+        cols.append(F.coalesce(F.col(f"{status}_n"), F.lit(0)).cast("long").alias(f"{low}_n"))
+        cols.append(F.col(f"{status}_total").cast("double").alias(f"{low}_total"))
+    return wide.select(*cols)
+
+
+# --- q47: UNPIVOT/melt — wide->long metric normalization ---
+
+
+@register(
+    "q47_unpivot_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    """,
+    doc="UNPIVOT (melt): wide part metrics -> long (key, metric, value) "
+    "triples via DataFrame.unpivot - the Expand-based inverse of q46's "
+    "pivot.  Map-side only: one generator pass per input row, no "
+    "shuffle, no join; the oracle replays it as a UNION ALL of "
+    "per-metric projections (the relational identity Spark's unpivot "
+    "compiles to).",
+)
+def q47_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# --- q48: TPC-H Q2 shape — cheapest offer per part (correlated scalar MIN) ---
+
+
+@register(
+    "q48_cheapest_offer",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+    ),
+    best AS (
+      SELECT l_partkey, MIN(price) AS best_price
+      FROM offers GROUP BY l_partkey
+    ),
+    win AS (
+      SELECT o.l_partkey, b.best_price, MIN(o.l_suppkey) AS win_suppkey
+      FROM offers o JOIN best b
+        ON o.l_partkey = b.l_partkey AND o.price = b.best_price
+      GROUP BY o.l_partkey, b.best_price
+    )
+    SELECT p.p_partkey, p.p_name,
+           CAST(w.best_price AS DOUBLE) AS best_price,
+           s.s_suppkey, s.s_name, n.n_name
+    FROM part p
+    JOIN win w ON w.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = w.win_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 15
+    """,
+    doc="TPC-H-Q2-shaped correlated scalar subquery (cheapest offer per "
+    "part), decorrelated into aggregate-then-rejoin: one groupBy finds "
+    "each part's MIN price over the offer fact, an equi-join back on "
+    "(partkey, price) recovers the offering rows, MIN(suppkey) breaks "
+    "price ties deterministically.  Price kept DECIMAL through every "
+    "comparison so the equality rejoin cannot miss on float noise; "
+    "part/supplier/nation are broadcast dimensions.  Same two-shuffle "
+    "cost at any scale: both aggregates and the rejoin share the "
+    "l_partkey key.",
+)
+def q48_cheapest_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    offers = t["lineitem"].select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("price").alias("best_price")).select(
+        F.col("l_partkey").alias("b_partkey"), "best_price"
+    )
+    win = (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("price") == F.col("best_price")),
+        )
+        .groupBy("l_partkey", "best_price")
+        .agg(F.min("l_suppkey").alias("win_suppkey"))
+    )
+    part = t["part"].filter(F.col("p_size") < 15)
+    return (
+        win.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("win_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("best_price").cast("double").alias("best_price"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+        )
+    )
+
+
+# --- q49: TPC-H Q13 shape — customer order-count distribution ---
+
+
+@register(
+    "q49_order_count_distribution",
+    """
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+    doc="TPC-H-Q13-shaped two-level aggregation: LEFT OUTER join with a "
+    "non-key residual predicate (status <> 'P' belongs in the JOIN "
+    "condition, not WHERE - moving it would silently drop the "
+    "zero-order customers), count per customer including the "
+    "unmatched zeros, then the distribution of those counts.  The "
+    "second groupBy runs over one row per customer - negligible next "
+    "to the first shuffle; COUNT(col) vs COUNT(*) distinction carries "
+    "the NULL-row semantics on both engines.",
+)
+def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderstatus") != "P"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- q50: TPC-H Q8 shape — nation market share by year ---
+
+
+@register(
+    "q50_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             n.n_name,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN volume END) AS DOUBLE)
+             AS nation_rev,
+           CAST(SUM(volume) AS DOUBLE) AS total_rev,
+           CAST(COALESCE(SUM(CASE WHEN n_name = 'NATION_3' THEN volume END), 0)
+                AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS share
+    FROM rev GROUP BY o_year
+    """,
+    doc="TPC-H-Q8-shaped market share: one conditional aggregate computes "
+    "the focal nation's revenue and the total in a single pass (no "
+    "second scan, no self-join), grouped by order year.  Supplier and "
+    "nation are broadcast; the only shuffle is the join to orders plus "
+    "the final 7-group aggregate.  Both sums stay DECIMAL "
+    "(order-independent) until the end; the share ratio is computed on "
+    "the already-cast doubles with the identical expression on both "
+    "engines, so the IEEE division result is bit-identical.",
+)
+def q50_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier", "nation"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.year(F.col("o_orderdate").cast(T.TimestampType())).cast("int").alias("o_year"),
+            "n_name",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("volume"),
+        )
+    )
+    focal = F.when(F.col("n_name") == "NATION_3", F.col("volume"))
+    agg = rev.groupBy("o_year").agg(
+        F.sum(focal).alias("nat_dec"),
+        F.sum("volume").alias("tot_dec"),
+    )
+    return agg.select(
+        "o_year",
+        F.col("nat_dec").cast("double").alias("nation_rev"),
+        F.col("tot_dec").cast("double").alias("total_rev"),
+        (
+            F.coalesce(F.col("nat_dec"), F.lit(0).cast("decimal(18,2)")).cast("double")
+            / F.col("tot_dec").cast("double")
+        ).alias("share"),
+    )

@@ -201,3 +201,15 @@ def t15_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.langid_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "t17_bigram_novelty",
+    textops.bigram_novelty_sql(),
+    doc="Per-doc bigram novelty: fraction of a doc's distinct adjacent "
+    "bigrams appearing in no other document (boilerplate ~0, novel text "
+    "~1) - integer counts, two vocabulary-bounded shuffles, one final "
+    "division; the dedup-adjacent quality signal.",
+)
+def t17_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bigram_novelty(_docs(spark, sf_dir))
