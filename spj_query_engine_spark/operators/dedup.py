@@ -1432,3 +1432,96 @@ def strip_boilerplate_sql(
            COALESCE(r.clean_text, '') AS clean_text
     FROM totals LEFT JOIN rebuilt r ON totals.doc_id = r.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (g01) — fixed-point iterative join+agg
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3  # unrolled power iterations
+PR_SCALE = 10**12  # fixed-point unit: 1.0 rank == 1e12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank_neardup(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over the MinHash near-dup pair graph (undirected →
+    symmetric edges), ``iters`` unrolled power iterations in FIXED-POINT
+    integer arithmetic: ranks live in units of 1e-12, every contribution
+    is ``rank div degree`` (integer floor division) and the damping mix is
+    ``(15·SCALE) div 100 + (85·incoming) div 100`` — no float ever enters,
+    so the DuckDB oracle replays each iteration bit-for-bit (float
+    PageRank sums are order-dependent and would never hash-match).
+
+    Scale shape: each iteration is one equi-join of the rank vector to the
+    edge list on the source key plus one aggregate on the destination key
+    — the canonical distributed PageRank (Brin & Page '98; the
+    Pregel/GraphX formulation) with per-iteration cost O(|E|).  Degrees
+    are computed once.  A long-running variant would localCheckpoint
+    every few rounds like cc_alternating; at 3 unrolled rounds lineage
+    stays shallow.  Long arithmetic holds to ~1e6 nodes×1e12 scale;
+    beyond that swap the accumulators to DECIMAL(38,0) unchanged."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # The edge list feeds three join branches per iteration; without a
+    # materialization barrier the MinHash pair derivation re-executes in
+    # every branch and the task binary grows with unrolled lineage.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    base_term = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    rank = deg.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        rank = (
+            deg.select("src")
+            .join(incoming, F.col("src") == F.col("dst"), "left")
+            .select(
+                "src",
+                (
+                    F.lit(base_term)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0L)) div {PR_DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return rank.select(F.col("src").alias("doc_id"), "rank")
+
+
+def pagerank_neardup_sql(table: str = "documents", iters: int = PR_ITERS) -> str:
+    base = str((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN)
+    sql = f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    rank0 AS (SELECT src, {PR_SCALE}::BIGINT AS rank FROM deg)
+    """
+    prev = "rank0"
+    for i in range(1, iters + 1):
+        sql += f"""
+    , contrib{i} AS (
+      SELECT e.dst, r.rank // d.deg AS c
+      FROM edges e JOIN {prev} r ON r.src = e.src JOIN deg d ON d.src = e.src
+    ),
+    incoming{i} AS (SELECT dst, SUM(c) AS inc FROM contrib{i} GROUP BY dst),
+    rank{i} AS (
+      SELECT deg.src,
+             ({base} + ({PR_DAMP_NUM} * COALESCE(i.inc, 0)) // {PR_DAMP_DEN})::BIGINT AS rank
+      FROM deg LEFT JOIN incoming{i} i ON i.dst = deg.src
+    )
+    """
+        prev = f"rank{i}"
+    sql += f"SELECT src AS doc_id, rank FROM {prev}"
+    return sql

@@ -1251,3 +1251,145 @@ def json_props_rollup_sql(table: str = "events") -> str:
            CAST(count(DISTINCT k) AS BIGINT) AS ndv_k
     FROM parsed GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 status intervals (e29) — value-change islands → validity ranges
+# ---------------------------------------------------------------------------
+
+
+def status_intervals(events: DataFrame) -> DataFrame:
+    """SCD-Type-2 interval build: collapse each user's event stream into
+    contiguous same-``event_type`` runs (value-change islands — the
+    gaps-and-islands complement of :func:`sessionize`'s time-gap islands)
+    and emit one validity interval per run: ``valid_from_ms`` = first event
+    of the run, ``valid_to_ms`` = start of the next run (NULL on the open,
+    current interval) — exactly the dimension-table shape a warehouse
+    MERGE maintains, built here in one declarative pass.
+
+    Scale shape: one shuffle on ``user_id`` serves the change-detect lag,
+    the island cumsum AND the interval lead (all three windows share the
+    per-user ordering); the groupBy between them keys on (user, island) —
+    a prefix of the same partitioning, so AQE keeps it co-located.  Ties
+    break on event_id, so both engines number islands identically."""
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        F.col("event_type").alias("status"),
+    )
+    changed = F.when(
+        F.lag("status").over(w).isNull() | (F.lag("status").over(w) != F.col("status")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = base.withColumn(
+        "island",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("status").alias("status"),
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "island",
+        "status",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wi).alias("valid_to_ms"),
+        F.lead("valid_from_ms").over(wi).isNull().cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+def status_intervals_sql(table: str = "events") -> str:
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type AS status
+      FROM {table}
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(status) OVER w IS NULL THEN 1
+                  WHEN lag(status) OVER w <> status THEN 1
+                  ELSE 0 END AS changed
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    islands AS (
+      SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS island
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, island, min(status) AS status,
+             min(ts_ms) AS valid_from_ms, count(*) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, island, status, valid_from_ms,
+           lead(valid_from_ms) OVER wi AS valid_to_ms,
+           CAST(lead(valid_from_ms) OVER wi IS NULL AS INT) AS is_current,
+           n_events
+    FROM runs
+    WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Batch CDC apply (e30) — changelog → current snapshot with deletes
+# ---------------------------------------------------------------------------
+
+CDC_OPS = "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+
+
+def cdc_apply(events: DataFrame) -> DataFrame:
+    """Apply a CDC changelog to produce the CURRENT snapshot: events map to
+    insert/update/delete ops (signup→I, error→D, everything else→U), the
+    latest op per key wins in (ts, event_id) order, and keys whose final op
+    is a DELETE vanish from the snapshot — the MERGE-with-deletes
+    semantics e15's streaming upsert deliberately lacks.
+
+    Scale shape: latest-per-key is one row_number window over the key
+    partition (or equivalently max_by) — a single shuffle on the key; the
+    delete filter is free.  At 100 TB the changelog naturally arrives
+    partitioned by key ranges, and AQE coalesces the survivors."""
+    op = F.expr(CDC_OPS)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ms"), F.desc("event_id"))
+    latest = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+            F.col("value"),
+            op.alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_ms").alias("last_ts_ms"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def cdc_apply_sql(table: str = "events") -> str:
+    return f"""
+    WITH ops AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+             {CDC_OPS} AS op
+      FROM {table}
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT user_id, op AS last_op, event_id AS last_event_id,
+           ts_ms AS last_ts_ms, value AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """

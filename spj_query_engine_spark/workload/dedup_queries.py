@@ -199,3 +199,17 @@ def d14_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d15_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_boilerplate(_docs(spark, sf_dir))
+
+
+@register(
+    "g01_pagerank",
+    dedup.pagerank_neardup_sql(),
+    doc="PageRank over the near-dup pair graph, %d power iterations in "
+    "FIXED-POINT integer arithmetic (ranks in 1e-12 units, contributions "
+    "= rank div degree, damping as exact 85/100 rationals) - each "
+    "iteration one edge-join + one dest-key aggregate, O(|E|) per round; "
+    "integer ops make the iterative result hash-replayable where float "
+    "PageRank never is." % dedup.PR_ITERS,
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.pagerank_neardup(_docs(spark, sf_dir))

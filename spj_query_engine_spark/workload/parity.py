@@ -1728,3 +1728,100 @@ def q50_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tot_dec").cast("double")
         ).alias("share"),
     )
+
+
+# --- q51: skyline (Pareto frontier) — two-phase distributed SFS ---
+Q51_BUCKETS = 16
+
+
+def _q51_oracle() -> str:
+    return f"""
+    WITH bucketed AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             p_partkey % {Q51_BUCKETS} AS bkt
+      FROM part
+    ),
+    local_best AS (
+      SELECT bkt, p_retailprice, MAX(p_size) AS best_size
+      FROM bucketed GROUP BY bkt, p_retailprice
+    ),
+    local_run AS (
+      SELECT *, MAX(best_size) OVER (PARTITION BY bkt ORDER BY p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_best
+      FROM local_best
+    ),
+    cand AS (
+      SELECT b.p_partkey, b.p_retailprice, b.p_size
+      FROM bucketed b
+      JOIN local_run r ON r.bkt = b.bkt AND r.p_retailprice = b.p_retailprice
+      WHERE b.p_size = r.best_size
+        AND (r.cheaper_best IS NULL OR r.cheaper_best < b.p_size)
+    ),
+    glob_best AS (
+      SELECT p_retailprice, MAX(p_size) AS best_size
+      FROM cand GROUP BY p_retailprice
+    ),
+    glob_run AS (
+      SELECT *, MAX(best_size) OVER (ORDER BY p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_best
+      FROM glob_best
+    )
+    SELECT c.p_partkey, c.p_retailprice, c.p_size
+    FROM cand c
+    JOIN glob_run g ON g.p_retailprice = c.p_retailprice
+    WHERE c.p_size = g.best_size
+      AND (g.cheaper_best IS NULL OR g.cheaper_best < c.p_size)
+    """
+
+
+@register(
+    "q51_skyline",
+    _q51_oracle(),
+    doc="Skyline / Pareto frontier (parts no other part beats on BOTH "
+    "cheaper price AND larger-or-equal size, strict somewhere) via the "
+    "two-phase distributed sort-filter skyline: phase 1 computes a LOCAL "
+    "skyline inside each of %d deterministic key buckets (per-bucket "
+    "running-max window - all buckets in parallel), phase 2 re-runs the "
+    "same filter globally over only the local survivors.  Correct because "
+    "skyline(S) = skyline of the union of any partitioning's local "
+    "skylines; the naive formulation is a NOT-EXISTS theta self-join "
+    "(quadratic - never shipped), and the single global sort-window "
+    "would serialize at 100 TB, so only the small survivor set ever "
+    "passes through a one-partition window.  Tie semantics: equal "
+    "(price, size) points co-survive; any strict improvement kills."
+    % Q51_BUCKETS,
+)
+def q51_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+
+    def skyline_pass(points: DataFrame, by_bucket: bool) -> DataFrame:
+        keys = ["bkt", "p_retailprice"] if by_bucket else ["p_retailprice"]
+        best = points.groupBy(*keys).agg(F.max("p_size").alias("best_size"))
+        w = (
+            Window.partitionBy("bkt") if by_bucket else Window.partitionBy()
+        ).orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+        run = best.withColumn("cheaper_best", F.max("best_size").over(w))
+        return (
+            points.join(run, keys)
+            .filter(
+                (F.col("p_size") == F.col("best_size"))
+                & (
+                    F.col("cheaper_best").isNull()
+                    | (F.col("cheaper_best") < F.col("p_size"))
+                )
+            )
+            .select("bkt", "p_partkey", "p_retailprice", "p_size")
+        )
+
+    bucketed = part.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        (F.col("p_partkey") % Q51_BUCKETS).alias("bkt"),
+    )
+    cand = skyline_pass(bucketed, by_bucket=True)
+    return skyline_pass(cand, by_bucket=False).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

@@ -251,3 +251,28 @@ def e26_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e28_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.json_props_rollup(ev)
+
+
+@register(
+    "e29_status_intervals",
+    temporal.status_intervals_sql(),
+    doc="SCD-Type-2 interval build: per-user same-status runs "
+    "(value-change islands) -> validity intervals with open current rows "
+    "- lag-detect, cumsum island ids and the valid_to lead all share ONE "
+    "per-user shuffle.",
+)
+def e29_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.status_intervals(ev)
+
+
+@register(
+    "e30_cdc_apply",
+    temporal.cdc_apply_sql(),
+    doc="Batch CDC apply: changelog ops (signup->I, error->D, else->U), "
+    "latest op per key wins, delete-terminal keys vanish - the "
+    "MERGE-with-deletes snapshot in one keyed window pass.",
+)
+def e30_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.cdc_apply(ev)
