@@ -103,6 +103,11 @@ FAMILY = [
     "t15_bpe_pairs",
     "t16_langid_confusion",
     "p07_leakage_safe_split",
+    # round-2 session-4 additions
+    "t17_bigram_novelty",
+    "g01_pagerank",
+    "e29_status_intervals",
+    "e30_cdc_apply",
 ]
 
 
