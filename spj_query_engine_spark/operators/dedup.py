@@ -1525,3 +1525,86 @@ def pagerank_neardup_sql(table: str = "documents", iters: int = PR_ITERS) -> str
         prev = f"rank{i}"
     sql += f"SELECT src AS doc_id, rank FROM {prev}"
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (d16) — the string-similarity dedup modality
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2  # maximum Levenshtein distance reported
+
+
+def fuzzy_name_pairs(
+    rows: DataFrame, name_col: str = "p_name", max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Fuzzy-match pairs by Levenshtein distance ≤ ``max_dist`` — the
+    edit-distance modality that completes the near-dup taxonomy (MinHash
+    Jaccard d02, SimHash Hamming d04, n-gram d05, embedding cosine d06,
+    exact d01).
+
+    Scale design, in order of importance:
+    1. **Pair the VOCABULARY, not the rows.**  Distinct names are
+       aggregated first (with row counts), so the quadratic stage runs
+       over name vocabulary — at 100 TB the name NDV is orders of
+       magnitude under row count, and the row mapping rides back on the
+       final (small) winner list.
+    2. **Token-blocked candidate generation**: an inverted index on the
+       name's whitespace tokens proposes only name pairs sharing ≥ 1
+       exact token (the standard blocking lever of record-linkage /
+       fuzzy-join literature — Gravano et al.'s q-gram filter is this
+       with q-grams; tokens fit these space-separated names).  The
+       O(vocab²) all-pairs never materializes.  Recall contract,
+       documented: a pair whose every token differs (edits spread across
+       all tokens) is not proposed.
+    3. ``levenshtein()`` — identical classic edit-distance semantics in
+       Spark and DuckDB — runs only on proposed pairs."""
+    names = rows.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    toks = names.select(
+        "name", F.explode(F.split(F.col("name"), r"\s+")).alias("tok")
+    )
+    a = toks.select(F.col("name").alias("name_a"), "tok")
+    b = toks.select(F.col("name").alias("name_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    scored = cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    na = names.select(F.col("name").alias("name_a"), F.col("n_rows").alias("n_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n_rows").alias("n_b"))
+    return scored.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "dist", "n_a", "n_b"
+    )
+
+
+def fuzzy_name_pairs_sql(
+    table: str = "part", name_col: str = "p_name", max_dist: int = FUZZY_MAX_DIST
+) -> str:
+    return f"""
+    WITH names AS (
+      SELECT {name_col} AS name, count(*) AS n_rows FROM {table} GROUP BY 1
+    ),
+    toks AS (
+      SELECT name, unnest(string_split_regex(name, '\\s+')) AS tok FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+    ),
+    scored AS (
+      SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+      FROM cand
+    )
+    SELECT s.name_a, s.name_b, s.dist, na.n_rows AS n_a, nb.n_rows AS n_b
+    FROM scored s
+    JOIN names na ON na.name = s.name_a
+    JOIN names nb ON nb.name = s.name_b
+    WHERE s.dist <= {max_dist}
+    """

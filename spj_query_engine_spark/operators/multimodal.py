@@ -364,3 +364,82 @@ def payload_dedup_sql(table: str = "documents") -> str:
     FROM {table}
     GROUP BY md5(text)
     """
+
+
+FRAME_DUP_MIN_SHARED = 2  # frames two assets must share to pair
+FRAME_DF_CAP = 100  # frames shared by more assets than this are boilerplate
+
+
+def frame_dup_pairs(
+    mm: DataFrame,
+    min_shared: int = FRAME_DUP_MIN_SHARED,
+    df_cap: int = FRAME_DF_CAP,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs for video-like assets (m07): two
+    assets pair when ≥ ``min_shared`` of their sampled frames carry the
+    same fingerprint at the same frame position — the keyframe-overlap
+    dedup a video lake runs (with the codec+pHash stubbed to the m02
+    chunk-md5, so the Spark plumbing — frame explode, inverted index,
+    banded self-join — is the real design and the oracle replays it).
+
+    Scale shape: the self-join keys on (frame_no, frame_fp) — an inverted
+    index over fingerprints, same anatomy as d05's shingle index — so
+    only same-fingerprint assets ever meet; fingerprints shared by more
+    than ``df_cap`` assets are dropped as boilerplate before pairing (the
+    stop-shingle skew lever: a hot intro/outro frame would otherwise grow
+    pairs quadratically).  Payload bytes never enter the join — frames
+    reduce to 8-byte fingerprints at the mapInPandas boundary.
+
+    Corpus note: the shipped synthetic documents are bag-of-words
+    resamples (no byte-aligned duplicate runs), so this yields 0 pairs at
+    the test SFs — the planted-asset unit test
+    (tests/test_streaming_multimodal.py::test_frame_dup_pairs_planted)
+    proves the pairing on frame-aligned copies and the boilerplate cap."""
+    frames = frame_sample(mm).select("doc_id", "frame_no", "frame_fp")
+    df = frames.groupBy("frame_no", "frame_fp").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept = frames.join(
+        df.filter(F.col("n_docs") <= df_cap), ["frame_no", "frame_fp"]
+    ).select("doc_id", "frame_no", "frame_fp")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "frame_no", "frame_fp"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "frame_no", "frame_fp"
+    )
+    return (
+        a.join(b, ["frame_no", "frame_fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def frame_dup_pairs_sql(
+    table: str = "documents",
+    min_shared: int = FRAME_DUP_MIN_SHARED,
+    df_cap: int = FRAME_DF_CAP,
+) -> str:
+    return f"""
+    WITH frames AS (
+      SELECT doc_id, frame_no, frame_fp FROM ({frame_sample_sql(table)})
+    ),
+    df AS (
+      SELECT frame_no, frame_fp, count(*) AS n_docs
+      FROM frames GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT f.doc_id, f.frame_no, f.frame_fp
+      FROM frames f JOIN df ON df.frame_no = f.frame_no
+                           AND df.frame_fp = f.frame_fp
+      WHERE df.n_docs <= {df_cap}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM kept a
+    JOIN kept b ON b.frame_no = a.frame_no AND b.frame_fp = a.frame_fp
+               AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """

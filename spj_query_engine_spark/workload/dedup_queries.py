@@ -213,3 +213,17 @@ def d15_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pagerank_neardup(_docs(spark, sf_dir))
+
+
+@register(
+    "d16_fuzzy_name_pairs",
+    dedup.fuzzy_name_pairs_sql(),
+    doc="Edit-distance fuzzy matching (Levenshtein <= %d) completing the "
+    "near-dup taxonomy: pairs the distinct-name VOCABULARY (never rows), "
+    "token-blocked candidate generation (record-linkage q-gram-filter "
+    "shape) so O(vocab^2) never materializes; row counts ride back on "
+    "the winner list." % dedup.FUZZY_MAX_DIST,
+)
+def d16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return dedup.fuzzy_name_pairs(part)

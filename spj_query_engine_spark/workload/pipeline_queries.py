@@ -318,3 +318,16 @@ def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e27_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_streaming_sliding(spark, sf_dir)
+
+
+@register(
+    "m07_frame_dup_pairs",
+    multimodal.frame_dup_pairs_sql(),
+    doc="Perceptual near-dup pairs for video-like assets: >= %d sampled "
+    "frames sharing a fingerprint at the same position (keyframe-overlap "
+    "dedup, codec+pHash stubbed to chunk-md5) - inverted index on "
+    "(frame_no, fp) with a %d-asset boilerplate cap, payloads never "
+    "enter the join." % (multimodal.FRAME_DUP_MIN_SHARED, multimodal.FRAME_DF_CAP),
+)
+def m07_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_dup_pairs(_mm(spark, sf_dir))

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from spj_query_engine_spark.operators import multimodal, temporal
 from spj_query_engine_spark.catalog import load_table
@@ -259,7 +260,7 @@ def test_stateful_asof_state_carries_across_batches(spark, tmp_path):
     assert rows[0]["o_totalprice"] == 60.0
 
 
-def test_watermark_drops_late_data(spark, tmp_path):
+def test_watermark_drops_late_data_windowed_agg(spark, tmp_path):
     """Append-mode windowed agg with a watermark: an event arriving after
     the watermark has passed its window is DROPPED — the bounded-state
     contract.  File arrival order drives the event-time watermark
@@ -315,3 +316,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     assert (12, 0) in got and got[(12, 0)] == 2  # the on-time window emitted
     assert (10, 0) not in got  # the late event never appears
+
+
+def test_frame_dup_pairs_planted(spark):
+    """m07 on planted assets: an exact copy shares all 4 frames; a variant
+    with one quarter altered shares 3; a variant altered in every quarter
+    shares 0 and never pairs.  Also proves the boilerplate cap drops a
+    fingerprint shared by too many assets."""
+    from spj_query_engine_spark.operators.multimodal import frame_dup_pairs
+
+    base = "aaaabbbbccccdddd"  # 4 frames of 4 bytes
+    rows = [
+        (0, base),
+        (1, base),                    # exact copy → 4 shared frames
+        (2, "aaaabbbbccccXXXX"),      # last quarter differs → 3 shared
+        (3, "WWWWXXXXYYYYZZZZ"),      # nothing shared
+    ]
+    mm = spark.createDataFrame(rows, "doc_id long, payload string").select(
+        "doc_id", F.col("payload").cast("binary").alias("payload")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in frame_dup_pairs(mm).collect()
+    }
+    assert got == {(0, 1): 4, (0, 2): 3, (1, 2): 3}
+    # cap: with df_cap=1 every shared fingerprint is "boilerplate" → no pairs
+    assert frame_dup_pairs(mm, df_cap=1).count() == 0
