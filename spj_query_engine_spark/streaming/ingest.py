@@ -430,3 +430,74 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply via ``foreachBatch`` — e15's upsert sink extended
+    with DELETE semantics (the op mapping of the batch twin
+    ``operators.temporal.cdc_apply``: signup→I, error→D, else→U).  Each
+    micro-batch reduces to its latest-op-per-user rows and appends them —
+    *including delete TOMBSTONES*: a delete must outlive the batch that saw
+    it, or a later merge-on-read would resurrect an earlier upsert.
+    Readers take the latest fragment row per key and drop keys whose
+    winning op is a tombstone.  Latest-op-per-key is associative and
+    commutative, so finite replay equals the batch ``cdc_apply`` — the
+    oracle.
+
+    Production shape: the same body MERGEs into Delta/Iceberg with
+    ``WHEN MATCHED AND op = 'D' THEN DELETE``; tombstone compaction then
+    lives in the table format."""
+    from pyspark.sql import Window
+
+    tgt = f"/tmp/spj_cdc_{uuid.uuid4().hex[:8]}"
+    op = F.expr(
+        "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+    )
+
+    def latest_op_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                op.alias("last_op"),
+                F.col("event_id").alias("last_event_id"),
+                F.unix_millis(F.col("ts")).alias("last_ts_ms"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+        )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        latest_op_per_user(batch_df).write.mode("append").parquet(tgt)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    out_schema = (
+        "user_id long, last_op string, last_event_id long, "
+        "last_ts_ms long, last_value double"
+    )
+    import os as _os
+
+    if not _os.path.isdir(tgt):
+        return spark.createDataFrame([], out_schema)
+    frags = spark.read.schema(out_schema).parquet(tgt)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_ms"), F.desc("last_event_id")
+    )
+    return (
+        frags.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("last_op") != "D")
+        .drop("rn")
+    )

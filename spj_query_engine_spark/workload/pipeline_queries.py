@@ -331,3 +331,16 @@ def e27_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m07_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_dup_pairs(_mm(spark, sf_dir))
+
+
+@register(
+    "e31_stream_cdc",
+    temporal.cdc_apply_sql(),
+    doc="Streaming CDC apply (foreachBatch): e15's upsert sink plus DELETE "
+    "tombstones that outlive their batch - merge-on-read takes the latest "
+    "fragment per key, then drops tombstone winners; latest-op-per-key is "
+    "associative, so finite replay equals the batch cdc_apply (e30), the "
+    "oracle.",
+)
+def e31_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.run_stream_cdc(spark, sf_dir)
