@@ -96,3 +96,84 @@ def exchanges_in_plan(df: DataFrame) -> int:
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_cols`` — one
+    directory per partition value.  A later read whose filter hits a
+    partition column never opens the pruned directories at all
+    (PartitionFilters in the scan node, zero I/O for pruned values) —
+    the coarsest and cheapest data-skipping lever at 100 TB, where a
+    day-partitioned event lake turns a one-day query into a 1/365 scan.
+
+    Partition columns should be LOW cardinality (dates, regions, types):
+    each distinct value is a directory, and a high-cardinality partition
+    key degenerates into millions of tiny files."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def partition_filters_in_plan(df: DataFrame) -> str:
+    """The PartitionFilters clause of the scan node ('' if absent) —
+    lets tests assert a filter became directory pruning, not row
+    filtering."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            i = line.index("PartitionFilters")
+            return line[i:].split("]", 1)[0] + "]"
+    return ""
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``cols`` (each first clamped into
+    ``bits`` bits): bit *j* of column *i* lands at position
+    ``j * len(cols) + i`` of the result.  Sorting or range-partitioning
+    by this single value keeps rows that are close in EVERY dimension
+    close in file order, so per-file min/max column statistics become
+    tight on ALL interleaved columns at once — multi-dimensional data
+    skipping from one sort, where sorting by ``(a, b)`` alone leaves
+    ``b``'s per-file ranges as wide as the domain.
+
+    Pure bit arithmetic (shifts + masks over longs), whole-stage codegen,
+    no UDF; inputs must be non-negative integers already scaled to the
+    ``bits`` range (callers bucket/scale first)."""
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        clamped = F.greatest(F.lit(0), F.least(c.cast("long"), F.lit((1 << bits) - 1)))
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(clamped, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered by the
+    Z-order value of ``cols``: ``repartitionByRange`` on the interleaved
+    key (one range shuffle) then per-file sort.  Readers filtering on ANY
+    of ``cols`` skip most files via parquet min/max row-group stats —
+    the OPTIMIZE ZORDER BY of lakehouse table formats, expressed with
+    stock Spark writes."""
+    z = zorder_value([F.col(c) for c in cols], bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -130,3 +130,98 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on a partition column becomes DIRECTORY pruning: the scan
+    plans PartitionFilters and reads only the matching partition's files —
+    zero I/O for the other values."""
+    from spj_query_engine_spark.catalog import load_tables
+    from spj_query_engine_spark.operators.scale import (
+        partition_filters_in_plan,
+        write_partitioned,
+    )
+
+    from tests.conftest import SF_DIR
+
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    lake = str(tmp_path / "events_lake")
+    write_partitioned(ev, lake, ["event_type"])
+
+    back = spark.read.parquet(lake)
+    q = back.filter(F.col("event_type") == "click")
+    pf = partition_filters_in_plan(q)
+    # the equality reached the scan's PartitionFilters clause — Catalyst
+    # applies these at file LISTING time, so pruned directories are never
+    # opened (inputFiles() reports the unpruned relation, so the plan
+    # clause is the pruning proof)
+    assert "event_type" in pf and "click" in pf, f"no pruning in plan: {pf!r}"
+    # and the layout wrote one directory per value
+    import os as _os
+
+    dirs = {d for d in _os.listdir(lake) if d.startswith("event_type=")}
+    assert "event_type=click" in dirs and len(dirs) == 5
+    # pruning is lossless
+    assert q.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    """zorder_value == the textbook Morton interleave, bit for bit."""
+    from spj_query_engine_spark.operators.scale import zorder_value
+
+    def morton(vals, bits):
+        out = 0
+        n = len(vals)
+        for i, v in enumerate(vals):
+            v = max(0, min(v, (1 << bits) - 1))
+            for j in range(bits):
+                out |= ((v >> j) & 1) << (j * n + i)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (7, 300), (-4, 2)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zorder_value([F.col("a"), F.col("b")], bits=8).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton([r["a"], r["b"]], 8), (r["a"], r["b"])
+
+
+def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
+    """Z-order clustering vs single-column sort on a 64x64 grid: the
+    single-column layout leaves the second column's per-file min/max as
+    wide as its whole domain (no skipping possible); the Z-ordered layout
+    narrows EVERY file's range on BOTH columns."""
+    from spj_query_engine_spark.operators.scale import write_zordered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(grid, zpath, ["a", "b"], bits=6, n_files=8)
+    grid.repartitionByRange(8, "a").sortWithinPartitions("a").write.parquet(spath)
+
+    import pyarrow.parquet as pq
+    import glob as g
+
+    def per_file_range(path, col):
+        spans = []
+        for f in g.glob(path + "/part-*.parquet"):
+            t = pq.read_table(f, columns=[col])[col]
+            import pyarrow.compute as pc
+
+            spans.append(pc.max(t).as_py() - pc.min(t).as_py())
+        return spans
+
+    z_b = per_file_range(zpath, "b")
+    s_b = per_file_range(spath, "b")
+    # sorted-by-a: every file spans (almost) the full b domain
+    assert min(s_b) >= 55
+    # z-ordered: every file covers a bounded b slab, and is far tighter
+    assert max(z_b) <= 32
+    assert sum(z_b) < sum(s_b) / 2
+    # and the a dimension is still well-clustered too (range-boundary
+    # sampling can let one file straddle a major Z split, so bound the
+    # aggregate, not the max)
+    z_a = per_file_range(zpath, "a")
+    assert sum(z_a) / len(z_a) <= 40
+    assert sorted(z_a)[len(z_a) // 2] <= 32
