@@ -1825,3 +1825,132 @@ def q51_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_pass(cand, by_bucket=False).select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+# --- q52: TPC-H Q7 shape — bi-directional nation-pair trade volume ---
+
+
+@register(
+    "q52_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(o.o_orderdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H-Q7-shaped bi-directional trade volume between two nations "
+    "by year: the disjunctive nation-pair predicate sits on two broadcast "
+    "nation copies, so it prunes BEFORE the fact joins widen anything; "
+    "supplier/customer broadcast, the orders join is the only big "
+    "shuffle, and the final rollup has 2 x years groups.  Decimal "
+    "volume end to end.",
+)
+def q52_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "supplier", "customer", "nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    shipping = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("o_orderdate").cast(T.TimestampType()))
+            .cast("int")
+            .alias("l_year"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("volume"),
+        )
+    )
+    return shipping.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("volume").cast("double").alias("revenue")
+    )
+
+
+# --- q53: TPC-H Q18 shape — large orders via aggregated semi-join ---
+Q53_MIN_QTY = 250
+
+
+@register(
+    "q53_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q53_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H-Q18-shaped large-order report: the IN-subquery over a "
+    "HAVING aggregate becomes a semi join against the per-order quantity "
+    "rollup (id-only frame), then the surviving orders re-join lineitem "
+    "for the display aggregate - both aggregates and both fact joins "
+    "share the l_orderkey shuffle key, so AQE chains them without "
+    "re-partitioning; quantities stay DECIMAL through the HAVING "
+    "comparison." % (),
+)
+def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    decq = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(decq).alias("qty"))
+        .filter(F.col("qty") > Q53_MIN_QTY)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("big_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(decq).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            unix_millis_col("o_orderdate").alias("o_orderdate_ms"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
