@@ -299,3 +299,92 @@ def test_random_event_streams_ledger_ops(spark, n_users, n_events, gap_minutes):
         con.close()
     for r in growth_accounting(sdf).collect():
         assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+
+
+@given(
+    n_users=st.integers(min_value=1, max_value=5),
+    n_events=st.integers(min_value=1, max_value=40),
+    gap_minutes=st.integers(min_value=1, max_value=2000),
+)
+@settings(**_SETTINGS)
+def test_random_event_streams_scd2_cdc(spark, n_users, n_events, gap_minutes):
+    """Random event streams through the SCD2 interval build and the CDC
+    apply, each compared value-for-value against its DuckDB oracle; the
+    SCD2 invariants (intervals tile each user's timeline without overlap,
+    exactly one open interval per user) must hold on every stream."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.temporal import (
+        cdc_apply,
+        cdc_apply_sql,
+        status_intervals,
+        status_intervals_sql,
+    )
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    for i in range(n_events):
+        u = (i * 7919) % n_users
+        t = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            minutes=(i * 104729) % (gap_minutes * n_events)
+        )
+        rows.append((i, u, t, types[(i * 31) % 5], 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    try:
+        assert_same_result(status_intervals(sdf), con, status_intervals_sql())
+        assert_same_result(cdc_apply(sdf), con, cdc_apply_sql())
+    finally:
+        con.close()
+    per_user: dict = {}
+    for r in status_intervals(sdf).collect():
+        per_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in per_user.values():
+        user_rows.sort(key=lambda r: r["island"])
+        opens = [r for r in user_rows if r["valid_to_ms"] is None]
+        assert len(opens) == 1 and opens[0] is user_rows[-1]
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]  # gap-free tiling
+
+
+@given(
+    n_points=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_random_skyline_matches_bruteforce(spark, n_points, seed):
+    """q51's two-phase distributed skyline == the O(n²) dominance
+    definition on random (price, size) point sets, ties included."""
+    pts = []
+    for i in range(n_points):
+        h = (seed * 31 + i * 2654435761) % (1 << 32)
+        pts.append((i, float((h >> 8) % 17), int(h % 13)))
+
+    def dominated(p, q):  # q dominates p
+        return (
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    expect = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q is not p)
+    }
+    from spj_query_engine_spark.workload.parity import q51_skyline  # noqa: F401
+    from spj_query_engine_spark.workload import REGISTRY
+    import os, tempfile
+
+    df = spark.createDataFrame(
+        pts, "p_partkey long, p_retailprice double, p_size int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r["p_partkey"]
+            for r in REGISTRY["q51_skyline"].fn(spark, d).collect()
+        }
+    assert got == expect
