@@ -249,3 +249,106 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# e32 — Spark 4 transformWithStateInPandas: per-user running totals
+# ---------------------------------------------------------------------------
+
+
+def run_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RUNNING TOTALS via Spark 4's ``transformWithStateInPandas``
+    — the new arbitrary-stateful API (typed ValueState/ListState/MapState
+    handles, timers, TTL) superseding ``applyInPandasWithState``'s single
+    opaque tuple.  A ``StatefulProcessor`` keeps one ValueState
+    (n_events, sum_cents) per user, folds each micro-batch into it in
+    event-time order, and emits the post-batch snapshot; because the
+    count is MONOTONE, the max-count row per user after finite replay IS
+    the final state, which equals the batch per-user rollup — the DuckDB
+    oracle.  Values accumulate in integer cents (the portable floor
+    rounding used engine-wide), so no float order can flip the hash.
+
+    Production shape: RocksDB state store provider, ``withWatermark`` +
+    state TTL so departed users age out — state is O(active users).
+
+    Environment note: the TWS state-server protocol needs
+    ``google.protobuf`` in the Python runtime; this sandbox lacks it, so
+    the operator is exercised by a protobuf-gated test
+    (tests/test_streaming_multimodal.py::test_tws_running_totals) rather
+    than a driver-gate registry entry — the applyInPandasWithState
+    operators (e06/e07/e10/e13) carry the gated stateful surface.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from spj_query_engine_spark.streaming.ingest import stream_events
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events BIGINT, sum_cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # floor(v*100 + 0.5) — the engine-wide portable rounding
+                cents += int(
+                    (pdf["value"] * 100 + 0.5).apply(math.floor).sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    name = f"tws_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snaps = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )
+
+
+def tws_running_totals_sql(table: str = "events") -> str:
+    return f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM {table}
+    GROUP BY user_id
+    """

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spj_query_engine_spark.catalog import load_tables
 from spj_query_engine_spark.operators import multimodal, sampling, temporal
-from spj_query_engine_spark.streaming import ingest
+from spj_query_engine_spark.streaming import ingest, stateful
 from spj_query_engine_spark.workload.registry import register
 
 

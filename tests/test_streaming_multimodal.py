@@ -342,3 +342,29 @@ def test_frame_dup_pairs_planted(spark):
     assert got == {(0, 1): 4, (0, 2): 3, (1, 2): 3}
     # cap: with df_cap=1 every shared fingerprint is "boilerplate" → no pairs
     assert frame_dup_pairs(mm, df_cap=1).count() == 0
+
+
+def test_tws_running_totals(spark):
+    """Spark 4 transformWithStateInPandas running totals == batch rollup
+    (finite replay).  Requires google.protobuf in the Python runtime for
+    the TWS state server; skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    from spj_query_engine_spark.streaming.stateful import (
+        run_tws_running_totals,
+        tws_running_totals_sql,
+    )
+    import duckdb
+
+    got = run_tws_running_totals(spark, SF_DIR)
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % os.path.join(SF_DIR, "events.parquet")
+    )
+    try:
+        errs = compare_frames(got.toPandas(), con.execute(tws_running_totals_sql()).df())
+        assert not errs, errs
+    finally:
+        con.close()
