@@ -1393,3 +1393,78 @@ def cdc_apply_sql(table: str = "events") -> str:
            ts_ms AS last_ts_ms, value AS last_value
     FROM latest WHERE rn = 1 AND op <> 'D'
     """
+
+
+# ---------------------------------------------------------------------------
+# Pattern matching over event sequences (e33) — MATCH_RECOGNIZE-lite CEP
+# ---------------------------------------------------------------------------
+
+PATTERN_DAY_MS = 86_400_000
+
+
+def pattern_match(events: DataFrame) -> DataFrame:
+    """Complex-event pattern detection (the MATCH_RECOGNIZE shape neither
+    Spark nor the reference exposes as syntax): each user-day's events
+    collapse — in (ts, event_id) order — into a STRING of type initials
+    (click→c, error→e, purchase→p, signup→s, view→v), and patterns
+    become regular expressions over that string: ``vc`` (view immediately
+    followed by click) and ``v[ce]*p`` (view leading to purchase through
+    any clicks/errors).  Left-to-right non-overlapping regex counting has
+    identical semantics in Spark and DuckDB, so the oracle replays it.
+
+    Scale shape: ONE groupBy per (user, day) — the sequence is built with
+    ``collect_list(struct) → array_sort → transform → array_join`` (all
+    codegen'd; no window pass needed because array_sort orders within the
+    aggregated group), and sequence length is bounded by a user-day's
+    events.  The regex scan runs per GROUP row, never per event."""
+    initial = F.substring("event_type", 1, 1)
+    day = (
+        F.floor(F.unix_millis(F.col("ts").cast(T.TimestampType())) / PATTERN_DAY_MS)
+        .cast("long")
+        .alias("day")
+    )
+    base = events.select(
+        "user_id",
+        day,
+        F.struct(
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+            F.col("event_id"),
+            initial.alias("i"),
+        ).alias("ev"),
+    )
+    agg = base.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["i"]), ""
+        ).alias("seq")
+    )
+    return agg.select(
+        "user_id",
+        (F.col("day") * PATTERN_DAY_MS).alias("day_ms"),
+        "seq",
+        F.regexp_count("seq", F.lit("vc")).cast("long").alias("n_view_click"),
+        F.regexp_count("seq", F.lit("v[ce]*p")).cast("long").alias("n_funnel"),
+    )
+
+
+def pattern_match_sql(table: str = "events") -> str:
+    return f"""
+    WITH base AS (
+      SELECT user_id,
+             epoch_ms(ts) // {PATTERN_DAY_MS} AS day,
+             epoch_ms(ts) AS ts_ms,
+             event_id,
+             substr(event_type, 1, 1) AS i
+      FROM {table}
+    ),
+    agg AS (
+      SELECT user_id, day,
+             string_agg(i, '' ORDER BY ts_ms, event_id) AS seq
+      FROM base GROUP BY user_id, day
+    )
+    SELECT user_id,
+           day * {PATTERN_DAY_MS} AS day_ms,
+           seq,
+           CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_view_click,
+           CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_funnel
+    FROM agg
+    """

@@ -1954,3 +1954,39 @@ def q53_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --- q54: EXCEPT ALL / INTERSECT ALL — bag-semantics set operations ---
+
+
+@register(
+    "q54_bag_set_ops",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         x AS (SELECT 'except_all' AS op, o_custkey FROM (
+                 SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)),
+         y AS (SELECT 'intersect_all' AS op, o_custkey FROM (
+                 SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b))
+    SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM x UNION ALL SELECT * FROM y)
+    GROUP BY op, o_custkey
+    """,
+    doc="EXCEPT ALL / INTERSECT ALL - the BAG-semantics set operations "
+    "(q25/q26 cover the DISTINCT forms): multiplicities subtract / take "
+    "the minimum per value instead of collapsing, which Spark plans as a "
+    "single count-compare aggregate per side (no join, no distinct "
+    "pass); rolled up to (value, multiplicity) so the hash compare is "
+    "order-free.",
+)
+def q54_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "o_custkey")
+    ix = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    return (
+        ex.unionByName(ix)
+        .groupBy("op", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

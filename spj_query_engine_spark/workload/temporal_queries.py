@@ -276,3 +276,17 @@ def e29_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e30_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.cdc_apply(ev)
+
+
+@register(
+    "e33_pattern_match",
+    temporal.pattern_match_sql(),
+    doc="MATCH_RECOGNIZE-lite CEP: user-day event sequences collapse to "
+    "type-initial strings (collect_list -> array_sort -> array_join, all "
+    "codegen'd, no window pass), patterns become regexes counted per "
+    "GROUP row - 'vc' adjacency and 'v[ce]*p' eventual-purchase; "
+    "left-to-right non-overlap counting matches both engines.",
+)
+def e33_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.pattern_match(ev)
