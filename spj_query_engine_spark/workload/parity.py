@@ -1457,6 +1457,10 @@ def q45_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # Materialize the pair list once: the recursive CTE references the view
+    # in both UNION branches and in every recursion step, and each reference
+    # would otherwise re-derive the full MinHash pipeline.
+    pairs = pairs.localCheckpoint(eager=True)
     pairs.createOrReplaceTempView("q45_pairs")
     return spark.sql(f"""
     WITH RECURSIVE edges AS (
