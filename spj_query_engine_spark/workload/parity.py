@@ -1994,3 +1994,366 @@ def q54_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op", "o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- q55: TPC-H Q5 shape — local supplier volume per nation ---
+
+
+@register(
+    "q55_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND year(o_orderdate) = 1997
+    GROUP BY n_name
+    """,
+    doc="TPC-H-Q5-shaped local-supplier volume: six-way join where the "
+    "customer must share the supplier's nation (the c_nationkey = "
+    "s_nationkey condition rides the customer join as a second equi-key, "
+    "never a post-filter).  region -> nation -> supplier collapse into "
+    "one broadcast chain BEFORE touching a fact table, so the region "
+    "filter prunes suppliers map-side; the year filter pushes to the "
+    "orders scan.  Only two shuffles survive at scale: lineitem x orders "
+    "on orderkey and the customer join on custkey.",
+)
+def q55_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    nat = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = t["supplier"].join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    ord_f = t["orders"].filter(
+        F.year(F.col("o_orderdate").cast(T.TimestampType())) == 1997
+    )
+    return (
+        t["lineitem"]
+        .join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- q56: TPC-H Q6 shape — forecast revenue change (pure filter + agg) ---
+
+
+@register(
+    "q56_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6-shaped forecast-revenue: the canonical "
+    "pushdown/pruning showcase - zero joins, every predicate (ship-year "
+    "range, discount band, quantity cap) reaches the parquet scan as a "
+    "PushedFilter over row-group min/max stats, and only four of the "
+    "sixteen lineitem columns are read.  The aggregate is a map-side "
+    "partial SUM on exact decimals; one row crosses the exchange per "
+    "task.  Double literals compare bit-identically in both engines "
+    "(same parquet bits, same literal parse).",
+)
+def q56_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ship = F.col("l_shipdate").cast(T.TimestampType())
+    return (
+        li.filter(
+            (ship >= F.lit("1997-01-01").cast(T.TimestampType()))
+            & (ship < F.lit("1998-01-01").cast(T.TimestampType()))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- q57: TPC-H Q12 shape — late-shipment priority counts ---
+
+
+@register(
+    "q57_late_ship_priority",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY year(l_shipdate)
+    """,
+    doc="TPC-H-Q12-shaped late-shipment report: the cross-table residual "
+    "(shipped more than 60 days after ordering) cannot push below the "
+    "join, so it rides the join as a post-condition on the single "
+    "orderkey shuffle; the high/low priority split is a pair of "
+    "conditional COUNT aggregates in ONE pass (no second scan, no "
+    "pivot job).  Output is bounded by distinct ship years.",
+)
+def q57_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    ship = F.col("l_shipdate").cast(T.TimestampType())
+    odate = F.col("o_orderdate").cast(T.TimestampType())
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(ship > odate + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year(ship).cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+# --- q58: TPC-H Q14 shape — promotion revenue share ---
+
+
+@register(
+    "q58_promo_revenue",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+               AS promo_rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+    )
+    SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct
+    FROM s
+    """,
+    doc="TPC-H-Q14-shaped promotion-effect: promo and total revenue in one "
+    "conditional-aggregate pass over the month's lineitem x part join "
+    "(q50's single-pass trick); the month filter pushes to the fact "
+    "scan so the join only sees ~1/36 of lineitem.  Both sums stay "
+    "DECIMAL until the end; the percentage divides the already-cast "
+    "doubles with the same literal-first expression order in both "
+    "engines, so the IEEE result is bit-identical.",
+)
+def q58_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ship = F.col("l_shipdate").cast(T.TimestampType())
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    agg = (
+        t["lineitem"]
+        .filter(
+            (ship >= F.lit("1997-03-01").cast(T.TimestampType()))
+            & (ship < F.lit("1997-04-01").cast(T.TimestampType()))
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol)).alias("promo_dec"),
+            F.sum(vol).alias("total_dec"),
+        )
+    )
+    return agg.select(
+        F.col("promo_dec").cast("double").alias("promo_rev"),
+        F.col("total_dec").cast("double").alias("total_rev"),
+        (
+            F.lit(100.0)
+            * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+# --- q59: TPC-H Q15 shape — top supplier by quarterly revenue ---
+
+
+@register(
+    "q59_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H-Q15-shaped top supplier: the correlated MAX-of-aggregate "
+    "view decorrelated into aggregate -> single-row MAX -> broadcast "
+    "scalar compare (q36's threshold pattern).  The quarter filter "
+    "pushes to the scan; revenue stays DECIMAL through the equality "
+    "test so ties are exact, never float-fuzzy; the supplier dimension "
+    "joins the handful of max rows by broadcast.",
+)
+def q59_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ship = F.col("l_shipdate").cast(T.TimestampType())
+    rev = (
+        t["lineitem"]
+        .filter(
+            (ship >= F.lit("1997-01-01").cast(T.TimestampType()))
+            & (ship < F.lit("1997-04-01").cast(T.TimestampType()))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "total_rev_dec"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_rev_dec").alias("best_rev"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_rev_dec") == F.col("best_rev"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+# --- q60: TPC-H Q19 shape — disjunctive bracketed predicates ---
+
+
+@register(
+    "q60_bracket_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 15)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+    doc="TPC-H-Q19-shaped disjunctive brackets: three (brand, size-range, "
+    "quantity-range) alternatives OR'd together across BOTH join sides.  "
+    "Catalyst's extra-predicate extraction derives the part-only "
+    "disjunction (brand/size terms) and the lineitem-only quantity "
+    "disjunction and pushes each below the join, so both scans prune "
+    "before any row pairs up - the optimization this shape exists to "
+    "test; the full predicate then re-applies as the join residual.",
+)
+def q60_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#12") & size.between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & size.between(20, 50) & qty.between(20, 45))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- q61: TPC-H Q9 shape — nation profit by year ---
+
+
+@register(
+    "q61_nation_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H-Q9-shaped profit rollup (ps_supplycost has no analog table, "
+    "so cost = quantity x part list price - the same per-row "
+    "revenue-minus-cost expression shape).  The p_type filter prunes "
+    "part BEFORE its join, making it broadcast-size alongside supplier "
+    "and nation; orders is the one big shuffle.  Both product terms are "
+    "exact decimals, their difference sums order-independently - no "
+    "float drift across five joins and a two-key rollup.",
+)
+def q61_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit_term = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "l_quantity"
+    ) * dec("p_retailprice")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year(F.col("o_orderdate").cast(T.TimestampType()))
+            .cast("int")
+            .alias("o_year"),
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )
