@@ -1608,3 +1608,110 @@ def fuzzy_name_pairs_sql(
     JOIN names nb ON nb.name = s.name_b
     WHERE s.dist <= {max_dist}
     """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (g02) — degree-oriented wedge join
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(docs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the MinHash near-dup pair graph — the
+    graph-health metric between PageRank (g01) and connected components
+    (d07/d09): triangle-dense neighborhoods are template families / mirror
+    sets, triangle-free stars are hub-spoke boilerplate.
+
+    Algorithm: DEGREE-ORIENTED wedge join (Cohen's MapReduce triangle
+    counting / the "compact-forward" order) — orient every undirected edge
+    from its (degree, id)-smaller endpoint to the larger, build wedges by
+    self-joining oriented edges on their source, close each wedge with a
+    semi-join against the oriented edge list.  The orientation is the whole
+    scale story: joining on the LOW-degree endpoint bounds per-vertex wedge
+    fan-out by that vertex's out-degree ≤ O(√m) on any graph, so total
+    wedge count is O(m^1.5) worst-case instead of Σ deg² (a single
+    celebrity hub never explodes), and every step stays an equi-join —
+    no cross product, AQE skew-split handles residual hot keys.  The
+    (degree, id) total order is a pure function of the graph, so the
+    DuckDB oracle replays the identical orientation.
+    """
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("u").alias("doc_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("deg").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+            F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+        ),
+    ).select(
+        F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
+    )
+    # the wedge (b, c) ordering equals the orientation order, so the closing
+    # edge — if present — is stored exactly as b→v=c: one semi-join closes it
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    corners = (
+        tris.select(F.col("a").alias("doc_id"))
+        .unionAll(tris.select(F.col("b").alias("doc_id")))
+        .unionAll(tris.select(F.col("c").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_counts_sql(table: str = "documents") -> str:
+    ord_fwd = "(da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b))"
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    oriented AS (
+      SELECT CASE WHEN {ord_fwd} THEN p.doc_a ELSE p.doc_b END AS u,
+             CASE WHEN {ord_fwd} THEN p.doc_b ELSE p.doc_a END AS v,
+             CASE WHEN {ord_fwd} THEN db.deg ELSE da.deg END AS dv
+      FROM pairs p
+      JOIN deg da ON da.u = p.doc_a
+      JOIN deg db ON db.u = p.doc_b
+    ),
+    wedges AS (
+      SELECT o1.u AS a, o1.v AS b, o2.v AS c
+      FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+      WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)
+    ),
+    tris AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = w.b AND o.v = w.c)
+    ),
+    corners AS (
+      SELECT a AS doc_id FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY doc_id
+    """

@@ -461,3 +461,114 @@ def leakage_safe_split_sql(
                 ELSE 'test' END AS split
     FROM keyed
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (p08)
+# ---------------------------------------------------------------------------
+
+TEMP_SEED = 31
+TEMP_BUDGET_PCT = 50  # target sample size as % of the corpus
+TEMP_PPM = 1_000_000  # keep-rate resolution (parts per million)
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = TEMP_SEED,
+) -> DataFrame:
+    """Temperature-scaled source mixture (τ = 0.5): target share of source s
+    ∝ n_s^τ — the standard flattening between proportional sampling (τ=1)
+    and uniform-over-sources (τ=0) used to up-weight low-resource slices of
+    a pretraining mix.  Unlike :func:`mixture_sample` the rates are NOT a
+    hand recipe: they are derived from the corpus's own per-source counts,
+    so the operator is a two-pass pipeline — a source-cardinality aggregate
+    (tiny: one row per source) broadcast back onto a pure projection+filter
+    over the corpus.  The big table never shuffles.
+
+    Determinism across engines: n_s^0.5 is IEEE ``sqrt`` (correctly rounded,
+    bit-identical in JVM and DuckDB); each sqrt is rounded to 6 places and
+    summed as DECIMAL so the across-sources total is order-independent; the
+    final keep fraction is evaluated in one fixed double-expression order on
+    both sides and quantized to parts-per-million before the hash-bucket
+    compare — the same portable-hash decision as p01–p04, so raising the
+    budget strictly grows the kept set.
+    """
+    from spj_query_engine_spark.functions.hashing import portable_round
+
+    counts = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    counts = counts.withColumn(
+        "sq", portable_round(F.sqrt(F.col("n_src")), 6).cast("decimal(18,6)")
+    )
+    tot = counts.agg(
+        F.sum("sq").alias("sq_tot"), F.sum("n_src").alias("n_tot")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "src",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_BUDGET_PCT / 100.0)
+                * F.col("n_tot").cast("double")
+                * (F.col("sq").cast("double") / F.col("sq_tot").cast("double"))
+                / F.col("n_src").cast("double"),
+            )
+            * F.lit(float(TEMP_PPM))
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    b = F.pmod(_bucket_raw(F.col(key_col), seed), F.lit(TEMP_PPM))
+    return (
+        df.select(F.col(key_col), F.col(source_col).alias("src"), b.alias("bucket"))
+        .join(F.broadcast(rates), "src")
+        .filter(F.col("bucket") < F.col("keep_ppm"))
+        .select(
+            F.col(key_col),
+            F.col("src").alias(source_col),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("keep_ppm"),
+        )
+    )
+
+
+def temperature_sample_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = TEMP_SEED,
+) -> str:
+    from spj_query_engine_spark.functions.hashing import portable_round_sql
+
+    sq = portable_round_sql("sqrt(n_src)", 6)
+    b = f"{_bucket_raw_sql(key_col, seed)} % {TEMP_PPM}"
+    return f"""
+    WITH counts AS (
+      SELECT {source_col} AS src, count(*) AS n_src
+      FROM {table} GROUP BY {source_col}
+    ),
+    sqs AS (
+      SELECT src, n_src, CAST({sq} AS DECIMAL(18,6)) AS sq FROM counts
+    ),
+    tot AS (
+      SELECT SUM(sq) AS sq_tot, SUM(n_src) AS n_tot FROM sqs
+    ),
+    rates AS (
+      SELECT src,
+             CAST(floor(
+               least(1.0,
+                     {TEMP_BUDGET_PCT / 100.0}
+                     * CAST(n_tot AS DOUBLE)
+                     * (CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE))
+                     / CAST(n_src AS DOUBLE))
+               * {float(TEMP_PPM)}) AS BIGINT) AS keep_ppm
+      FROM sqs CROSS JOIN tot
+    )
+    SELECT d.{key_col}, d.{source_col},
+           CAST({b} AS BIGINT) AS bucket, r.keep_ppm
+    FROM {table} d JOIN rates r ON r.src = d.{source_col}
+    WHERE {b} < r.keep_ppm
+    """

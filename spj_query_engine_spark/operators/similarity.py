@@ -1066,3 +1066,105 @@ def knn_join_2level_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search (s10) — every neighbor above a similarity floor
+# ---------------------------------------------------------------------------
+
+RANGE_T = 0.35  # cosine floor for range search
+
+
+def range_search(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    threshold: float = RANGE_T,
+) -> DataFrame:
+    """Radius search: ALL corpus vectors with cosine ≥ ``threshold`` of each
+    query, restricted to the query's ``n_probe`` IVF cells — the
+    retrieval-filter dual of top-k ANN (s03): k-NN bounds the RESULT size,
+    range search bounds the QUALITY, which is what dedup sweeps and
+    contamination scans actually want.
+
+    Scale shape: identical probe/candidate equi-joins to :func:`ivf_topk`,
+    but the final stage is a pure FILTER on the scored candidates — no
+    per-query window, no rank, nothing serializes on query id, so (unlike
+    any top-k formulation) the last stage parallelizes over candidate rows
+    regardless of how many land on one query.  Same seed-deterministic
+    quantizer as s03/d06, so the DuckDB oracle replays cell assignment
+    exactly.
+    """
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    cells = ranked.filter(F.col("rnk") == 1).select("vid", F.col("cid").alias("cell"))
+    probes = ranked.filter(
+        (F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)
+    ).select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"))
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
+    c = emb.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def range_search_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    threshold: float = RANGE_T,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "cv.embedding"), 6)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    cells AS (SELECT vid, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vid AS query_id, cid AS cell FROM ranked
+      WHERE vid < {n_queries} AND rnk <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS cand_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vid != p.query_id
+    )
+    SELECT cand.query_id, cand.cand_id, {sim} AS cosine
+    FROM cand
+    JOIN {table} q ON q.vec_id = cand.query_id
+    JOIN {table} cv ON cv.vec_id = cand.cand_id
+    WHERE {sim} >= {threshold}
+    """

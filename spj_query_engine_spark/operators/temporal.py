@@ -1468,3 +1468,77 @@ def pattern_match_sql(table: str = "events") -> str:
            CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_funnel
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact z-score anomaly flags (e34)
+# ---------------------------------------------------------------------------
+
+ZSCORE_K = 2  # flag days beyond k standard deviations
+
+
+def daily_anomalies(events: DataFrame, k: int = ZSCORE_K) -> DataFrame:
+    """Per-event-type daily volume anomaly flags: a day is anomalous when its
+    count deviates from the type's mean by more than ``k`` population
+    standard deviations — the monitoring pass a pipeline runs before
+    trusting a day's ingest.
+
+    The z-score test is algebraically cleared of division and sqrt so it
+    runs ENTIRELY in BIGINT:  (x−μ)² > k²·σ²  with  μ = S/D and
+    σ² = (D·S2−S²)/D²  is equivalent to  (D·x−S)² > k²·(D·S2−S²)
+    — exact integer compare, no float ever enters, so the flags
+    hash-replay in DuckDB bit-for-bit (a float mean/stddev would differ in
+    the last ulp between engines and flip boundary days).  Two aggregates:
+    events → (type, day) counts (map-side partial, one shuffle), then the
+    tiny per-type moment rollup (S, S2, D) joins back by broadcast.
+    BIGINT headroom: |D·x−S| < 9.2e18 holds for daily counts up to ~1e7
+    across a 30-year retention; beyond that swap the squared terms to
+    DECIMAL(38,0) unchanged."""
+    daily = (
+        events.groupBy(
+            F.col("event_type"),
+            F.datediff(
+                F.col("ts").cast(T.TimestampType()).cast(T.DateType()),
+                F.lit("1970-01-01").cast(T.DateType()),
+            ).alias("day_no"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mom = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("d_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    dev = F.col("d_days") * F.col("n") - F.col("s1")
+    bound = F.lit(k * k) * (F.col("d_days") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        daily.join(F.broadcast(mom), F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "day_no",
+            "n",
+            (dev * dev > bound).alias("is_anomaly"),
+        )
+    )
+
+
+def daily_anomalies_sql(table: str = "events", k: int = ZSCORE_K) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day_no,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type AS et,
+             CAST(count(*) AS BIGINT) AS d_days,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.day_no AS INT) AS day_no, d.n,
+           ((m.d_days * d.n - m.s1) * (m.d_days * d.n - m.s1)
+            > {k * k} * (m.d_days * m.s2 - m.s1 * m.s1)) AS is_anomaly
+    FROM daily d JOIN mom m ON m.et = d.event_type
+    """

@@ -227,3 +227,17 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_tables(spark, sf_dir, ("part",))["part"]
     return dedup.fuzzy_name_pairs(part)
+
+
+@register(
+    "g02_triangle_count",
+    dedup.triangle_counts_sql(),
+    doc="Per-node triangle counts over the near-dup pair graph via the "
+    "degree-oriented wedge join (edges oriented low-degree -> high-degree "
+    "endpoint): wedge fan-out bounded by the LOW endpoint's out-degree, "
+    "O(m^1.5) worst-case total instead of sum(deg^2), every step an "
+    "equi-join.  The (degree, id) orientation is a pure graph function, "
+    "so the oracle replays it exactly.",
+)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.triangle_counts(_docs(spark, sf_dir))

@@ -344,3 +344,18 @@ def m07_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e31_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_stream_cdc(spark, sf_dir)
+
+
+@register(
+    "p08_temperature_sample",
+    sampling.temperature_sample_sql(),
+    doc="Temperature-scaled mixture sample (tau=0.5): per-source keep rates "
+    "derived from the corpus's own counts (share ~ sqrt(n_s)), applied as "
+    "a ppm-quantized portable-hash filter.  The rate table is one tiny "
+    "broadcast aggregate; the corpus itself never shuffles.  sqrt is "
+    "IEEE-exact in both engines; the across-source total rides DECIMAL so "
+    "the rates are order-independent.",
+)
+def p08_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.temperature_sample(docs)

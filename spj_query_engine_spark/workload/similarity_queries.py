@@ -156,3 +156,16 @@ def s09_knn_join_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u03_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return vectorops.source_stats_arrow(docs)
+
+
+@register(
+    "s10_range_search",
+    similarity.range_search_sql(),
+    doc="Radius search: every corpus vector with cosine >= %s of each of %s "
+    "queries within the probed IVF cells — s03's joins but a pure FILTER "
+    "final stage: no per-query window, so nothing serializes on query id "
+    "no matter how many neighbors one query has."
+    % (similarity.RANGE_T, similarity.N_QUERIES),
+)
+def s10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.range_search(_emb(spark, sf_dir))

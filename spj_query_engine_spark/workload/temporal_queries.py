@@ -290,3 +290,17 @@ def e30_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e33_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.pattern_match(ev)
+
+
+@register(
+    "e34_daily_anomalies",
+    temporal.daily_anomalies_sql(),
+    doc="Per-type daily-volume anomaly flags: |count - mean| > %d sigma "
+    "decided ENTIRELY in BIGINT ((D*x-S)^2 > k^2*(D*S2-S^2) clears the "
+    "division and sqrt), so boundary days can never flip between engines. "
+    "One map-side-partial shuffle to daily counts; the per-type moment "
+    "table joins back by broadcast." % temporal.ZSCORE_K,
+)
+def e34_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.daily_anomalies(events)

@@ -40,6 +40,9 @@ def empty_sf(spark, tmp_path_factory):
 #: one zero-count row per static step (its oracle does the same)
 EXPECTED_ON_EMPTY = {
     "q16_global_agg": 1,
+    "q56_forecast_revenue": 1,  # global agg: one NULL-sum/zero-count row
+    "q58_promo_revenue": 1,  # global agg over the join, same
+    "q60_bracket_revenue": 1,  # global agg over the join, same
     "q34_small_qty_revenue": 1,
     "q38_table_profile": 4,  # one profile row per profiled column
     "q44_referential_audit": 3,  # one global-agg row per FK check

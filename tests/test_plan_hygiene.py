@@ -39,6 +39,8 @@ BNLJ_OK = {
     "s06_knn_join",  # same broadcast centroid-assignment crossJoin as s03
     "q36_global_sales_opportunity",  # broadcast single-row scalar threshold
     "s09_knn_join_2level",  # broadcast level-1 centroid crossJoin (d12 shape)
+    "s10_range_search",  # same broadcast centroid-assignment crossJoin as s03
+    "p08_temperature_sample",  # broadcast single-row mixture-total cross join
 }
 
 
