@@ -572,3 +572,55 @@ def temperature_sample_sql(
     FROM {table} d JOIN rates r ON r.src = d.{source_col}
     WHERE {b} < r.keep_ppm
     """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (p09) — deterministic difficulty-banded sort keys
+# ---------------------------------------------------------------------------
+
+CURR_BANDS = 4
+CURR_SEED = 47
+
+
+def curriculum_order(
+    docs: DataFrame, key_col: str = "doc_id", seed: int = CURR_SEED
+) -> DataFrame:
+    """Curriculum data ordering: assign every document a difficulty band
+    from its quality score (band 3 = highest quality, presented first in an
+    easy-first curriculum) plus a salted-hash shuffle key WITHIN the band —
+    the deterministic recipe for "sort by curriculum phase, random inside
+    each phase" that training-data exports need.
+
+    Deliberately emits SORT KEYS, not a materialized global order: a global
+    row_number would serialize the corpus through one window partition at
+    100 TB, while (band, sort_key) feeds Spark's write-time range
+    partitioner (``df.sort(...)``/``write_zordered``) which total-orders
+    via distributed range exchange.  Bands cut the 4-place-rounded quality
+    score (exact in both engines), so band boundaries can never drift; the
+    in-band order is the portable p01 hash — reproducible on any layout."""
+    from spj_query_engine_spark.operators.textops import quality_score
+
+    q = quality_score(docs).select(key_col, "quality")
+    band = F.least(
+        F.lit(CURR_BANDS - 1), F.floor(F.col("quality") * CURR_BANDS)
+    ).cast("int")
+    return q.select(
+        F.col(key_col),
+        band.alias("band"),
+        F.pmod(_bucket_raw(F.col(key_col), seed), F.lit(TEMP_PPM))
+        .cast("bigint")
+        .alias("sort_key"),
+    )
+
+
+def curriculum_order_sql(table: str = "documents", seed: int = CURR_SEED) -> str:
+    from spj_query_engine_spark.operators.textops import quality_score_sql
+
+    b = f"{_bucket_raw_sql('doc_id', seed)} % {TEMP_PPM}"
+    return f"""
+    WITH q AS (SELECT doc_id, quality FROM ({quality_score_sql(table)}))
+    SELECT doc_id,
+           CAST(least({CURR_BANDS - 1}, floor(quality * {CURR_BANDS})) AS INT) AS band,
+           CAST({b} AS BIGINT) AS sort_key
+    FROM q
+    """

@@ -1168,3 +1168,69 @@ def range_search_sql(
     JOIN {table} cv ON cv.vec_id = cand.cand_id
     WHERE {sim} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation (s11) — approximate index quality as a query
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall(embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """Per-query recall@k of the LSH index (s02) against the exact top-k
+    (s01) — the index-quality evaluation a pipeline runs before trusting an
+    approximate index, as an ENGINE QUERY rather than an offline notebook:
+    both sides are the already-registered deterministic operators, the
+    comparison is one semi-join + rollup, and the result (unlike s05's
+    single recall gate for the trained quantizer) is the full per-query
+    table, so a recall regression localizes to the query that caused it.
+
+    Scale: the two top-k result sets are n_queries × k rows — tiny by
+    construction — so every join here is broadcast-size regardless of
+    corpus scale; the cost is the two underlying index scans, which share
+    nothing and parallelize independently."""
+    exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "cand_id"
+    )
+    approx = lsh_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "cand_id"
+    )
+    hits = exact.join(approx, ["query_id", "cand_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )
+
+
+def lsh_recall_sql(
+    table: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    return f"""
+    WITH exact AS (
+      SELECT query_id, cand_id FROM ({brute_force_topk_sql(table, k, n_queries)})
+    ),
+    approx AS (
+      SELECT query_id, cand_id FROM ({lsh_topk_sql(table, k, n_queries)})
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e
+      WHERE EXISTS (SELECT 1 FROM approx a
+                    WHERE a.query_id = e.query_id AND a.cand_id = e.cand_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(k)} AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """

@@ -990,3 +990,102 @@ def bigram_novelty_sql(table: str = "documents") -> str:
            {novelty} AS novelty
     FROM {table} a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional-probability LM score (t18)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average bigram conditional probability — the bigram
+    upgrade of t12's unigram commonness and the transparent stand-in for an
+    LM-perplexity quality filter: P(w_i | w_{i-1}) estimated from the corpus
+    itself, averaged over the doc's adjacent-token transitions.  Word-salad
+    scores near 0 ppm; formulaic boilerplate scores high.
+
+    Exactness: each distinct bigram's conditional probability is
+    ``count(bigram) × 10⁶ div count(prefix-in-nonfinal-position)`` —
+    INTEGER floor division — and the per-doc mean performs ONE double
+    division of exact integer sums, so no float accumulates and the value
+    hash cannot drift between engines (no logs, no smoothing floats).
+
+    Scale shape: bigram extraction is a pure array projection (t15/t17's
+    ``transform``, no window pass); both count tables are bounded by the
+    bigram/prefix VOCABULARY, not corpus bytes; the prefix totals derive
+    from the bigram counts themselves (one vocabulary-sized rollup, no
+    second corpus pass); occurrences re-join the probability table on the
+    bigram key — two corpus-key shuffles total."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    occ = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS prefix, "
+                    "concat(toks[i], ' ', toks[i + 1]) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.prefix").alias("prefix"), F.col("p.bg").alias("bg"))
+    )
+    bg_cnt = occ.groupBy("prefix", "bg").agg(F.count(F.lit(1)).alias("bg_cnt"))
+    pre_cnt = bg_cnt.groupBy("prefix").agg(F.sum("bg_cnt").alias("pre_cnt"))
+    ppm = (
+        bg_cnt.join(pre_cnt, "prefix")
+        .select("bg", F.expr("(bg_cnt * 1000000) div pre_cnt").alias("ppm"))
+    )
+    per_doc = (
+        occ.join(ppm, "bg")
+        .groupBy(id_col)
+        .agg(F.sum("ppm").alias("sum_ppm"), F.count(F.lit(1)).alias("n_bg"))
+    )
+    score = portable_round(
+        F.col("sum_ppm").cast("double") / F.col("n_bg").cast("double"), 6
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bg"), F.lit(0)).cast("long").alias("n_bigrams"),
+            score.alias("lm_ppm"),
+        )
+    )
+
+
+def bigram_lm_score_sql(table: str = "documents") -> str:
+    score = portable_round_sql("CAST(sum_ppm AS DOUBLE) / CAST(n_bg AS DOUBLE)", 6)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    occ AS (
+      SELECT doc_id, toks[i + 1] AS prefix, toks[i + 1] || ' ' || toks[i + 2] AS bg
+      FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bg_cnt AS (SELECT prefix, bg, count(*) AS bg_cnt FROM occ GROUP BY 1, 2),
+    pre_cnt AS (SELECT prefix, SUM(bg_cnt) AS pre_cnt FROM bg_cnt GROUP BY 1),
+    ppm AS (
+      SELECT bg, (bg_cnt * 1000000) // pre_cnt AS ppm
+      FROM bg_cnt JOIN pre_cnt USING (prefix)
+    ),
+    per_doc AS (
+      SELECT occ.doc_id, SUM(ppm) AS sum_ppm, count(*) AS n_bg
+      FROM occ JOIN ppm USING (bg) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bg, 0) AS BIGINT) AS n_bigrams,
+           {score} AS lm_ppm
+    FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """

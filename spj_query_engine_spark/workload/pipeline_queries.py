@@ -359,3 +359,16 @@ def e31_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p08_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.temperature_sample(docs)
+
+
+@register(
+    "p09_curriculum_order",
+    sampling.curriculum_order_sql(),
+    doc="Curriculum ordering: difficulty band from the 4-place-rounded "
+    "quality score + salted-hash shuffle key within each band.  Emits "
+    "SORT KEYS, never a global row_number - the write-time range "
+    "partitioner materializes the total order distributedly.",
+)
+def p09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.curriculum_order(docs)

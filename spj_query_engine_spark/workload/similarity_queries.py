@@ -169,3 +169,15 @@ def u03_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search(_emb(spark, sf_dir))
+
+
+@register(
+    "s11_lsh_recall",
+    similarity.lsh_recall_sql(),
+    doc="Per-query recall@%d of the LSH index (s02) vs the exact top-k "
+    "(s01), as an engine query: semi-join + rollup over two tiny result "
+    "sets - index-quality evaluation that localizes regressions to the "
+    "query that caused them." % similarity.TOP_K,
+)
+def s11_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_recall(_emb(spark, sf_dir))

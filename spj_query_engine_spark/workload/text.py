@@ -213,3 +213,16 @@ def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t17_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bigram_novelty(_docs(spark, sf_dir))
+
+
+@register(
+    "t18_bigram_lm",
+    textops.bigram_lm_score_sql(),
+    doc="Per-doc average bigram conditional probability (ppm) - the "
+    "transparent LM-perplexity analog one level up from t12's unigrams: "
+    "P(w|prev) = integer floor-div of corpus counts, per-doc mean as one "
+    "double division of exact integer sums.  Vocabulary-bounded count "
+    "tables; bigram extraction is a pure array projection.",
+)
+def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bigram_lm_score(_docs(spark, sf_dir))

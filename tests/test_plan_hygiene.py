@@ -41,6 +41,7 @@ BNLJ_OK = {
     "s09_knn_join_2level",  # broadcast level-1 centroid crossJoin (d12 shape)
     "s10_range_search",  # same broadcast centroid-assignment crossJoin as s03
     "p08_temperature_sample",  # broadcast single-row mixture-total cross join
+    "s11_lsh_recall",  # composes s01's whitelisted broadcast query join
 }
 
 
