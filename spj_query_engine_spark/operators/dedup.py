@@ -1470,18 +1470,21 @@ def pagerank_neardup(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # materialization barrier the MinHash pair derivation re-executes in
     # every branch and the task binary grows with unrolled lineage.
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # fold the degree onto each edge ONCE — every iteration then needs a
+    # single join (rank onto the degree-annotated edges) instead of two
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     base_term = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
-    rank = deg.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
+    nodes = edges_deg.select("src").distinct().localCheckpoint(eager=True)
+    rank = nodes.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            edges.join(rank, "src")
-            .join(deg, "src")
+            edges_deg.join(rank, "src")
             .select("dst", F.expr("rank div deg").alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         rank = (
-            deg.select("src")
+            nodes
             .join(incoming, F.col("src") == F.col("dst"), "left")
             .select(
                 "src",

@@ -411,12 +411,15 @@ def leakage_safe_split(
 
     Scale shape: the cluster frame (only docs that appear in some pair —
     a small fraction of the corpus) left-joins the id-only doc list; the
-    split itself stays a pure hash projection.  Output: (doc_id,
-    group_id, split)."""
-    from spj_query_engine_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+    split itself stays a pure hash projection.  Components come from the
+    alternating-star contraction (:func:`~spj_query_engine_spark.operators.
+    dedup.cc_alternating` — O(log² n) rounds at any diameter, the at-scale
+    CC), with TRUE transitive connectivity as the oracle.  Output:
+    (doc_id, group_id, split)."""
+    from spj_query_engine_spark.operators.dedup import cc_alternating, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(docs, text_col, key_col).select("doc_a", "doc_b")
-    clusters = dup_clusters(pairs).select(
+    clusters = cc_alternating(pairs).select(
         F.col("doc_id").alias(key_col), "cluster_id"
     )
     keyed = docs.select(key_col).join(clusters, key_col, "left").select(
@@ -440,14 +443,14 @@ def leakage_safe_split_sql(
     seed: int = LEAK_SEED,
 ) -> str:
     from spj_query_engine_spark.operators.dedup import (
-        dup_clusters_sql,
+        cc_alternating_sql,
         minhash_lsh_pairs_sql,
     )
 
     pairs_body = (
         "SELECT doc_a, doc_b FROM (" + minhash_lsh_pairs_sql(table) + ")"
     )
-    clusters = dup_clusters_sql(pairs_body)
+    clusters = cc_alternating_sql(pairs_body)
     b = _bucket_sql("group_id", seed)
     return f"""
     WITH clusters AS ({clusters}),
