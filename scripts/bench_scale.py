@@ -108,6 +108,14 @@ FAMILY = [
     "g01_pagerank",
     "e29_status_intervals",
     "e30_cdc_apply",
+    # round-2 session-5 additions
+    "g02_triangle_count",
+    "s10_range_search",
+    "s11_lsh_recall",
+    "p08_temperature_sample",
+    "p09_curriculum_order",
+    "t18_bigram_lm",
+    "e34_daily_anomalies",
 ]
 
 

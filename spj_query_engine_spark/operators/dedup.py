@@ -1642,6 +1642,12 @@ def triangle_counts(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    return triangle_counts_from_pairs(pairs)
+
+
+def triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The degree-oriented wedge join over any (doc_a < doc_b) pair frame —
+    see :func:`triangle_counts` for the algorithm and scale rationale."""
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))

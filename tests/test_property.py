@@ -388,3 +388,158 @@ def test_random_skyline_matches_bruteforce(spark, n_points, seed):
             for r in REGISTRY["q51_skyline"].fn(spark, d).collect()
         }
     assert got == expect
+
+
+@given(
+    n_nodes=st.integers(min_value=3, max_value=12),
+    density=st.integers(min_value=1, max_value=6),
+    salt=st.integers(min_value=0, max_value=1000),
+)
+@settings(**_SETTINGS)
+def test_random_graph_triangle_counts(spark, n_nodes, density, salt):
+    """Random graphs through the degree-oriented wedge join vs brute-force
+    itertools triangle enumeration — every node's triangle count must match
+    exactly (the orientation argument is subtle enough to deserve a sweep)."""
+    from itertools import combinations
+
+    from spj_query_engine_spark.operators.dedup import triangle_counts_from_pairs
+
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(n_nodes), 2)
+            if (a * 7919 + b * 104729 + salt) % 10 < density
+        }
+    )
+    if not edges:
+        return
+    adj = {n: set() for n in range(n_nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(range(n_nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_counts_from_pairs(pairs).collect()
+    }
+    assert got == expected
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_random_source_temperature_sample(spark, counts):
+    """Random skewed source-size distributions through temperature_sample vs
+    its DuckDB oracle (rate derivation exercises sqrt/decimal/ppm math far
+    beyond the fixture's four sources)."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_sql,
+    )
+
+    rows = []
+    did = 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((did, f"src{s}"))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source"])
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        assert_same_result(
+            temperature_sample(sdf), con, temperature_sample_sql()
+        )
+    finally:
+        con.close()
+
+
+@given(
+    n_types=st.integers(min_value=1, max_value=3),
+    n_days=st.integers(min_value=1, max_value=15),
+    spike=st.integers(min_value=0, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_daily_anomalies_match_exact_zscore(spark, n_types, n_days, spike):
+    """The BIGINT anomaly inequality must agree with the exact rational
+    z-score test ((x-mean)^2 > k^2 * var computed in fractions.Fraction) on
+    random count tables with planted spikes."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.temporal import ZSCORE_K, daily_anomalies
+
+    rows = []
+    eid = 0
+    for t in range(n_types):
+        for d in range(n_days):
+            n = 1 + (t * 7919 + d * 104729) % 7
+            if d == 0:
+                n += spike
+            for _ in range(n):
+                rows.append(
+                    (
+                        eid,
+                        pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, minutes=eid % 60),
+                        0,
+                        f"type{t}",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = daily_anomalies(sdf).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    for r in got:
+        xs = by_type[r["event_type"]]
+        mean = Fraction(sum(xs), len(xs))
+        var = sum((Fraction(x) - mean) ** 2 for x in xs) / len(xs)
+        expect = (Fraction(r["n"]) - mean) ** 2 > ZSCORE_K**2 * var
+        assert r["is_anomaly"] == expect, (r, mean, var)
+
+
+@given(
+    doc_lens=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=6),
+    vocab=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_random_docs_bigram_lm(spark, doc_lens, vocab):
+    """Random tiny-vocabulary corpora through bigram_lm_score vs its DuckDB
+    oracle — small vocabularies force heavy bigram collisions, the regime
+    where the integer floor-division probabilities are most exercised."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.textops import (
+        bigram_lm_score,
+        bigram_lm_score_sql,
+    )
+
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for d, ln in enumerate(doc_lens):
+        toks = [words[(d * 31 + i * 7) % vocab] for i in range(ln)]
+        docs.append((d, " ".join(toks)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        assert_same_result(bigram_lm_score(sdf), con, bigram_lm_score_sql())
+    finally:
+        con.close()
