@@ -2357,3 +2357,54 @@ def q61_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit_term).cast("double").alias("profit"))
     )
+
+
+# --- q62: TPC-H Q11 shape — groups above a fraction of the global total ---
+
+
+@register(
+    "q62_important_nations",
+    """
+    WITH vals AS (
+      SELECT n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS nat_rev
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name
+    ),
+    tot AS (SELECT SUM(nat_rev) AS tot_rev FROM vals)
+    SELECT n_name, CAST(nat_rev AS DOUBLE) AS nat_rev
+    FROM vals CROSS JOIN tot
+    WHERE nat_rev * 20 > tot_rev
+    """,
+    doc="TPC-H-Q11-shaped 'important subset' (no partsupp table exists, so "
+    "the measure is supplier-nation revenue): per-group aggregate kept "
+    "only when it exceeds a FRACTION of the global total - the "
+    "HAVING-against-scalar-subquery shape.  The global total derives "
+    "from the per-group rollup (25 rows), not a second fact scan; the "
+    "fraction test multiplies out (nat_rev * 20 > tot) so the compare "
+    "stays exact DECIMAL - no float threshold can flip a boundary "
+    "nation.  One fact shuffle total; nation/supplier broadcast.",
+)
+def q62_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    vals = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "nat_rev_dec"
+            )
+        )
+    )
+    tot = vals.agg(F.sum("nat_rev_dec").alias("tot_rev"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("nat_rev_dec") * 20 > F.col("tot_rev"))
+        .select("n_name", F.col("nat_rev_dec").cast("double").alias("nat_rev"))
+    )

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "s10_range_search",  # same broadcast centroid-assignment crossJoin as s03
     "p08_temperature_sample",  # broadcast single-row mixture-total cross join
     "s11_lsh_recall",  # composes s01's whitelisted broadcast query join
+    "q62_important_nations",  # broadcast single-row global-total cross join
 }
 
 
