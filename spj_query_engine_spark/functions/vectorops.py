@@ -127,3 +127,54 @@ def source_stats_arrow_sql(table: str = "documents") -> str:
              AS mean_chars
     FROM {table} GROUP BY source
     """
+
+
+def doc_digests_arrow(docs: DataFrame) -> DataFrame:
+    """Per-document token count + md5 digest through ``mapInArrow`` (u04) —
+    the STREAMING raw-Arrow surface completing the Python ladder (u01 =
+    scalar ``pandas_udf``, u02 = grouped-map pandas, u03 = grouped-map
+    Arrow, u04 = ungrouped batch iterator): record batches stream through
+    the worker with no grouping shuffle at all, the shape multimodal
+    decode pipelines use (m01–m04 wrap the same API via mapInPandas).
+
+    Value-hash contract: tokenization is ASCII-``\\s+`` split (matching the
+    Java/RE2 semantics of the SQL twins — Python's default unicode ``\\s``
+    would diverge on exotic whitespace) and the digest is stock md5, so
+    even this Python path replays exactly in DuckDB."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"\s+", flags=re.ASCII)
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index("doc_id"))
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            n_toks, digs = [], []
+            for t in texts:
+                if t is None:
+                    n_toks.append(None)
+                    digs.append(None)
+                else:
+                    n_toks.append(len([w for w in ws.split(t) if w]))
+                    digs.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            yield pa.record_batch(
+                [ids, pa.array(n_toks, pa.int64()), pa.array(digs, pa.string())],
+                names=["doc_id", "n_tokens", "digest"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        batches, "doc_id long, n_tokens long, digest string"
+    )
+
+
+def doc_digests_arrow_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           md5(text) AS digest
+    FROM {table}
+    """

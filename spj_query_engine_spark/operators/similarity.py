@@ -1234,3 +1234,196 @@ def lsh_recall_sql(
     FROM (SELECT DISTINCT query_id FROM exact) q
     LEFT JOIN hits h ON h.query_id = q.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined index (s12) — coarse cells + compressed-domain rerank
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The IVFPQ index (Jégou et al. §V — the composition behind
+    billion-vector ANN deployments): the coarse IVF quantizer restricts
+    each query to its ``n_probe`` cells (s03's candidate join), then
+    candidates are scored by PQ asymmetric distance over 8-byte codes
+    (s08's LUT join) instead of exact float rerank — the memory-bound scan
+    touches ``n_probe/n_cells`` of the corpus AND reads codes, not
+    vectors.
+
+    Scale anatomy: both index structures broadcast (centroids, per-query
+    LUTs); the corpus appears twice — once through the cell assignment,
+    once as exploded codes — and every join is an equi-join on (cell) or
+    (sub-space, code).  Like s08, distances fold in sub-space order, so
+    even this doubly-approximate index is VALUE-replayable in SQL: codes,
+    cells and LUTs are all seed-deterministic."""
+    from spj_query_engine_spark.operators.core import spread
+
+    sub = dim // m
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    # --- coarse IVF: cell per vector, probed cells per query (s03) ---
+    ccent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(ccent))
+        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    cells = ranked.filter(F.col("rnk") == 1).select("vid", F.col("cid").alias("cell"))
+    probes = ranked.filter(
+        (F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)
+    ).select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"))
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"))
+        .distinct()
+    )
+    # --- PQ: corpus codes + per-query sub-space LUT (s08) ---
+    subvecs = F.expr(
+        f"transform(sequence(0, {m - 1}), i -> slice(vec, i * {sub} + 1, {sub}))"
+    )
+    dbx = pq_encode(embeddings, vec_col, id_col, m, k_cent, dim).select(
+        F.col(id_col).alias("cand_id"),
+        F.posexplode("codes").alias("sub_m", "code"),
+    )
+    qparts = emb.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("qid"), F.posexplode(subvecs).alias("sub_m", "qsub")
+    )
+    pcent = emb.filter(F.col("vid") < k_cent).select(
+        F.col("vid").cast("int").alias("code"),
+        F.posexplode(subvecs).alias("sub_m", "csub"),
+    )
+    lut = qparts.join(F.broadcast(pcent), "sub_m").select(
+        "qid",
+        F.col("sub_m").alias("l_sub"),
+        F.col("code").alias("l_code"),
+        _l2sq(F.col("qsub"), F.col("csub"), sub).alias("d"),
+    )
+    contrib = cand.join(dbx, "cand_id").join(
+        F.broadcast(lut),
+        (F.col("sub_m") == F.col("l_sub"))
+        & (F.col("code") == F.col("l_code"))
+        & (F.col("qid") == F.col("query_id")),
+    )
+    scored = contrib.groupBy("query_id", "cand_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(sub_m, d))), "
+            "s -> s.d), 0.0D, (acc, v) -> acc + v)"
+        ).alias("adc_raw")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "cand_id",
+            portable_round(F.col("adc_raw"), 6).alias("adc"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+
+    def l2sq(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(len({x})), i -> "
+            f"({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE) * ({x}[i+1]::DOUBLE - {y}[i+1]::DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    adc = portable_round_sql(
+        "list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sub_m)), (acc, v) -> acc + v)",
+        6,
+    )
+    return f"""
+    WITH ccent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN ccent c
+    ),
+    cells AS (SELECT vid, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vid AS query_id, cid AS cell FROM ranked
+      WHERE vid < {n_queries} AND rnk <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS cand_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vid != p.query_id
+    ),
+    parts AS (
+      SELECT vec_id AS vid, sub_m,
+             list_slice(embedding, sub_m * (len(embedding) // {m}) + 1,
+                        (sub_m + 1) * (len(embedding) // {m})) AS subvec
+      FROM {table}, unnest(range(0, {m})) AS u(sub_m)
+    ),
+    pcent AS (
+      SELECT CAST(vid AS INTEGER) AS code, sub_m, subvec AS csub
+      FROM parts WHERE vid < {k_cent}
+    ),
+    code_scored AS (
+      SELECT p.vid, p.sub_m, c.code, {l2sq('p.subvec', 'c.csub')} AS d
+      FROM parts p JOIN pcent c USING (sub_m)
+    ),
+    best AS (
+      SELECT vid, sub_m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid, sub_m
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM code_scored
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vid AS qid, q.sub_m, c.code, {l2sq('q.subvec', 'c.csub')} AS d
+      FROM parts q JOIN pcent c USING (sub_m)
+      WHERE q.vid < {n_queries}
+    ),
+    contrib AS (
+      SELECT cd.query_id, cd.cand_id, b.sub_m, l.d
+      FROM cand cd
+      JOIN best b ON b.vid = cd.cand_id
+      JOIN lut l ON l.qid = cd.query_id AND l.sub_m = b.sub_m AND l.code = b.code
+    ),
+    scored AS (
+      SELECT query_id, cand_id, {adc} AS adc
+      FROM contrib GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id, adc, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

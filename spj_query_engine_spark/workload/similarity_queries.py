@@ -181,3 +181,30 @@ def s10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s11_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_recall(_emb(spark, sf_dir))
+
+
+@register(
+    "s12_ivf_pq",
+    similarity.ivf_pq_topk_sql(),
+    doc="IVFPQ: coarse quantizer restricts each query to its probed cells "
+    "(s03), candidates scored by PQ asymmetric distance over 8-byte codes "
+    "(s08) - the billion-vector index composition; both structures "
+    "broadcast, the scan reads codes instead of vectors, and the "
+    "doubly-approximate result is still value-replayed in SQL.",
+)
+def s12_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_pq_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "u04_arrow_map",
+    vectorops.doc_digests_arrow_sql(),
+    doc="Ungrouped mapInArrow batch iterator (token count + md5 digest per "
+    "doc): record batches stream through the worker with NO grouping "
+    "shuffle - completes the Python ladder u01 (scalar pandas_udf) / u02 "
+    "(grouped pandas) / u03 (grouped Arrow); ASCII-\\s+ tokenization "
+    "keeps the Python path value-replayable in SQL.",
+)
+def u04_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return vectorops.doc_digests_arrow(docs)

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "p08_temperature_sample",  # broadcast single-row mixture-total cross join
     "s11_lsh_recall",  # composes s01's whitelisted broadcast query join
     "q62_important_nations",  # broadcast single-row global-total cross join
+    "s12_ivf_pq",  # broadcast centroid-assignment crossJoin (s03 shape)
 }
 
 
