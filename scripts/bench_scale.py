@@ -116,6 +116,8 @@ FAMILY = [
     "p09_curriculum_order",
     "t18_bigram_lm",
     "e34_daily_anomalies",
+    "s12_ivf_pq",
+    "u04_arrow_map",
 ]
 
 
