@@ -177,3 +177,73 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+DPP_DIR = "/tmp/spj_dpp_lake"
+DPP_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def dpp_priority_rollup(
+    spark,
+    orders: DataFrame,
+    priorities: tuple[str, ...] = DPP_PRIORITIES,
+    path: str = DPP_DIR,
+) -> DataFrame:
+    """Dynamic Partition Pruning end-to-end (q63): the fact table is
+    rewritten hive-partitioned on the join key, then joined to a small
+    filtered dimension — at planning time the fact filter is UNKNOWN (it
+    comes from the dim rows), so static directory pruning can't apply;
+    Spark's DPP instead injects a runtime subquery filter into the fact
+    scan (``PartitionFilters: [... dynamicpruning ...]``, asserted in plan
+    hygiene), executes the broadcast dim first, and opens ONLY the fact
+    directories whose partition value survived the dim filter.
+
+    This is the lever that makes star joins over a day/region/type
+    partitioned 100 TB lake scan 1/N of the data without the query author
+    writing the partition predicate by hand; m05 shows the STATIC variant
+    (literal filter → planning-time pruning), this entry the dynamic one.
+    The rewrite happens per call so the entry stays self-contained per
+    scale factor."""
+    write_partitioned(orders, path, ["o_orderpriority"])
+    # explicit read schema (partition column last): a zero-row partitioned
+    # write leaves no data files, and inference on it would throw instead
+    # of returning the well-defined empty rollup (m05's convention)
+    from pyspark.sql import types as T
+
+    lake_schema = T.StructType(
+        [f for f in orders.schema.fields if f.name != "o_orderpriority"]
+        + [orders.schema["o_orderpriority"]]
+    )
+    fact = spark.read.schema(lake_schema).parquet(path)
+    # the dim side must carry a real Filter node for DPP to judge the
+    # pruning subquery worthwhile — a literal LocalRelation has none, so
+    # the dim is a filtered (tiny, broadcast) scan of the priority domain
+    dim = (
+        orders.filter(F.col("o_orderpriority").isin(*priorities))
+        .select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), F.col("o_orderpriority") == F.col("pri"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def dpp_priority_rollup_sql(
+    table: str = "orders", priorities: tuple[str, ...] = DPP_PRIORITIES
+) -> str:
+    in_list = ", ".join(f"'{p}'" for p in priorities)
+    return f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM {table}
+    WHERE o_orderpriority IN ({in_list})
+    GROUP BY o_orderpriority
+    """

@@ -2408,3 +2408,26 @@ def q62_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nat_rev_dec") * 20 > F.col("tot_rev"))
         .select("n_name", F.col("nat_rev_dec").cast("double").alias("nat_rev"))
     )
+
+
+# --- q63: dynamic partition pruning over a hive-partitioned fact ---
+
+from spj_query_engine_spark.operators.scale import dpp_priority_rollup_sql
+
+
+@register(
+    "q63_dpp_join",
+    dpp_priority_rollup_sql(),
+    doc="Dynamic Partition Pruning: fact rewritten hive-partitioned on "
+    "the join key, joined to a small filtered dim - the fact filter is "
+    "unknown at planning time, so Spark injects a runtime dynamicpruning "
+    "subquery into the scan and opens ONLY surviving directories "
+    "(asserted in plan hygiene).  m05 is the static variant; this is "
+    "the star-join lever at a partitioned 100 TB lake.",
+    bench=False,  # dominated by the partitioned rewrite, not scan throughput
+)
+def q63_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.scale import dpp_priority_rollup
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return dpp_priority_rollup(spark, orders)

@@ -66,6 +66,8 @@ PUSHDOWN_EXPECTED = {
     "q32_shipping_priority": "LessThan(o_orderdate",
     # partition pruning: the modality filter must prune at planning time
     "m05_modality_lake": "PartitionFilters: [isnotnull(modality",
+    # q63: the runtime dynamic-pruning subquery must reach the fact scan
+    "q63_dpp_join": "dynamicpruning",
 }
 
 
