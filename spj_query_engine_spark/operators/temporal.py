@@ -1542,3 +1542,52 @@ def daily_anomalies_sql(table: str = "events", k: int = ZSCORE_K) -> str:
             > {k * k} * (m.d_days * m.s2 - m.s1 * m.s1)) AS is_anomaly
     FROM daily d JOIN mom m ON m.et = d.event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (e36) — Spark 4's open-schema path
+# ---------------------------------------------------------------------------
+
+
+def variant_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type (e36):
+    ``try_parse_json`` ingests the props column ONCE into the binary
+    variant encoding — no schema declared at parse time, unlike e28's
+    ``from_json`` which needs the struct spelled out — and typed access
+    happens at QUERY time via ``try_variant_get`` path extraction.  This is
+    the schema-on-read contract an evolving event stream needs: producers
+    add fields freely, the parse never fails (malformed → NULL), and each
+    query pays only for the paths it extracts.
+
+    At 100 TB the variant column is the storage format decision: one
+    binary-encoded column serves every future extraction query, where
+    from_json re-parses text per query and per schema.  The rollup is
+    bounded by event types; extraction is a pure codegen projection."""
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def variant_props_rollup_sql(table: str = "events") -> str:
+    k = (
+        "CASE WHEN json_valid(props) "
+        "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END"
+    )
+    return f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count({k}) AS BIGINT) AS n_with_k,
+           CAST(SUM({k}) AS BIGINT) AS sum_k,
+           CAST(MIN({k}) AS BIGINT) AS min_k,
+           CAST(MAX({k}) AS BIGINT) AS max_k
+    FROM {table} GROUP BY event_type
+    """

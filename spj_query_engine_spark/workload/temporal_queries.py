@@ -304,3 +304,17 @@ def e33_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e34_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.daily_anomalies(events)
+
+
+@register(
+    "e36_variant_props",
+    temporal.variant_props_rollup_sql(),
+    doc="Spark 4 VARIANT semi-structured path: try_parse_json ingests props "
+    "into the binary variant encoding with NO declared schema (e28's "
+    "from_json twin with the schema decision deferred to query time), "
+    "try_variant_get extracts typed paths per query; malformed input "
+    "degrades to NULL, the rollup is bounded by event types.",
+)
+def e36_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.variant_props_rollup(ev)
