@@ -21,12 +21,26 @@ class Attr:
 
 
 @dataclass(frozen=True)
+class WindowSpec:
+    """Extended-grammar OVER clause: ``OVER (PARTITIONBY attrs [ORDERBY
+    attrs])``.  With an ORDERBY the frame is the SQL default (RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW — running aggregate, ties are peers);
+    without one it spans the whole partition.  Strict mode never produces
+    this node (the reference grammar has no OVER token)."""
+
+    partition: tuple[Attr, ...] = ()
+    order: tuple[Attr, ...] = ()
+
+
+@dataclass(frozen=True)
 class SelectItem:
     """Select-list entry: a plain attribute or ``AGG(attr)``
-    (``parser.cup:197-221``)."""
+    (``parser.cup:197-221``); extended grammar adds ``AGG(attr) OVER
+    (...)`` window items."""
 
     attr: Attr
     agg: str | None = None  # MAX | MIN | SUM | COUNT | AVG | None
+    over: "WindowSpec | None" = None  # extended grammar only
 
 
 @dataclass(frozen=True)

@@ -47,11 +47,15 @@ from spj_query_engine_spark.dialect.ast import (
     SelectItem,
     SetQuery,
     SQLQuery,
+    WindowSpec,
 )
 
 _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUPBY", "ORDERBY"}
 _AGG_FUNCS = {"MAX", "MIN", "SUM", "COUNT", "AVG"}
-_EXT_KEYWORDS = {"HAVING", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "ASC", "DESC"}
+_EXT_KEYWORDS = {
+    "HAVING", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "ASC", "DESC",
+    "OVER", "PARTITIONBY",
+}
 _SET_OPS = {"UNION", "INTERSECT", "EXCEPT"}
 _RELOPS = ("<=", ">=", "!=", "<", ">", "=")
 
@@ -243,8 +247,24 @@ class _Parser:
             self.expect("punct", "(")
             attr = self.attr()
             self.expect("punct", ")")
-            return SelectItem(attr, agg=value)
+            over = None
+            if self.extended and self.accept_kw("OVER"):
+                over = self.window_spec()
+            return SelectItem(attr, agg=value, over=over)
         return SelectItem(self.attr())
+
+    def window_spec(self) -> WindowSpec:
+        """Extended grammar: ``( [PARTITIONBY attrlist] [ORDERBY attrlist] )``
+        — the same smashed-keyword convention as GROUPBY/ORDERBY."""
+        self.expect("punct", "(")
+        partition: list[Attr] = []
+        order: list[Attr] = []
+        if self.accept_kw("PARTITIONBY"):
+            partition = self.attr_list()
+        if self.accept_kw("ORDERBY"):
+            order = self.attr_list()
+        self.expect("punct", ")")
+        return WindowSpec(tuple(partition), tuple(order))
 
     def id_list(self) -> list[str]:
         ids = [self.expect("word")]

@@ -163,8 +163,48 @@ class _PlanBuilder:
             return []  # handled by the groupby/aggregate phase
         return [self._col(s.attr).alias(self.display_name(s.attr)) for s in q.select_list]
 
+    def _window_phase(self, df: DataFrame) -> DataFrame:
+        """Extended-grammar window items: every ``AGG(attr) OVER (...)``
+        compiles to an analytic window column alongside the plain projected
+        attributes — one Spark Window per distinct spec, no grouping
+        collapse.  Running SUM/AVG on floating columns ride DECIMAL inside
+        the frame (order-independent within the RANGE peer group) and cast
+        back to double on output, the engine-wide exactness convention."""
+        from pyspark.sql import Window
+
+        q = self.query
+        if q.groupby or q.having:
+            raise PlanError("window functions cannot combine with GROUPBY/HAVING")
+        if any(s.agg and s.over is None for s in q.select_list):
+            raise PlanError("cannot mix plain aggregates with window aggregates")
+        cols: list[Column] = []
+        for item in q.select_list:
+            if item.over is None:
+                cols.append(self._col(item.attr).alias(self.display_name(item.attr)))
+                continue
+            w = (
+                Window.partitionBy(*[self._col(a) for a in item.over.partition])
+                if item.over.partition
+                else Window.partitionBy()
+            )
+            if item.over.order:
+                w = w.orderBy(*[self._col(a) for a in item.over.order])
+            src = self._col(item.attr)
+            dtype = self.dtypes[_mangle(item.attr)]
+            fn = item.agg.lower()
+            floaty = isinstance(dtype, (T.FloatType, T.DoubleType))
+            if fn in ("sum", "avg") and floaty:
+                src = src.cast("decimal(18,2)")
+            col = getattr(F, fn)(src).over(w)
+            if fn in ("sum", "avg") and floaty:
+                col = col.cast("double")
+            cols.append(col.alias(self.agg_display_name(item.agg, item.attr)))
+        return df.select(*cols)
+
     def _groupby_phase(self, df: DataFrame) -> DataFrame:
         q = self.query
+        if any(s.over for s in q.select_list):
+            return self._window_phase(df)
         aggs = q.agg_items
         having_aggs = [h for h in q.having if h.agg]
         if q.having and not q.groupby:

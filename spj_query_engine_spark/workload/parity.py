@@ -2431,3 +2431,32 @@ def q63_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     return dpp_priority_rollup(spark, orders)
+
+
+# --- q64: extended-grammar window functions through the dialect front-end ---
+
+
+register(
+    "q64_ext_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate) AS DOUBLE)
+             AS sum_o_totalprice
+    FROM orders
+    """,
+    doc="Extended grammar's OVER clause end-to-end: AGG(attr) OVER "
+    "(PARTITIONBY ... ORDERBY ...) parsed by the dialect front-end and "
+    "planned as an analytic window (running per-customer revenue, the "
+    "q30 shape but arriving through SQL text).  The RANGE-frame default "
+    "makes date-tied rows peers in BOTH engines, and the running sum "
+    "rides DECIMAL inside the frame - order within the peer group can "
+    "never change the value.  Strict mode still rejects OVER, pinned by "
+    "tests/test_dialect_extended.py.",
+)(
+    extended_dialect_query(
+        "SELECT orders.o_orderkey, orders.o_custkey, "
+        "SUM(orders.o_totalprice) OVER (PARTITIONBY orders.o_custkey "
+        "ORDERBY orders.o_orderdate) FROM orders"
+    )
+)

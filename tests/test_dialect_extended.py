@@ -214,3 +214,50 @@ def test_having_preserves_groupby_drop_semantics(spark, ecommerce, duck):
         duck,
         "SELECT cartid FROM CARTDETAILS GROUP BY cartid HAVING COUNT(qty) > 1",
     )
+
+
+def test_strict_mode_rejects_over():
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.dialect.parser import DialectParseError
+
+    with pytest.raises(DialectParseError):
+        parse(
+            "SELECT SUM(orders.o_totalprice) OVER (PARTITIONBY orders.o_custkey) "
+            "FROM orders"
+        )
+
+
+def test_extended_parses_over_variants():
+    from spj_query_engine_spark.dialect import parse
+
+    q = parse(
+        "SELECT orders.o_custkey, SUM(orders.o_totalprice) OVER "
+        "(PARTITIONBY orders.o_custkey ORDERBY orders.o_orderdate) FROM orders",
+        extended=True,
+    )
+    item = q.select_list[1]
+    assert item.agg == "SUM" and item.over is not None
+    assert [a.column for a in item.over.partition] == ["o_custkey"]
+    assert [a.column for a in item.over.order] == ["o_orderdate"]
+    # bare OVER () = whole-relation window
+    q2 = parse(
+        "SELECT COUNT(orders.o_orderkey) OVER () FROM orders", extended=True
+    )
+    assert q2.select_list[0].over is not None
+    assert q2.select_list[0].over.partition == ()
+
+
+def test_window_groupby_mix_rejected(spark):
+    from spj_query_engine_spark.catalog import load_tables
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.plans import build_plan
+    from spj_query_engine_spark.plans.builder import PlanError
+
+    tables = load_tables(spark, "/root/testdata/sf0.001", ("orders",))
+    q = parse(
+        "SELECT SUM(orders.o_totalprice) OVER (PARTITIONBY orders.o_custkey) "
+        "FROM orders GROUPBY orders.o_custkey",
+        extended=True,
+    )
+    with pytest.raises(PlanError):
+        build_plan(spark, tables, q)
