@@ -76,6 +76,17 @@ class HavingCond:
     agg: str | None = None  # None → condition on a grouping key
 
 
+@dataclass(frozen=True)
+class JoinClause:
+    """Extended-grammar explicit join step: ``[LEFT] JOIN table ON cond``.
+    Joins chain left-deep in declared order; strict mode (comma FROM list +
+    WHERE join conditions) never produces these."""
+
+    table: str
+    kind: str  # "inner" | "left"
+    cond: Condition
+
+
 @dataclass
 class SQLQuery:
     select_list: list[SelectItem]  # empty ⇒ SELECT * (parser.cup:84-89)
@@ -89,6 +100,7 @@ class SQLQuery:
     orderby_desc: list[bool] = field(default_factory=list)  # parallel to orderby
     orderby_agg: list[str | None] = field(default_factory=list)  # parallel; AGG name or None
     limit: int | None = None
+    joins: list["JoinClause"] = field(default_factory=list)  # explicit-join chain
 
     @property
     def is_star(self) -> bool:

@@ -44,6 +44,7 @@ from spj_query_engine_spark.dialect.ast import (
     Attr,
     Condition,
     HavingCond,
+    JoinClause,
     SelectItem,
     SetQuery,
     SQLQuery,
@@ -54,7 +55,7 @@ _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUPBY", "ORDERBY"}
 _AGG_FUNCS = {"MAX", "MIN", "SUM", "COUNT", "AVG"}
 _EXT_KEYWORDS = {
     "HAVING", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "ASC", "DESC",
-    "OVER", "PARTITIONBY",
+    "OVER", "PARTITIONBY", "JOIN", "LEFT", "ON",
 }
 _SET_OPS = {"UNION", "INTERSECT", "EXCEPT"}
 _RELOPS = ("<=", ">=", "!=", "<", ">", "=")
@@ -139,7 +140,7 @@ class _Parser:
         is_distinct = self.accept_kw("DISTINCT")
         select_list = self.select_list()
         self.expect("kw", "FROM")
-        from_list = self.id_list()
+        from_list, joins = self.from_clause()
         conditions: list[Condition] = []
         groupby: list[Attr] = []
         orderby: list[Attr] = []
@@ -179,7 +180,41 @@ class _Parser:
             orderby_desc=orderby_desc,
             orderby_agg=orderby_agg,
             limit=limit,
+            joins=joins,
         )
+
+    def from_clause(self) -> tuple[list[str], list[JoinClause]]:
+        """Strict: comma table list.  Extended adds explicit left-deep join
+        chains — ``t1 [LEFT] JOIN t2 ON cond ...`` (ON takes ONE condition;
+        extra inner-join residuals belong in WHERE, which in explicit-join
+        mode applies AFTER the joins, standard SQL semantics)."""
+        tables = [self.expect("word")]
+        joins: list[JoinClause] = []
+        while True:
+            if self.peek() == ("punct", ","):
+                if joins:
+                    raise DialectParseError(
+                        "cannot mix comma FROM items with explicit JOIN syntax"
+                    )
+                self.next()
+                tables.append(self.expect("word"))
+                continue
+            if self.extended and self.peek()[0] == "kw" and self.peek()[1] in ("JOIN", "LEFT"):
+                if len(tables) > 1 and not joins:
+                    raise DialectParseError(
+                        "cannot mix comma FROM items with explicit JOIN syntax"
+                    )
+                kind = "inner"
+                if self.accept_kw("LEFT"):
+                    kind = "left"
+                self.expect("kw", "JOIN")
+                tbl = self.expect("word")
+                self.expect("kw", "ON")
+                cond = self.cond()
+                tables.append(tbl)
+                joins.append(JoinClause(tbl, kind, cond))
+                continue
+            return tables, joins
 
     def having_list(self) -> list[HavingCond]:
         conds = [self.having_cond()]

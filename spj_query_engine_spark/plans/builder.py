@@ -86,7 +86,10 @@ class _PlanBuilder:
 
     def build(self) -> DataFrame:
         q = self.query
-        df = self._join_phase(self._selection_phase())
+        if q.joins:
+            df = self._explicit_join_phase()
+        else:
+            df = self._join_phase(self._selection_phase())
         if q.is_distinct:
             # DISTINCT sits below the projection and dedups on the projected
             # columns (RandomInitialPlan.java:202-215).  Dedup on the
@@ -99,6 +102,24 @@ class _PlanBuilder:
         df = self._orderby_phase(df)
         if q.limit is not None:  # extended grammar; Catalyst pushes the
             df = df.limit(q.limit)  # limit into the sort → distributed top-k
+        return df
+
+    def _explicit_join_phase(self) -> DataFrame:
+        """Extended-grammar explicit joins: left-deep in declared order,
+        LEFT joins preserved as written.  WHERE applies AFTER the joins —
+        standard SQL semantics, which matters for LEFT joins where a
+        pre-join filter on the right table would differ from a post-join
+        one (Catalyst still pushes every filter that is semantically safe
+        below the join it can cross)."""
+        q = self.query
+        df = self.base[q.from_list[0]]
+        for jc in q.joins:
+            right = self.base[jc.table]
+            if jc.table in ALWAYS_BROADCAST:
+                right = F.broadcast(right)
+            df = df.join(right, self._condition_col(jc.cond), jc.kind)
+        for cond in q.conditions:
+            df = df.filter(self._condition_col(cond))
         return df
 
     def _selection_phase(self) -> dict[str, DataFrame]:

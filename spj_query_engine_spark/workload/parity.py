@@ -2460,3 +2460,29 @@ register(
         "ORDERBY orders.o_orderdate) FROM orders"
     )
 )
+
+
+# --- q65: extended-grammar explicit LEFT JOIN through the dialect front-end ---
+
+
+register(
+    "q65_ext_left_join",
+    """
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS count_o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Extended grammar's explicit-join syntax end-to-end: FROM customer "
+    "LEFT JOIN orders ON ... parsed into a left-deep join chain and "
+    "planned with the outer semantics preserved (q21's shape arriving "
+    "through SQL text; zero-order customers keep their row, COUNT(col) "
+    "counts non-NULL).  In explicit-join mode WHERE applies AFTER the "
+    "joins - standard SQL - while Catalyst still pushes what is safe.  "
+    "Strict mode rejects JOIN/ON, pinned in tests.",
+)(
+    extended_dialect_query(
+        "SELECT customer.c_custkey, COUNT(orders.o_orderkey) FROM customer "
+        "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
+        "GROUPBY customer.c_custkey"
+    )
+)

@@ -261,3 +261,60 @@ def test_window_groupby_mix_rejected(spark):
     )
     with pytest.raises(PlanError):
         build_plan(spark, tables, q)
+
+
+def test_strict_mode_rejects_explicit_join():
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.dialect.parser import DialectParseError
+
+    with pytest.raises(DialectParseError):
+        parse(
+            "SELECT customer.c_custkey FROM customer "
+            "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey"
+        )
+
+
+def test_explicit_join_where_applies_after_left_join(spark):
+    """In explicit-join mode WHERE is post-join (SQL semantics): filtering
+    the RIGHT side of a LEFT JOIN in WHERE drops the null-extended rows,
+    unlike the same predicate inside ON."""
+    from spj_query_engine_spark.catalog import load_tables
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.plans import build_plan
+
+    tables = load_tables(spark, "/root/testdata/sf0.001", ("customer", "orders"))
+    left_only = build_plan(
+        spark,
+        tables,
+        parse(
+            "SELECT customer.c_custkey, orders.o_orderkey FROM customer "
+            "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
+            'WHERE orders.o_orderstatus = "O"',
+            extended=True,
+        ),
+    )
+    # every surviving row has a real order (WHERE killed the null extension)
+    assert left_only.filter("o_orderkey IS NULL").count() == 0
+    inner_equiv = build_plan(
+        spark,
+        tables,
+        parse(
+            "SELECT customer.c_custkey, orders.o_orderkey FROM customer, orders "
+            "WHERE customer.c_custkey = orders.o_custkey, "
+            'orders.o_orderstatus = "O"',
+            extended=True,
+        ),
+    )
+    assert left_only.count() == inner_equiv.count()
+
+
+def test_mixed_comma_and_join_rejected():
+    from spj_query_engine_spark.dialect import parse
+    from spj_query_engine_spark.dialect.parser import DialectParseError
+
+    with pytest.raises(DialectParseError):
+        parse(
+            "SELECT nation.n_name FROM region, nation "
+            "JOIN supplier ON nation.n_nationkey = supplier.s_nationkey",
+            extended=True,
+        )
