@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spj_query_engine_spark.functions.hashing import h32, h32_sql
 
@@ -626,4 +627,115 @@ def curriculum_order_sql(table: str = "documents", seed: int = CURR_SEED) -> str
            CAST(least({CURR_BANDS - 1}, floor(quality * {CURR_BANDS})) AS INT) AS band,
            CAST({b} AS BIGINT) AS sort_key
     FROM q
+    """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (p10) — dataset-version audit
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: every key is
+    ``added`` (new only), ``removed`` (old only) or ``changed`` (digest of
+    the compared columns differs) — the audit a training-data pipeline runs
+    before publishing snapshot N+1, and the input to an incremental
+    recompute (only ``added``/``changed`` keys need reprocessing).
+
+    Scale shape: each side collapses to (key, md5-of-compared-columns)
+    BEFORE the comparison, so the full-outer join shuffles 16-byte digests,
+    never rows; unchanged keys (the overwhelming majority of a real
+    snapshot pair) are filtered immediately after the join.  Digest inputs
+    are stringified via DECIMAL for floats, so the text form — hence the
+    digest — is identical in both engines."""
+
+    def digested(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("decimal(18,2)").cast("string"), F.lit("\x00"))
+            if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+            else F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols
+        ]
+        return df.select(
+            F.col(key_col), F.md5(F.concat_ws("\x01", *parts)).alias(alias)
+        )
+
+    o = digested(old, "old_dig")
+    n = digested(new, "new_dig")
+    joined = o.join(n, key_col, "full_outer")
+    change = (
+        F.when(F.col("old_dig").isNull(), F.lit("added"))
+        .when(F.col("new_dig").isNull(), F.lit("removed"))
+        .when(F.col("old_dig") != F.col("new_dig"), F.lit("changed"))
+    )
+    return (
+        joined.select(F.col(key_col), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def _snapshot_v2_of_orders(orders: DataFrame) -> DataFrame:
+    """Deterministic synthetic snapshot N+1 of orders: keys %97==0 removed,
+    %13==0 get a price bump (changed), %101==0 re-appear shifted into a new
+    key range (added)."""
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    return bumped.unionByName(added)
+
+
+SNAPSHOT_COLS = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    """The registered p10 entry: diff orders against its deterministic
+    synthetic next snapshot (see :func:`_snapshot_v2_of_orders`)."""
+    return snapshot_diff(
+        orders, _snapshot_v2_of_orders(orders), "o_orderkey", SNAPSHOT_COLS
+    )
+
+
+def orders_snapshot_diff_sql(table: str = "orders") -> str:
+    def dig(prefix: str) -> str:
+        return (
+            "md5(concat_ws(chr(1), "
+            f"COALESCE(CAST({prefix}o_orderstatus AS VARCHAR), chr(0)), "
+            f"COALESCE(CAST(CAST({prefix}o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(0)), "
+            f"COALESCE(CAST({prefix}o_orderpriority AS VARCHAR), chr(0))))"
+        )
+
+    return f"""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM {table} WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice, o_orderpriority
+      FROM {table} WHERE o_orderkey % 101 = 0
+    ),
+    o AS (SELECT o_orderkey, {dig('')} AS old_dig FROM {table}),
+    n AS (SELECT o_orderkey, {dig('')} AS new_dig FROM v2)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.old_dig IS NULL THEN 'added'
+                WHEN n.new_dig IS NULL THEN 'removed'
+                WHEN o.old_dig != n.new_dig THEN 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN o.old_dig IS NULL THEN 'added'
+                WHEN n.new_dig IS NULL THEN 'removed'
+                WHEN o.old_dig != n.new_dig THEN 'changed' END) IS NOT NULL
     """

@@ -372,3 +372,17 @@ def p08_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.curriculum_order(docs)
+
+
+@register(
+    "p10_snapshot_diff",
+    sampling.orders_snapshot_diff_sql(),
+    doc="Snapshot diff: each side collapses to (key, md5 digest of compared "
+    "columns) BEFORE a full-outer join, so version comparison shuffles "
+    "16-byte digests, never rows; output is the added/removed/changed "
+    "key list an incremental recompute feeds on.  Floats stringify via "
+    "DECIMAL so digests match across engines.",
+)
+def p10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return sampling.orders_snapshot_diff(orders)
