@@ -543,3 +543,57 @@ def test_random_docs_bigram_lm(spark, doc_lens, vocab):
         assert_same_result(bigram_lm_score(sdf), con, bigram_lm_score_sql())
     finally:
         con.close()
+
+
+@given(
+    edge=st.sampled_from(JOIN_EDGES),
+    kind=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    op=st.sampled_from(OPS),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_random_explicit_joins(spark, ecommerce, duck_ecom, edge, kind, op, frac):
+    """Random explicit-join queries (extended grammar) vs DuckDB: INNER and
+    LEFT chains over every FK edge with a random post-join WHERE — the WHERE
+    must apply AFTER the join (null-extension drops under a right-side
+    filter), which is exactly what the oracle computes."""
+    child, ckey, parent, pkey = edge
+    lit = int(frac * 220)
+    sql = (
+        f"SELECT {child}.{ckey} FROM {parent} {kind} {child} "
+        f"ON {parent}.{pkey}={child}.{ckey} "
+        f'WHERE {child}.{ckey}{op}"{lit}"'
+    )
+    duck_kind = "LEFT JOIN" if kind == "LEFT JOIN" else "JOIN"
+    oracle = (
+        f"SELECT {child}.{ckey} AS {child}_{ckey} FROM {parent} {duck_kind} {child} "
+        f"ON {parent}.{pkey} = {child}.{ckey} "
+        f"WHERE {child}.{ckey} {'<>' if op == '!=' else op} {lit}"
+    )
+    df = build_plan(spark, ecommerce, parse(sql, extended=True))
+    assert_same_result(df, duck_ecom, oracle)
+
+
+@given(
+    combo=st.sampled_from(
+        [("CUSTOMER", "gender", "cid"), ("CARTDETAILS", "qty", "iid")]
+    ),
+    func=st.sampled_from(["COUNT", "MAX", "MIN", "SUM"]),
+)
+@settings(**_SETTINGS)
+def test_random_window_aggregates(spark, ecommerce, duck_ecom, combo, func):
+    """Random AGG(x) OVER (PARTITIONBY p ORDERBY o) through the extended
+    grammar vs DuckDB's default-frame window — RANGE peers make tied order
+    keys deterministic in both engines (integer columns, exact values)."""
+    table, part, val = combo
+    sql = (
+        f"SELECT {table}.{part}, {func}({table}.{val}) OVER "
+        f"(PARTITIONBY {table}.{part} ORDERBY {table}.{val}) FROM {table}"
+    )
+    oracle = (
+        f"SELECT {part}, CAST({func}({val}) OVER "
+        f"(PARTITION BY {part} ORDER BY {val}) AS BIGINT) AS {func.lower()}_{val} "
+        f"FROM {table}"
+    )
+    df = build_plan(spark, ecommerce, parse(sql, extended=True))
+    assert_same_result(df, duck_ecom, oracle)
