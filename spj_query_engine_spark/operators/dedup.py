@@ -1724,3 +1724,166 @@ def triangle_counts_sql(table: str = "documents") -> str:
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM corners GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (g03) and bounded-hop BFS (g04)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2  # minimum in-core degree
+KCORE_ROUNDS = 4  # unrolled peel rounds (see docstring for the bound)
+
+
+def kcore_members(docs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core of the near-dup pair graph by ``rounds`` unrolled peeling
+    rounds: repeatedly delete nodes of degree < k (with their edges); what
+    survives bounded peeling approximates — and for these graphs equals —
+    the true k-core (the maximal subgraph of min-degree ≥ k).  The k-core
+    separates genuinely dense duplicate families (template farms, mirror
+    sets — the structures worth special-casing in a dedup policy) from
+    incidental pairwise matches, which a plain connected component cannot:
+    a long chain is one component but has an empty 2-core.
+
+    A FIXED round count keeps the result a pure function of the input so
+    the oracle replays it as unrolled CTEs (d07's convention); each round
+    is one degree aggregate + two semi-joins, all on the shrinking edge
+    list, with a lineage barrier per round.  Peeling converges when a
+    round deletes nothing; near-dup graphs peel in 1–2 rounds (dense cores
+    + shallow fringe), and a run-to-fixed-point variant needs only the
+    d09-style count-stable loop.  Output: (doc_id, core_deg) for the
+    surviving nodes, core_deg = degree inside the core."""
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    return kcore_from_pairs(pairs, k, rounds)
+
+
+def kcore_from_pairs(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Bounded peeling over any (doc_a, doc_b) pair frame — see
+    :func:`kcore_members`."""
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("u").alias("doc_id"), "core_deg"
+    )
+
+
+def kcore_members_sql(table: str = "documents", k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
+        "WHERE doc_a <> doc_b)",
+        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r} AS (SELECT u FROM (SELECT u, count(*) AS deg FROM {prev} GROUP BY u) "
+            f"WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e.u, e.v FROM {prev} e "
+            f"WHERE e.u IN (SELECT u FROM k{r}) AND e.v IN (SELECT u FROM k{r}))"
+        )
+        prev = f"e{r}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM {prev} GROUP BY u
+    """
+    )
+
+
+BFS_SEED_MOD = 7  # nodes with doc_id % this == 0 are distance-0 seeds
+BFS_HOPS = 4  # unrolled relaxation rounds = max reported distance
+
+
+def bfs_distances(docs: DataFrame, seed_mod: int = BFS_SEED_MOD, hops: int = BFS_HOPS) -> DataFrame:
+    """Bounded-hop BFS distances over the near-dup pair graph from a seed
+    set (doc_id % ``seed_mod`` == 0 — a fixed fraction of the corpus at
+    any scale): ``hops`` unrolled relaxation rounds of
+    dist'(v) = min(dist(v), min over in-neighbors u of dist(u)+1) — the
+    provenance query of a dedup graph ("how many hops from a known-bad
+    seed is this doc?"), and the building block of seed-expansion
+    contamination sweeps.
+
+    Each round is one edge join + one min aggregate (O(|E|), the g01
+    iteration shape) with a lineage barrier; a fixed hop budget both
+    bounds cost at 100 TB (frontier work only grows while new nodes are
+    reachable) and keeps the result SQL-replayable as unrolled CTEs —
+    run-to-convergence needs diameter-many rounds, which d09's
+    alternating-star sidesteps for components but no BFS can.  Output:
+    (doc_id, dist ≤ hops) for reached graph nodes only."""
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    return bfs_from_pairs(pairs, seed_mod, hops)
+
+
+def bfs_from_pairs(pairs: DataFrame, seed_mod: int = BFS_SEED_MOD, hops: int = BFS_HOPS) -> DataFrame:
+    """Bounded-hop relaxation over any (doc_a, doc_b) pair frame — see
+    :func:`bfs_distances`."""
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select("u").distinct()
+    dist = nodes.filter(F.col("u") % seed_mod == 0).select(
+        "u", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(hops):
+        via = (
+            edges.join(dist.withColumnRenamed("u", "v"), "v")
+            .select("u", (F.col("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.select("u", F.col("dist").alias("nd"))
+            .unionByName(via.select("u", "nd"))
+            .groupBy("u")
+            .agg(F.min("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("u").alias("doc_id"), "dist")
+
+
+def bfs_distances_sql(
+    table: str = "documents", seed_mod: int = BFS_SEED_MOD, hops: int = BFS_HOPS
+) -> str:
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
+        "WHERE doc_a <> doc_b)",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        f"d0 AS (SELECT u, 0::BIGINT AS dist FROM (SELECT DISTINCT u FROM edges) "
+        f"WHERE u % {seed_mod} = 0)",
+    ]
+    prev = "d0"
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"d{r} AS (SELECT u, min(nd) AS dist FROM ("
+            f"SELECT u, dist AS nd FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.u, p.dist + 1 AS nd FROM edges e JOIN {prev} p ON p.u = e.v"
+            f") GROUP BY u)"
+        )
+        prev = f"d{r}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS doc_id, dist FROM {prev}\n    "
+    )

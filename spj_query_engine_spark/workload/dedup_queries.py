@@ -241,3 +241,28 @@ def d16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.triangle_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "g03_kcore",
+    dedup.kcore_members_sql(),
+    doc="k-core of the near-dup graph (%d unrolled peel rounds, k=%d): "
+    "separates dense duplicate FAMILIES (template farms, mirror sets) "
+    "from incidental pairwise matches - a chain is one component but an "
+    "empty 2-core.  Each round one degree aggregate + two semi-joins on "
+    "the shrinking edge list." % (dedup.KCORE_ROUNDS, dedup.KCORE_K),
+)
+def g03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.kcore_members(_docs(spark, sf_dir))
+
+
+@register(
+    "g04_bfs_distances",
+    dedup.bfs_distances_sql(),
+    doc="Bounded-hop BFS from seed docs (id %% %d == 0, %d hops): the "
+    "provenance query of a dedup graph (hops-from-known-bad), one edge "
+    "join + one min aggregate per round, SQL-replayable because the "
+    "hop budget is fixed." % (dedup.BFS_SEED_MOD, dedup.BFS_HOPS),
+)
+def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.bfs_distances(_docs(spark, sf_dir))

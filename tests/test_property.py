@@ -597,3 +597,76 @@ def test_random_window_aggregates(spark, ecommerce, duck_ecom, combo, func):
     )
     df = build_plan(spark, ecommerce, parse(sql, extended=True))
     assert_same_result(df, duck_ecom, oracle)
+
+
+@given(
+    n_nodes=st.integers(min_value=3, max_value=12),
+    density=st.integers(min_value=1, max_value=6),
+    salt=st.integers(min_value=0, max_value=1000),
+)
+@settings(**_SETTINGS)
+def test_random_graph_kcore_and_bfs(spark, n_nodes, density, salt):
+    """Random graphs through bounded k-core peeling and bounded-hop BFS vs
+    brute-force Python: with round/hop budgets ≥ node count both must equal
+    the exact fixed-point answers."""
+    from itertools import combinations
+
+    from spj_query_engine_spark.operators.dedup import (
+        KCORE_K,
+        bfs_from_pairs,
+        kcore_from_pairs,
+    )
+
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(n_nodes), 2)
+            if (a * 104729 + b * 7919 + salt) % 10 < density
+        }
+    )
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # exact k-core by full fixed-point peeling (deep-copied: the peel
+    # mutates neighbor sets and the BFS below needs the original graph)
+    live = {u: set(vs) for u, vs in adj.items()}
+    while True:
+        drop = [u for u, vs in live.items() if len(vs) < KCORE_K]
+        if not drop:
+            break
+        for u in drop:
+            for v in live[u]:
+                live[v].discard(u)
+            del live[u]
+    expected_core = {u: len(vs) for u, vs in live.items()}
+
+    # exact BFS from seeds (< 3) capped at n hops
+    seeds = [u for u in adj if u % 3 == 0]
+    expected_dist: dict[int, int] = {u: 0 for u in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier and d < n_nodes:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in expected_dist:
+                    expected_dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_core = {
+        r["doc_id"]: r["core_deg"]
+        for r in kcore_from_pairs(pairs, rounds=n_nodes).collect()
+    }
+    assert got_core == expected_core
+    got_dist = {
+        r["doc_id"]: r["dist"]
+        for r in bfs_from_pairs(pairs, seed_mod=3, hops=n_nodes).collect()
+    }
+    assert got_dist == expected_dist
