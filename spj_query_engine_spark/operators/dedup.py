@@ -1782,20 +1782,24 @@ def kcore_from_pairs(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROU
 
 
 def kcore_members_sql(table: str = "documents", k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # peel round references its predecessor three times — inlined, the peel
+    # would re-evaluate the MinHash pair derivation 3^rounds times
     ctes = [
-        f"pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
         "WHERE doc_a <> doc_b)",
-        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
         "UNION ALL SELECT doc_b, doc_a FROM pairs)",
     ]
     prev = "e0"
     for r in range(1, rounds + 1):
         ctes.append(
-            f"k{r} AS (SELECT u FROM (SELECT u, count(*) AS deg FROM {prev} GROUP BY u) "
+            f"k{r} AS MATERIALIZED (SELECT u FROM "
+            f"(SELECT u, count(*) AS deg FROM {prev} GROUP BY u) "
             f"WHERE deg >= {k})"
         )
         ctes.append(
-            f"e{r} AS (SELECT e.u, e.v FROM {prev} e "
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
             f"WHERE e.u IN (SELECT u FROM k{r}) AND e.v IN (SELECT u FROM k{r}))"
         )
         prev = f"e{r}"
@@ -1865,18 +1869,20 @@ def bfs_from_pairs(pairs: DataFrame, seed_mod: int = BFS_SEED_MOD, hops: int = B
 def bfs_distances_sql(
     table: str = "documents", seed_mod: int = BFS_SEED_MOD, hops: int = BFS_HOPS
 ) -> str:
+    # MATERIALIZED: each round references its predecessor twice (see the
+    # kcore oracle note on DuckDB CTE inlining)
     ctes = [
-        f"pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)}) "
         "WHERE doc_a <> doc_b)",
-        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
         "UNION ALL SELECT doc_b, doc_a FROM pairs)",
-        f"d0 AS (SELECT u, 0::BIGINT AS dist FROM (SELECT DISTINCT u FROM edges) "
+        f"d0 AS MATERIALIZED (SELECT u, 0::BIGINT AS dist FROM (SELECT DISTINCT u FROM edges) "
         f"WHERE u % {seed_mod} = 0)",
     ]
     prev = "d0"
     for r in range(1, hops + 1):
         ctes.append(
-            f"d{r} AS (SELECT u, min(nd) AS dist FROM ("
+            f"d{r} AS MATERIALIZED (SELECT u, min(nd) AS dist FROM ("
             f"SELECT u, dist AS nd FROM {prev} "
             f"UNION ALL "
             f"SELECT e.u, p.dist + 1 AS nd FROM edges e JOIN {prev} p ON p.u = e.v"
