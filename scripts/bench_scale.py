@@ -118,6 +118,8 @@ FAMILY = [
     "e34_daily_anomalies",
     "s12_ivf_pq",
     "u04_arrow_map",
+    "g03_kcore",
+    "g04_bfs_distances",
 ]
 
 

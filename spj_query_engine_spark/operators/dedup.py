@@ -1731,7 +1731,7 @@ def triangle_counts_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 KCORE_K = 2  # minimum in-core degree
-KCORE_ROUNDS = 4  # unrolled peel rounds (see docstring for the bound)
+KCORE_ROUNDS = 3  # unrolled peel rounds (near-dup graphs peel in 1-2)
 
 
 def kcore_members(docs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
