@@ -1038,16 +1038,19 @@ def dup_clusters(pairs: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
 def dup_clusters_sql(pairs_cte_body: str, rounds: int = CC_ROUNDS) -> str:
     """Oracle twin: the same propagation as ``rounds`` unrolled CTEs over any
     pair-producing query (passed in as a CTE body returning doc_a, doc_b)."""
+    # MATERIALIZED throughout: DuckDB inlines CTEs, and each round
+    # references its predecessor twice — inlined, the pair derivation
+    # re-evaluates 2^rounds times (measured 127 s -> ~15 s on d14's oracle)
     ctes = [
-        f"pairs AS ({pairs_cte_body})",
-        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        f"pairs AS MATERIALIZED ({pairs_cte_body})",
+        "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
         " UNION SELECT doc_b, doc_a FROM pairs)",
-        "lab0 AS (SELECT u, least(u, min(v)) AS lbl FROM edges GROUP BY u)",
+        "lab0 AS MATERIALIZED (SELECT u, least(u, min(v)) AS lbl FROM edges GROUP BY u)",
     ]
     prev = "lab0"
     for r in range(1, rounds):
         ctes.append(
-            f"lab{r} AS (SELECT l.u, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl "
+            f"lab{r} AS MATERIALIZED (SELECT l.u, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl "
             f"FROM {prev} l LEFT JOIN edges e ON e.u = l.u "
             f"LEFT JOIN {prev} n ON n.u = e.v GROUP BY l.u, l.lbl)"
         )
@@ -1155,8 +1158,8 @@ def cc_alternating_sql(pairs_cte_body: str) -> str:
     """Oracle: TRUE connected components — min reachable node per node via a
     recursive CTE (terminates because UNION deduplicates the frontier)."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_cte_body}),
-    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs WHERE doc_a <> doc_b
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_cte_body}),
+    edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs WHERE doc_a <> doc_b
               UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b),
     reach(u, lbl) AS (
       SELECT u, u FROM (SELECT DISTINCT u FROM edges)
@@ -1500,15 +1503,15 @@ def pagerank_neardup(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 def pagerank_neardup_sql(table: str = "documents", iters: int = PR_ITERS) -> str:
     base = str((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN)
     sql = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
     rank0 AS (SELECT src, {PR_SCALE}::BIGINT AS rank FROM deg)
     """
     prev = "rank0"
