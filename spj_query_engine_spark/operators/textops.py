@@ -1089,3 +1089,188 @@ def bigram_lm_score_sql(table: str = "documents") -> str:
            {score} AS lm_ppm
     FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (t19) — iterative tokenizer training, applied
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 2  # unrolled train-and-apply merge rounds
+
+
+def _bpe_apply_round(t: DataFrame) -> DataFrame:
+    """One BPE round over an exploded (doc_id, pos, tok) frame: find the
+    globally most frequent adjacent pair, then merge its non-overlapping
+    left-to-right occurrences.  The sequential "skip the next token after a
+    merge" rule — the part that looks inherently imperative — is pure window
+    algebra: within each maximal RUN of consecutive matching positions,
+    exactly the even offsets start a merge (positions 0, 2, 4, … of the
+    run), so a match flag, a run id (cumsum of run boundaries) and an
+    offset-parity test reproduce greedy left-to-right merging with no
+    sequential state.  Both engines replay the identical windows."""
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    withnxt = t.withColumn("nxt", F.lead("tok").over(wdoc))
+    # top pair as a GLOBAL AGGREGATE (min of (-count, tok, nxt) struct), not
+    # orderBy+limit: the aggregate always yields exactly one row, so a
+    # pairless corpus produces (NULL, NULL) instead of an empty frame that
+    # would annihilate the crossJoin below
+    top = (
+        withnxt.filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("negn"),
+                    F.col("tok").alias("a"),
+                    F.col("nxt").alias("b"),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.a").alias("m_a"), F.col("s.b").alias("m_b"))
+    )
+    x = withnxt.crossJoin(F.broadcast(top))
+    m = (F.col("tok") == F.col("m_a")) & (F.col("nxt") == F.col("m_b"))
+    x = x.withColumn("m", F.coalesce(m, F.lit(False)))
+    x = x.withColumn(
+        "boundary",
+        (F.col("m") & ~F.coalesce(F.lag("m").over(wdoc), F.lit(False))).cast("int"),
+    )
+    x = x.withColumn("run", F.sum("boundary").over(wdoc))
+    wrun = Window.partitionBy("doc_id", "run")
+    x = x.withColumn(
+        "m_start",
+        F.col("m")
+        & ((F.col("pos") - F.min(F.when(F.col("m"), F.col("pos"))).over(wrun)) % 2 == 0),
+    )
+    x = x.withColumn(
+        "skip", F.coalesce(F.lag("m_start").over(wdoc), F.lit(False))
+    )
+    out = x.filter(~F.col("skip")).select(
+        "doc_id",
+        F.when(F.col("m_start"), F.concat(F.col("tok"), F.col("nxt")))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
+        F.row_number().over(wdoc).alias("pos"),
+    )
+    return out
+
+
+def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Iterative BPE tokenizer training APPLIED (t19): ``rounds`` cycles of
+    (count adjacent pairs → pick the global top pair → merge its
+    non-overlapping occurrences corpus-wide) — t15 counts the first round's
+    merge candidates, this executes the loop, producing the per-document
+    token stream a trained tokenizer would emit after ``rounds`` merges.
+
+    Scale shape per round: one vocabulary-bounded pair rollup (map-side
+    partial), one broadcast single-row top pair, one per-document window
+    pass (shuffle on doc_id — Spark keeps the same partitioning across
+    rounds so AQE elides repeats), with a lineage barrier per round.
+    Output: (doc_id, n_tokens, digest) — token count and md5 of the
+    space-joined merged stream, exact in both engines."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    t = (
+        docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "tok"))
+    )
+    for _ in range(rounds):
+        t = _bpe_apply_round(t).localCheckpoint(eager=True)
+    # digest from an explicitly position-sorted array (collect_list order
+    # alone is nondeterministic)
+    per_doc = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+            )
+        ).alias("digest"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("digest"), F.md5(F.lit(""))).alias("digest"),
+        )
+    )
+
+
+def bpe_apply_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
+    ctes = [
+        f"""t0 AS MATERIALIZED (
+      SELECT doc_id, i + 1 AS pos, toks[i + 1] AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+            FROM {table}), unnest(range(0, len(toks))) AS u(i)
+    )"""
+    ]
+    prev = "t0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM {prev}
+    ),
+    top{r} AS MATERIALIZED (
+      SELECT s.negn IS NOT NULL AS _has, s.a AS m_a, s.b AS m_b FROM (
+        SELECT MIN({{'negn': -n, 'a': tok, 'b': nxt}}) AS s
+        FROM (SELECT tok, nxt, count(*) AS n FROM n{r} WHERE nxt IS NOT NULL
+              GROUP BY tok, nxt)
+      )
+    ),
+    f{r} AS MATERIALIZED (
+      SELECT doc_id, pos, tok, nxt,
+             COALESCE(tok = m_a AND nxt = m_b, false) AS m
+      FROM n{r} CROSS JOIN top{r}
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT *, CASE WHEN m AND NOT COALESCE(
+                 lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                 THEN 1 ELSE 0 END AS boundary
+      FROM f{r}
+    ),
+    g{r} AS MATERIALIZED (
+      SELECT *, SUM(boundary)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM b{r}
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT *, m AND ((pos - MIN(CASE WHEN m THEN pos END)
+                 OVER (PARTITION BY doc_id, run)) % 2 = 0) AS m_start
+      FROM g{r}
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT *, COALESCE(lag(m_start) OVER (PARTITION BY doc_id ORDER BY pos),
+                         false) AS skip
+      FROM h{r}
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN m_start THEN tok || nxt ELSE tok END AS tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM s{r}
+      WHERE NOT skip
+    )"""
+        )
+        prev = f"t{r}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    , per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+      FROM {prev} GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(p.digest, md5('')) AS digest
+    FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    )

@@ -226,3 +226,17 @@ def t17_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bigram_lm_score(_docs(spark, sf_dir))
+
+
+@register(
+    "t19_bpe_apply",
+    textops.bpe_apply_sql(),
+    doc="Iterative BPE training APPLIED (%d unrolled rounds): count pairs -> "
+    "top pair -> merge non-overlapping occurrences corpus-wide.  The "
+    "greedy left-to-right skip rule is pure window algebra (even offsets "
+    "within runs of consecutive matches start merges), so the loop needs "
+    "no sequential state and replays exactly in SQL; per round one "
+    "vocabulary rollup + one per-doc window pass." % textops.BPE_ROUNDS,
+)
+def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_apply(_docs(spark, sf_dir))

@@ -670,3 +670,67 @@ def test_random_graph_kcore_and_bfs(spark, n_nodes, density, salt):
         for r in bfs_from_pairs(pairs, seed_mod=3, hops=n_nodes).collect()
     }
     assert got_dist == expected_dist
+
+
+@given(
+    doc_lens=st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=5),
+    vocab=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_random_docs_bpe_apply(spark, doc_lens, vocab):
+    """Random tiny-vocabulary corpora through bpe_apply vs a brute-force
+    Python BPE (global top pair by (count desc, pair asc), greedy
+    left-to-right non-overlapping merge) — token counts AND digests must
+    match; tiny vocabularies force the run-parity edge cases ((x,x) pairs
+    in long runs)."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.textops import BPE_ROUNDS, bpe_apply
+
+    words = [f"w{i}" for i in range(vocab)]
+    corpus = {
+        d: [words[(d * 13 + i * 5) % vocab] for i in range(ln)]
+        for d, ln in enumerate(doc_lens)
+    }
+
+    def merge_once(docs_toks):
+        pairs = Counter()
+        for toks in docs_toks.values():
+            for x, y in zip(toks, toks[1:]):
+                pairs[(x, y)] += 1
+        if not pairs:
+            return docs_toks
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = {}
+        for d, toks in docs_toks.items():
+            new, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            out[d] = new
+        return out
+
+    expected = dict(corpus)
+    for _ in range(BPE_ROUNDS):
+        expected = merge_once(expected)
+
+    pdf = pd.DataFrame(
+        [(d, " ".join(toks)) for d, toks in corpus.items()],
+        columns=["doc_id", "text"],
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["digest"]) for r in bpe_apply(sdf).collect()
+    }
+    want = {
+        d: (len(toks), hashlib.md5(" ".join(toks).encode()).hexdigest())
+        for d, toks in expected.items()
+    }
+    assert got == want
