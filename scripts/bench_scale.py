@@ -120,6 +120,7 @@ FAMILY = [
     "u04_arrow_map",
     "g03_kcore",
     "g04_bfs_distances",
+    "t19_bpe_apply",
 ]
 
 
