@@ -1427,3 +1427,138 @@ def ivf_pq_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization ANN (s13) — int8 codes + asymmetric rerank
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # 8-bit quantization levels
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Scalar-quantized ANN (the SQ8 index): every dimension maps to an
+    8-bit level via per-dimension corpus min/max, the corpus is scanned as
+    int8 codes (dim bytes/vector — 4× smaller than float32, the RAM-bound
+    regime between raw vectors and s07's 8-byte PQ), and queries score
+    candidates against DEQUANTIZED codes — asymmetric: the query stays
+    full-precision, only the database side is approximated.
+
+    Exactness across engines: quantization is ``round((x - min) / (max -
+    min) * 255)`` on IEEE doubles with one fixed expression order (min/max
+    are exact column extrema, portable_round makes the half-way rule
+    explicit), and the score fold runs in dimension order — so even the
+    quantized distances value-replay in SQL.  Scale shape: the per-dim
+    min/max table is one tiny aggregate broadcast back (p08's two-pass
+    shape); scoring is the s01 broadcast-query join over codes."""
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    parts = emb.select(
+        "vid", F.posexplode(F.col("vec")).alias("d", "x")
+    )
+    stats = parts.groupBy("d").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    # quantize: level in [0, 255]; degenerate dims (hi == lo) pin to 0
+    lvl = F.when(
+        F.col("hi") > F.col("lo"),
+        portable_round(
+            (F.col("x") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * F.lit(float(SQ_LEVELS)),
+            0,
+        ),
+    ).otherwise(F.lit(0.0))
+    coded = parts.join(F.broadcast(stats), "d").select(
+        "vid",
+        "d",
+        lvl.cast("int").alias("code"),
+        # dequantized value — what the asymmetric distance actually uses
+        (
+            F.col("lo")
+            + lvl * (F.col("hi") - F.col("lo")) / F.lit(float(SQ_LEVELS))
+        ).alias("deq"),
+    )
+    q = parts.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("d").alias("qd"), F.col("x").alias("qx")
+    )
+    contrib = coded.join(
+        F.broadcast(q),
+        (F.col("d") == F.col("qd")) & (F.col("vid") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vid").alias("cand_id"),
+        "d",
+        ((F.col("qx") - F.col("deq")) * (F.col("qx") - F.col("deq"))).alias("sq"),
+    )
+    scored = contrib.groupBy("query_id", "cand_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(d, sq))), "
+            "s -> s.sq), 0.0D, (acc, v) -> acc + v)"
+        ).alias("dist_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+    return (
+        scored.select(
+            "query_id", "cand_id", portable_round(F.col("dist_raw"), 6).alias("dist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq_topk_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> str:
+    lvl = portable_round_sql(
+        f"(x - lo) / (hi - lo) * {float(SQ_LEVELS)}", 0
+    )
+    dist = portable_round_sql(
+        "list_reduce(list_prepend(0.0::DOUBLE, list(sq ORDER BY d)), (acc, v) -> acc + v)",
+        6,
+    )
+    return f"""
+    WITH parts AS MATERIALIZED (
+      SELECT vec_id AS vid, d, embedding[d + 1]::DOUBLE AS x
+      FROM {table}, unnest(range(0, len(embedding))) AS u(d)
+    ),
+    stats AS MATERIALIZED (
+      SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM parts GROUP BY d
+    ),
+    coded AS MATERIALIZED (
+      SELECT vid, parts.d,
+             CASE WHEN hi > lo
+                  THEN lo + {lvl} * (hi - lo) / {float(SQ_LEVELS)}
+                  ELSE lo END AS deq
+      FROM parts JOIN stats ON stats.d = parts.d
+    ),
+    q AS MATERIALIZED (
+      SELECT vid AS query_id, d AS qd, x AS qx FROM parts WHERE vid < {n_queries}
+    ),
+    contrib AS (
+      SELECT q.query_id, c.vid AS cand_id, c.d,
+             (q.qx - c.deq) * (q.qx - c.deq) AS sq
+      FROM coded c JOIN q ON q.qd = c.d AND c.vid != q.query_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, {dist} AS dist
+      FROM contrib GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id, dist, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -1591,3 +1591,63 @@ def variant_props_rollup_sql(table: str = "events") -> str:
            CAST(MAX({k}) AS BIGINT) AS max_k
     FROM {table} GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Active-users report (e35) — DAU + trailing-7-day WAU per day
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+def active_users(events: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
+    """DAU and trailing-``window_days`` WAU per activity day — the
+    engagement report every event pipeline publishes.  COUNT DISTINCT over
+    raw events never happens: events collapse once to distinct (user, day)
+    (e17's move), DAU is a plain count over that, and WAU inverts the
+    window — instead of "which users were active in [d-6, d]?" per day
+    (a range self-join), each user-day FANS OUT to the ≤ 7 report days it
+    supports (a bounded ×7 projection), dedups per (user, report day), and
+    counts.  Three key-bounded shuffles, no window pass, no range join.
+    Report days are restricted to days with actual activity."""
+    day = F.datediff(
+        F.col("ts").cast(T.TimestampType()).cast(T.DateType()),
+        F.lit("1970-01-01").cast(T.DateType()),
+    )
+    ud = events.select(F.col("user_id"), day.alias("day_no")).distinct()
+    dau = ud.groupBy("day_no").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_no"), F.col("day_no") + F.lit(window_days - 1)
+                )
+            ).alias("report_day"),
+        )
+        .distinct()
+    )
+    wau = expanded.groupBy("report_day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, F.col("report_day") == F.col("day_no"))
+        .select(F.col("day_no").cast("int").alias("day_no"), "dau", "wau")
+    )
+
+
+def active_users_sql(table: str = "events", window_days: int = WAU_DAYS) -> str:
+    return f"""
+    WITH ud AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day_no
+      FROM {table}
+    ),
+    dau AS (SELECT day_no, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day_no),
+    expanded AS (
+      SELECT DISTINCT user_id, day_no + i AS report_day
+      FROM ud, unnest(range(0, {window_days})) AS u(i)
+    ),
+    wau AS (SELECT report_day, CAST(count(*) AS BIGINT) AS wau
+            FROM expanded GROUP BY report_day)
+    SELECT CAST(dau.day_no AS INT) AS day_no, dau.dau, wau.wau
+    FROM dau JOIN wau ON wau.report_day = dau.day_no
+    """

@@ -208,3 +208,16 @@ def s12_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u04_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return vectorops.doc_digests_arrow(docs)
+
+
+@register(
+    "s13_sq_topk",
+    similarity.sq_topk_sql(),
+    doc="Scalar-quantized ANN (SQ8): per-dim corpus min/max -> int8 levels, "
+    "asymmetric distance against dequantized codes (query stays full "
+    "precision) - the 4x-compression tier between raw floats (s01) and "
+    "8-byte PQ (s08); the stats table is a tiny broadcast aggregate and "
+    "even the quantized distances value-replay in SQL.",
+)
+def s13_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq_topk(_emb(spark, sf_dir))

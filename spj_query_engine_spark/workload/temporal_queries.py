@@ -318,3 +318,18 @@ def e34_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e36_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.variant_props_rollup(ev)
+
+
+@register(
+    "e35_active_users",
+    temporal.active_users_sql(),
+    doc="DAU + trailing-%d-day WAU per activity day: events collapse ONCE "
+    "to distinct (user, day); WAU inverts the window - each user-day fans "
+    "out to the <=%d report days it supports (bounded x%d projection + "
+    "dedup) instead of a per-day range self-join.  Three key-bounded "
+    "shuffles, no window pass."
+    % (temporal.WAU_DAYS, temporal.WAU_DAYS, temporal.WAU_DAYS),
+)
+def e35_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.active_users(ev)
