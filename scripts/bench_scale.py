@@ -121,6 +121,8 @@ FAMILY = [
     "g03_kcore",
     "g04_bfs_distances",
     "t19_bpe_apply",
+    "s13_sq_topk",
+    "e35_active_users",
 ]
 
 

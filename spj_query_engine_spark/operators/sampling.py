@@ -739,3 +739,44 @@ def orders_snapshot_diff_sql(table: str = "orders") -> str:
                 WHEN n.new_dig IS NULL THEN 'removed'
                 WHEN o.old_dig != n.new_dig THEN 'changed' END) IS NOT NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# Export manifest (p11) — the artifact a data release publishes
+# ---------------------------------------------------------------------------
+
+
+def export_manifest(docs: DataFrame) -> DataFrame:
+    """Per-stream export manifest over the p05 packing: document count,
+    token total, chunk count, and an order-sensitive digest of the member
+    doc_ids — the receipt a training-data release ships so a consumer can
+    verify shard completeness without re-reading text.  One
+    vocabulary-of-buckets-sized rollup on top of the packing projection;
+    the digest folds an explicitly sorted id list, so it is reproducible
+    on any layout (and any engine — the oracle replays it)."""
+    packed = pack_sequences(docs)
+    return packed.groupBy("pack_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("chunk_last") + 1).alias("n_chunks"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(doc_id)), x -> cast(x AS string))"
+                ),
+            )
+        ).alias("doc_digest"),
+    )
+
+
+def export_manifest_sql(table: str = "documents") -> str:
+    return f"""
+    WITH packed AS ({pack_sequences_sql(table)})
+    SELECT pack_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(chunk_last) + 1 AS BIGINT) AS n_chunks,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS doc_digest
+    FROM packed GROUP BY pack_bucket
+    """

@@ -386,3 +386,16 @@ def p09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     return sampling.orders_snapshot_diff(orders)
+
+
+@register(
+    "p11_export_manifest",
+    sampling.export_manifest_sql(),
+    doc="Per-stream export manifest over the p05 packing: doc/token/chunk "
+    "counts + an order-sensitive md5 of member ids - the completeness "
+    "receipt a data release ships; one bucket-bounded rollup, digest "
+    "folds an explicitly sorted id list so any layout reproduces it.",
+)
+def p11_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.export_manifest(docs)
