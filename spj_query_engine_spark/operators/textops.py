@@ -1274,3 +1274,57 @@ def bpe_apply_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
     FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability score (t20) — Flesch-style, fully portable
+# ---------------------------------------------------------------------------
+
+
+def readability(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flesch-style readability per document: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), with syllables approximated by
+    vowel-group counts (the standard heuristic when no dictionary is in
+    the loop).  The score joins t02/t09/t12/t18 as a quality-filter
+    signal — wildly high/low readability flags boilerplate and word salad.
+
+    A pure single-pass codegen projection (three regexp_count + fixed-order
+    double arithmetic, portable-rounded) — scan-speed at any corpus size;
+    sentence/word counts are floored at 1 so empty docs score the formula's
+    fixed point instead of dividing by zero."""
+    words = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]+")), F.lit(1)
+    ).cast("double")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return docs.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        portable_round(score, 4).alias("flesch"),
+    )
+
+
+def readability_sql(table: str = "documents") -> str:
+    words = "greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)::DOUBLE"
+    sentences = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE"
+    syllables = "greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::DOUBLE"
+    score = f"206.835 - 1.015 * ({words} / {sentences}) - 84.6 * ({syllables} / {words})"
+    return f"""
+    SELECT doc_id,
+           CAST({words} AS BIGINT) AS n_words,
+           CAST({sentences} AS BIGINT) AS n_sentences,
+           CAST({syllables} AS BIGINT) AS n_syllables,
+           {portable_round_sql(score, 4)} AS flesch
+    FROM {table}
+    """

@@ -240,3 +240,14 @@ def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_apply(_docs(spark, sf_dir))
+
+
+@register(
+    "t20_readability",
+    textops.readability_sql(),
+    doc="Flesch-style readability (syllables ~ vowel groups): one codegen "
+    "projection, fixed-order double arithmetic, portable-rounded - the "
+    "boilerplate/word-salad flag alongside t02/t09/t12/t18.",
+)
+def t20_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.readability(_docs(spark, sf_dir))
