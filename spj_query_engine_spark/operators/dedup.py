@@ -1896,3 +1896,73 @@ def bfs_distances_sql(
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT u AS doc_id, dist FROM {prev}\n    "
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (d17) — the asymmetric near-dup measure
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8  # containment threshold: |A ∩ B| / |A| ≥ this
+
+
+def containment_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DIRECTED containment pairs (Broder's resemblance-vs-containment
+    distinction): (inner, outer) where ≥ ``CONTAIN_T`` of the inner doc's
+    shingles appear in the outer doc.  This is the near-dup modality
+    symmetric Jaccard (d02/d05) structurally cannot catch: a short doc
+    quoted whole inside a much longer one has tiny Jaccard but containment
+    ≈ 1 — exactly the quote-expansion / page-plus-boilerplate duplicates a
+    corpus-dedup policy wants to see.
+
+    Same scale anatomy as d05 (one inverted index, DF-capped self-join,
+    pair rollup), but the pair keeps BOTH directions (a < b ordering would
+    erase which side is contained) and divides by the INNER size only.
+    Exact-ordering note: the self-join emits each unordered pair once per
+    direction via a != b, so no pair double-counts."""
+    inv = shingle_index(docs, text_col, id_col).persist()
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= NGRAM_MAX_DF
+    )
+    inv = inv.join(df_ok.select("g"), "g")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("inner_id"), F.col("b.doc_id").alias("outer_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    si = sizes.select(F.col("doc_id").alias("inner_id"), F.col("n_sh").alias("n_inner"))
+    cont = F.col("n_common").cast("double") / F.col("n_inner").cast("double")
+    return (
+        common.join(si, "inner_id")
+        .select(
+            "inner_id", "outer_id", portable_round(cont, 6).alias("containment")
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def containment_pairs_sql(table: str = "documents") -> str:
+    cont = "n_common::DOUBLE / len(si.sh)::DOUBLE"
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    common AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS n_common
+               FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id != b.doc_id
+               GROUP BY 1, 2)
+    SELECT inner_id, outer_id, {portable_round_sql(cont, 6)} AS containment
+    FROM common
+    JOIN shset si ON si.doc_id = inner_id
+    WHERE {portable_round_sql(cont, 6)} >= {CONTAIN_T}
+    """

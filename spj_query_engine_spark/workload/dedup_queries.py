@@ -266,3 +266,16 @@ def g03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bfs_distances(_docs(spark, sf_dir))
+
+
+@register(
+    "d17_containment_pairs",
+    dedup.containment_pairs_sql(),
+    doc="DIRECTED shingle containment >= %s (Broder's containment vs "
+    "resemblance): catches the short-doc-quoted-in-long-doc duplicates "
+    "symmetric Jaccard structurally misses; d05's inverted-index anatomy "
+    "with both directions kept and the INNER size as denominator."
+    % dedup.CONTAIN_T,
+)
+def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs(spark, sf_dir))
