@@ -123,6 +123,9 @@ FAMILY = [
     "t19_bpe_apply",
     "s13_sq_topk",
     "e35_active_users",
+    "t20_readability",
+    "d17_containment_pairs",
+    "p11_export_manifest",
 ]
 
 
