@@ -1615,6 +1615,13 @@ def active_users(events: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
         F.lit("1970-01-01").cast(T.DateType()),
     )
     ud = events.select(F.col("user_id"), day.alias("day_no")).distinct()
+    return active_users_from_ud(ud, window_days)
+
+
+def active_users_from_ud(ud: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
+    """The DAU/WAU rollup over an already-deduplicated (user_id, day_no)
+    frame — shared by the batch operator and the streaming twin (which
+    accumulates user-days incrementally)."""
     dau = ud.groupBy("day_no").agg(F.count(F.lit(1)).alias("dau"))
     expanded = (
         ud.select(

@@ -501,3 +501,48 @@ def run_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("last_op") != "D")
         .drop("rn")
     )
+
+
+def run_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the DAU/WAU report (e38): each micro-batch reduces
+    to its distinct (user, day) pairs — a tiny idempotent append — and the
+    read side dedups across fragments before the e35 rollup.  Distinct-
+    union is associative and idempotent, so ANY batch arrival order
+    (including replays) converges to the batch answer: finite replay of
+    the stream equals e35, which is this entry's oracle.  At scale the
+    append is day-partitionable and old fragments compact away; per-batch
+    state is zero (no watermark needed — late user-days still merge)."""
+    from spj_query_engine_spark.operators.temporal import active_users_from_ud
+
+    tgt = f"/tmp/spj_dauwau_{uuid.uuid4().hex[:8]}"
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.select(
+                "user_id",
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+                .alias("day_no"),
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(tgt)
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os as _os
+
+    out_schema = "user_id long, day_no int"
+    if not _os.path.isdir(tgt):
+        ud = spark.createDataFrame([], out_schema)
+    else:
+        ud = spark.read.schema(out_schema).parquet(tgt).distinct()
+    return active_users_from_ud(ud)

@@ -333,3 +333,18 @@ def e36_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e35_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.active_users(ev)
+
+
+@register(
+    "e38_stream_active_users",
+    temporal.active_users_sql(),
+    doc="Streaming DAU/WAU (e35's twin): micro-batches append their "
+    "distinct (user, day) pairs - idempotent, associative, zero streaming "
+    "state - and the read side dedups across fragments before the shared "
+    "rollup; finite replay equals the batch report (the oracle).",
+    bench=False,  # dominated by the micro-batch write loop, not throughput
+)
+def e38_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.ingest import run_stream_active_users
+
+    return run_stream_active_users(spark, sf_dir)
