@@ -399,3 +399,21 @@ def p10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p11_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.export_manifest(docs)
+
+
+from spj_query_engine_spark.sources.pydatasource import detrange_rollup_sql
+
+
+@register(
+    "u05_python_datasource",
+    detrange_rollup_sql(),
+    doc="Spark 4 custom Python DataSource (pyspark.sql.datasource): driver "
+    "plans InputPartition splits, executors iterate them in parallel, rows "
+    "enter the plan as a normal scan - the Spark-native generalization of "
+    "the reference's single-process ConvertTxtToTbl; the deterministic "
+    "hash table replays exactly in SQL.",
+)
+def u05_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.sources.pydatasource import detrange_rollup
+
+    return detrange_rollup(spark)

@@ -51,6 +51,7 @@ EXPECTED_ON_EMPTY = {
     "t14_vocab_stats": 1,
     "m05_modality_lake": 1,
     "e08_funnel": 3,
+    "u05_python_datasource": 10,  # table-independent synthetic source
 }
 
 
