@@ -443,3 +443,56 @@ def frame_dup_pairs_sql(
     GROUP BY 1, 2
     HAVING count(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# Payload integrity audit (m08) — trust-but-verify on the asset lake
+# ---------------------------------------------------------------------------
+
+TAMPER_MOD = 83  # deterministic stale-metadata plant: doc_id % this == 0
+
+
+def integrity_audit(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Asset-lake integrity audit (m08): re-derive every asset's size and
+    content hash FROM THE PAYLOAD BYTES and compare against the stored
+    metadata — the trust-but-verify pass an asset lake runs before a
+    training export, catching stale metadata, truncated uploads and
+    bit-rot.  To make the audit itself testable, records with
+    ``doc_id % TAMPER_MOD == 0`` get a deterministically staled byte count
+    planted before checking; the audit must flag exactly those.
+
+    Pure projection + filter over the lake scan (one md5 per payload,
+    no shuffle at all until the tiny flagged set) — scan-speed at 100 TB,
+    and the flagged output is the work list for re-ingestion."""
+    staled = mm.select(
+        F.col(id_col),
+        F.col("payload"),
+        F.struct(
+            (
+                F.col("meta.n_bytes")
+                + F.when(F.col(id_col) % TAMPER_MOD == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_bytes"),
+            F.col("meta.content_hash").alias("content_hash"),
+            F.col("meta.mime").alias("mime"),
+        ).alias("meta"),
+    )
+    n_bytes_ok = F.col("meta.n_bytes") == F.octet_length(F.col("payload"))
+    hash_ok = F.col("meta.content_hash") == F.md5(F.col("payload"))
+    return (
+        staled.select(
+            F.col(id_col),
+            n_bytes_ok.alias("n_bytes_ok"),
+            hash_ok.alias("hash_ok"),
+        )
+        .filter(~(F.col("n_bytes_ok") & F.col("hash_ok")))
+    )
+
+
+def integrity_audit_sql(table: str = "documents", tamper_mod: int = TAMPER_MOD) -> str:
+    """Oracle: only the planted stale-size records violate (hash always
+    re-derives equal on untampered payload bytes)."""
+    return f"""
+    SELECT doc_id, false AS n_bytes_ok, true AS hash_ok
+    FROM {table}
+    WHERE doc_id % {tamper_mod} = 0 AND text IS NOT NULL
+    """

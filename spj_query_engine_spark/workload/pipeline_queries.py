@@ -417,3 +417,17 @@ def u05_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.sources.pydatasource import detrange_rollup
 
     return detrange_rollup(spark)
+
+
+@register(
+    "m08_integrity_audit",
+    multimodal.integrity_audit_sql(),
+    doc="Asset-lake integrity audit: size + content hash re-derived from "
+    "payload BYTES vs stored metadata (stale metadata / truncation / "
+    "bit-rot catch before a training export); deterministic stale-size "
+    "plant on doc_id %% %d == 0 proves the audit flags exactly the bad "
+    "records.  Pure projection + filter - scan-speed, no shuffle until "
+    "the tiny flagged set." % multimodal.TAMPER_MOD,
+)
+def m08_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.integrity_audit(_mm(spark, sf_dir))
