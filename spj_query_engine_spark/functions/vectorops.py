@@ -178,3 +178,87 @@ def doc_digests_arrow_sql(table: str = "documents") -> str:
            md5(text) AS digest
     FROM {table}
     """
+
+
+def sentence_stats_udtf(spark, docs: DataFrame) -> DataFrame:
+    """Sentence segmentation through Spark 4's Python UDTF (u06) — the
+    table-function rung of the Python ladder (u01 scalar pandas_udf, u02/u03
+    grouped map, u04 mapInArrow, u05 DataSource): one input row fans out to
+    N output rows via LATERAL, the shape chunkers and parsers need when the
+    fan-out is genuinely Python (here: sentence splitting, the step before
+    p06's fixed-window chunking).
+
+    Value-hash contract: ASCII ``[.!?]+`` splitting and an explicit
+    strip-charset (space/TAB/LF/CR) keep Python and the DuckDB twin
+    character-identical; the per-doc rollup digests sentences in position
+    order, so the UDTF path is fully oracle-verified."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text):  # noqa: ANN001
+            if text is None:
+                return
+            import re
+
+            i = 0
+            for p in re.split(r"[.!?]+", text, flags=re.ASCII):
+                p = p.strip(" \t\n\r")
+                if p:
+                    yield (i, p)
+                    i += 1
+
+    spark.udtf.register("spj_split_sentences", SplitSentences)
+    docs.select("doc_id", "text").createOrReplaceTempView("spj_udtf_docs")
+    exploded = spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM spj_udtf_docs d, LATERAL spj_split_sentences(d.text) s"
+    )
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.md5(
+            F.concat_ws(
+                " | ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, sentence))), s -> s.sentence)"
+                ),
+            )
+        ).alias("digest"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sentences"), F.lit(0)).cast("long").alias("n_sentences"),
+            F.coalesce(F.col("digest"), F.md5(F.lit(""))).alias("digest"),
+        )
+    )
+
+
+def sentence_stats_udtf_sql(table: str = "documents") -> str:
+    strip = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"""
+    WITH parts AS (
+      SELECT doc_id, i, trim(arr[i + 1], {strip}) AS sentence
+      FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr FROM {table}),
+           unnest(range(0, len(arr))) AS u(i)
+    ),
+    sent AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+             sentence
+      FROM parts
+      WHERE sentence <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_sentences,
+             md5(string_agg(sentence, ' | ' ORDER BY pos)) AS digest
+      FROM sent GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_sentences, 0) AS BIGINT) AS n_sentences,
+           COALESCE(p.digest, md5('')) AS digest
+    FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """

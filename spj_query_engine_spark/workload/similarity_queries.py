@@ -221,3 +221,17 @@ def u04_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s13_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "u06_udtf_sentences",
+    vectorops.sentence_stats_udtf_sql(),
+    doc="Python UDTF via LATERAL (Spark 4): one doc fans out to N sentence "
+    "rows in Python - the table-function rung of the ladder u01-u05; "
+    "ASCII split + explicit strip charset keep the Python path "
+    "character-identical to the SQL twin, digest folds sentences in "
+    "position order.",
+)
+def u06_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return vectorops.sentence_stats_udtf(spark, docs)
