@@ -126,6 +126,8 @@ FAMILY = [
     "t20_readability",
     "d17_containment_pairs",
     "p11_export_manifest",
+    "m08_integrity_audit",
+    "u06_udtf_sentences",
 ]
 
 
