@@ -1966,3 +1966,96 @@ def containment_pairs_sql(table: str = "documents") -> str:
     JOIN shset si ON si.doc_id = inner_id
     WHERE {portable_round_sql(cont, 6)} >= {CONTAIN_T}
     """
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration (d18) — sketch estimate vs exact Jaccard, in-engine
+# ---------------------------------------------------------------------------
+
+
+def minhash_calibration(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-pair MinHash CALIBRATION (d18): for every verified near-dup pair
+    (d02's output), the sketch's own Jaccard estimate — the fraction of the
+    MINHASH_K signature components that agree — next to the exact shingle
+    Jaccard, with the signed error.  s11 does this for the LSH ANN index;
+    this is the text-sketch twin: the measurement that justifies (or
+    indicts) MINHASH_K before anyone trusts the sketch at 100 TB, as an
+    engine query over the same one inverted-index pass.
+
+    Shapes: signatures are the d02 MIN aggregates (one doc_id shuffle),
+    the component comparison is a 12-row-per-doc explode equi-joined on
+    (pair, component index) — bounded by pairs × K, never corpus²."""
+    inv = shingle_index(docs, text_col, id_col).persist()
+    pairs = minhash_lsh_pairs(docs, text_col, id_col).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sigs = inv.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
+    comp = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{j}") for j in range(len(_MINHASH_AB))])).alias(
+            "j", "m"
+        ),
+    )
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("j").alias("ja"), F.col("m").alias("ma")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b2"), F.col("j").alias("jb"), F.col("m").alias("mb")
+    )
+    agree = (
+        pairs.join(ca, "doc_a")
+        .join(cb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("ja") == F.col("jb")))
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).alias("n_agree")
+        )
+    )
+    k = len(_MINHASH_AB)
+    est = F.col("n_agree").cast("double") / F.lit(float(k))
+    return agree.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "n_agree",
+        portable_round(est, 6).alias("est_jaccard"),
+        portable_round(est - F.col("jaccard"), 6).alias("err"),
+    )
+
+
+def minhash_calibration_sql(table: str = "documents") -> str:
+    k = len(_MINHASH_AB)
+    perm_mins = ",\n             ".join(
+        f"coalesce(list_min(list_transform(sh, x -> {minhash_perm_sql('x', a, b)})), "
+        f"{MERSENNE61}) AS m{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    est = f"(({agree})::DOUBLE / {float(k)})"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b, jaccard FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             {perm_mins}
+      FROM shset
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST({agree} AS BIGINT) AS n_agree,
+           {portable_round_sql(est, 6)} AS est_jaccard,
+           {portable_round_sql(f"{est} - p.jaccard", 6)} AS err
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """

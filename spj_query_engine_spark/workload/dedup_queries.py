@@ -279,3 +279,15 @@ def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d18_minhash_calibration",
+    dedup.minhash_calibration_sql(),
+    doc="MinHash calibration: per verified pair, the sketch's own estimate "
+    "(fraction of agreeing signature components) vs the exact shingle "
+    "Jaccard with signed error - s11's index-quality evaluation for the "
+    "text sketch; bounded by pairs x K, never corpus^2.",
+)
+def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_calibration(_docs(spark, sf_dir))
