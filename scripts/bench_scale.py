@@ -128,6 +128,7 @@ FAMILY = [
     "p11_export_manifest",
     "m08_integrity_audit",
     "u06_udtf_sentences",
+    "d18_minhash_calibration",
 ]
 
 
