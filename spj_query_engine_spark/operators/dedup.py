@@ -2059,3 +2059,117 @@ def minhash_calibration_sql(table: str = "documents") -> str:
     JOIN sigs sa ON sa.doc_id = p.doc_a
     JOIN sigs sb ON sb.doc_id = p.doc_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated token spans (d19) — the exact-substring dedup modality
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # overlapping window width (tokens) — the match "seed"
+SPAN_MAX_DF = 20  # stop-gram cap: windows occurring more often corpus-wide drop
+SPAN_MIN_TOKENS = 10  # report pairs whose longest shared span reaches this
+
+
+def span_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated TOKEN SPANS across documents (the substring-level
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") — per unordered doc pair, the longest run of identically
+    ordered shared tokens and how many distinct runs reach ``SPAN_MIN_TOKENS``.
+
+    d13/d15 hash NON-overlapping fixed blocks, so a duplicate shifted by one
+    token escapes them; d02/d05 measure SET overlap, so they cannot say
+    *where* or *how long*.  This operator closes that gap with overlapping
+    ``SPAN_K``-token windows at every position:
+
+    1. positional window index (doc_id, pos, h32(gram)) — posexplode + lead()
+       window, one shuffle on doc_id; the gram string never leaves the map
+       side (only its 8-byte hash is kept).
+    2. stop-gram cap (``SPAN_MAX_DF`` occurrences corpus-wide) bounds the
+       self-join fan-out exactly like d05's stop-shingle cap.
+    3. window-hash equi-join (doc_a < doc_b) emits (pair, pos_a, pos_b)
+       seeds; never a cross product.
+    4. seeds on the same DIAGONAL (pos_b − pos_a) with consecutive pos_a
+       form one span — the classic islands trick (pos_a − row_number), one
+       window pass per pair partition.  A run of R consecutive seeds is a
+       shared span of R + SPAN_K − 1 tokens.
+
+    Scale: everything after the positional index is bounded by matching
+    seeds (duplicated windows), not corpus size; the diagonal window
+    partitions by (pair, diagonal) — millions of small partitions, no
+    single hot key.  Reference anatomy: Scan.java/Select.java give only
+    full-row equality; this is the span-level analog built the same
+    inverted-index way as d05 (dedup.py:427)."""
+    from pyspark.sql import Window as W
+
+    from spj_query_engine_spark.operators.core import spread
+
+    words = F.split(F.col(text_col), r"\s+")
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SPAN_K)]
+    grams = tok.select(
+        "doc_id", "pos", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
+    ).filter(F.col("tail").isNotNull())
+    idx = grams.select("doc_id", "pos", h32(F.col("gram")).alias("g"))
+    ok = (
+        idx.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= SPAN_MAX_DF)
+        .select("g")
+    )
+    idx = idx.join(ok, "g")
+    a, b = idx.alias("a"), idx.alias("b")
+    seeds = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("b.pos") - F.col("a.pos")).alias("d"),
+    )
+    iw = W.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    isl = seeds.withColumn("isl", F.col("pa") - F.row_number().over(iw))
+    spans = isl.groupBy("doc_a", "doc_b", "d", "isl").agg(
+        (F.count(F.lit(1)) + F.lit(SPAN_K - 1)).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span"),
+            F.sum(
+                F.when(F.col("span_tokens") >= SPAN_MIN_TOKENS, 1).otherwise(0)
+            ).alias("n_spans"),
+        )
+        .filter(F.col("max_span") >= SPAN_MIN_TOKENS)
+    )
+
+
+def span_dup_pairs_sql(table: str = "documents") -> str:
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(SPAN_K))
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(range(len(w) - {SPAN_K - 1}), i -> {gram})) AS gram,
+                     unnest(range(len(w) - {SPAN_K - 1})) AS pos
+              FROM words),
+    idx0 AS (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
+    ok AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= {SPAN_MAX_DF}),
+    idx AS (SELECT idx0.doc_id, idx0.pos, idx0.g FROM idx0 JOIN ok USING (g)),
+    seeds AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                     b.pos - a.pos AS d
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, d, pa,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+            FROM seeds),
+    spans AS (SELECT doc_a, doc_b, d, isl, count(*) + {SPAN_K - 1} AS span_tokens
+              FROM isl GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(max(span_tokens) AS BIGINT) AS max_span,
+           CAST(sum(CASE WHEN span_tokens >= {SPAN_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+    FROM spans GROUP BY 1, 2
+    HAVING max(span_tokens) >= {SPAN_MIN_TOKENS}
+    """

@@ -291,3 +291,16 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_calibration(_docs(spark, sf_dir))
+
+
+@register(
+    "d19_span_dup_pairs",
+    dedup.span_dup_pairs_sql(),
+    doc="Exact duplicated TOKEN SPANS per doc pair (Lee et al. 2022 "
+    "substring dedup): overlapping %d-token window hashes, stop-gram cap, "
+    "diagonal islands merge consecutive seed matches into spans - catches "
+    "the shifted-duplicate d13's aligned blocks miss and localizes what "
+    "d02/d05 only score." % dedup.SPAN_K,
+)
+def d19_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dup_pairs(_docs(spark, sf_dir))

@@ -347,3 +347,36 @@ def test_pq_adc_ranks_planted_cluster(emb):
     top1 = {r["query_id"]: r["cand_id"] for r in got}
     assert top1[2] == 0
     assert all(r["adc"] >= 0.0 for r in got)
+
+
+def test_span_dup_pairs_finds_shifted_span(spark):
+    """A 12-token span copied into another doc at a DIFFERENT offset must be
+    found with its exact length; block-aligned chunk dedup (d13) would miss
+    the shifted copy. Unrelated docs must not pair."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    span = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    sdocs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta " + span + " gamma delta",      # span at offset 2
+                "x1 x2 x3 " + span + " y1",                  # same span, offset 3
+                " ".join(f"z{i}" for i in range(20)),        # unrelated
+            ],
+        }
+    )
+    rows = dedup.span_dup_pairs(spark.createDataFrame(sdocs)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["max_span"] == 12 and r["n_spans"] == 1
+    con = _duck.connect()
+    con.register("documents", sdocs)
+    assert_same_result(
+        dedup.span_dup_pairs(spark.createDataFrame(sdocs)),
+        con,
+        dedup.span_dup_pairs_sql(),
+    )
