@@ -780,3 +780,115 @@ def export_manifest_sql(table: str = "documents") -> str:
            md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS doc_digest
     FROM packed GROUP BY pack_bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Dataset data card (p12) — the release-time statistics sheet
+# ---------------------------------------------------------------------------
+
+
+def data_card(docs: DataFrame) -> DataFrame:
+    """Per-source DATA CARD: the one-row-per-source statistics sheet a
+    dataset release ships (Datasheets for Datasets, Gebru et al. 2021) —
+    doc count, total token count, language inventory, dominant language and
+    its share, mean/median document length.
+
+    Shape: one groupBy(source, lang) rollup over the corpus (map-side
+    partial aggregates), then windows and rollups over the SOURCES × LANGS
+    result — bounded by the catalog, not the corpus.  The exact median is
+    the one sort-based piece (percentile must see every doc length); at
+    100 TB swap in approx_percentile exactly as documented on e09/e21.
+    Token definition = t01's BPE-ish regex, so the card's token totals are
+    consistent with every other token-counting entry.
+
+    All outputs integer or portable-rounded; shares divide exact BIGINTs.
+    """
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.functions.hashing import portable_round
+    from spj_query_engine_spark.operators.textops import BPE_TOKEN_RE
+
+    base = docs.select(
+        "source",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n_tokens"),
+        "n_chars",
+    )
+    per_lang = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("lang").asc()
+    )
+    ranked = per_lang.withColumn("rk", F.row_number().over(w))
+    card = ranked.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("top_lang"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_docs"))).alias("top_lang_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    med = docs.groupBy("source").agg(
+        portable_round(F.expr("percentile(n_chars, 0.5)"), 2).alias("median_chars")
+    )
+    share = F.col("top_lang_docs").cast("double") / F.col("n_docs").cast("double")
+    mean_chars = F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")
+    return card.join(med, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        portable_round(share, 6).alias("top_lang_share"),
+        portable_round(mean_chars, 2).alias("mean_chars"),
+        "median_chars",
+    )
+
+
+def data_card_sql(table: str = "documents") -> str:
+    from spj_query_engine_spark.functions.hashing import portable_round_sql
+    from spj_query_engine_spark.operators.textops import BPE_TOKEN_RE
+
+    share = "top_lang_docs::DOUBLE / n_docs::DOUBLE"
+    mean_chars = "sum_chars::DOUBLE / n_docs::DOUBLE"
+    return f"""
+    WITH base AS (
+      SELECT source, lang,
+             len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens,
+             n_chars
+      FROM {table}
+    ),
+    per_lang AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM base GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n_docs DESC, lang ASC) AS rk
+      FROM per_lang
+    ),
+    card AS (
+      SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+             CAST(max(CASE WHEN rk = 1 THEN n_docs END) AS BIGINT) AS top_lang_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM ranked GROUP BY source
+    ),
+    med AS (
+      SELECT source, {portable_round_sql("quantile_cont(n_chars, 0.5)", 2)} AS median_chars
+      FROM {table} GROUP BY source
+    )
+    SELECT card.source, n_docs, total_tokens, n_langs, top_lang,
+           {portable_round_sql(share, 6)} AS top_lang_share,
+           {portable_round_sql(mean_chars, 2)} AS mean_chars,
+           median_chars
+    FROM card JOIN med ON card.source = med.source
+    """

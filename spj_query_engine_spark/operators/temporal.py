@@ -1658,3 +1658,79 @@ def active_users_sql(table: str = "events", window_days: int = WAU_DAYS) -> str:
     SELECT CAST(dau.day_no AS INT) AS day_no, dau.dau, wau.wau
     FROM dau JOIN wau ON wau.report_day = dau.day_no
     """
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness audit (e37) — the measurement that calibrates watermarks
+# ---------------------------------------------------------------------------
+
+LATE_BUDGET_MS = 300_000  # the candidate watermark delay under audit: 5 min
+
+
+def out_of_orderness(events: DataFrame) -> DataFrame:
+    """Per-type OUT-OF-ORDERNESS audit: how late events actually arrive,
+    measured against the max event-time already seen in arrival order —
+    the number every watermark in this repo (e05/e13/e16/e27/e38's
+    ``withWatermark`` delays) should be calibrated FROM, not guessed.
+
+    Arrival order is ``event_id`` (the ingest sequence); an event's
+    lateness is ``running_max(ts) − ts`` over that order within its type.
+    Any event with lateness above the configured watermark delay is one a
+    streaming job would have DROPPED — ``frac_beyond_budget`` is therefore
+    the exact data-loss rate the current ``LATE_BUDGET_MS`` buys.
+
+    Shape: ONE window pass per event_type partition (same anatomy as
+    sessionize's per-user pass), then a type-bounded rollup.  The exact
+    p95 is percentile over BIGINT lateness (e09's documented
+    approx_percentile swap applies at 100 TB); everything else is integer
+    max/count, so the hash can never drift.  At cluster scale the audit
+    runs per (type, ingest shard) — add the shard id to the partition key;
+    the shape is unchanged."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    )
+    late = base.select(
+        "event_type",
+        (F.max("ts_ms").over(w) - F.col("ts_ms")).alias("late_ms"),
+    )
+    frac = F.sum(
+        F.when(F.col("late_ms") > LATE_BUDGET_MS, 1).otherwise(0)
+    ).cast("double") / F.count(F.lit(1)).cast("double")
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).alias("n_late"),
+        F.max("late_ms").alias("max_late_ms"),
+        portable_round(F.expr("percentile(late_ms, 0.95)"), 2).alias("p95_late_ms"),
+        portable_round(frac, 6).alias("frac_beyond_budget"),
+    )
+
+
+def out_of_orderness_sql(table: str = "events") -> str:
+    over = (
+        "PARTITION BY event_type ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    frac = (
+        "sum(CASE WHEN late_ms > %d THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE"
+        % LATE_BUDGET_MS
+    )
+    return f"""
+    WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM {table}),
+    late AS (
+      SELECT event_type, max(ts_ms) OVER ({over}) - ts_ms AS late_ms FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+           {portable_round_sql("quantile_cont(late_ms, 0.95)", 2)} AS p95_late_ms,
+           {portable_round_sql(frac, 6)} AS frac_beyond_budget
+    FROM late GROUP BY event_type
+    """

@@ -431,3 +431,17 @@ def u05_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m08_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.integrity_audit(_mm(spark, sf_dir))
+
+
+@register(
+    "p12_data_card",
+    sampling.data_card_sql(),
+    doc="Per-source DATA CARD (Datasheets for Datasets): doc/token totals, "
+    "language inventory, dominant language + share, mean/median length - "
+    "one corpus rollup on (source, lang) with catalog-bounded windows on "
+    "top; shares divide exact BIGINTs, median documented to swap to "
+    "approx_percentile at 100 TB.",
+)
+def p12_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.data_card(docs)

@@ -348,3 +348,17 @@ def e38_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.ingest import run_stream_active_users
 
     return run_stream_active_users(spark, sf_dir)
+
+
+@register(
+    "e37_out_of_orderness",
+    temporal.out_of_orderness_sql(),
+    doc="Out-of-orderness audit per event type: lateness vs the running "
+    "event-time max in arrival order, exact drop rate at the %d ms "
+    "watermark budget - the measurement that calibrates every "
+    "withWatermark delay in the streaming entries; one window pass per "
+    "type partition + a type-bounded rollup." % temporal.LATE_BUDGET_MS,
+)
+def e37_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.out_of_orderness(ev)

@@ -144,3 +144,31 @@ def test_bpe_pairs_counts_planted_bigram(spark):
     by_rank = {r["rank"]: (r["pair"], r["n"]) for r in got}
     assert by_rank[1] == ("new york", 3)
     assert by_rank[2] == ("york city", 1)  # tie broken lexicographically
+
+
+def test_data_card_per_source(spark):
+    """Data card: dominant language picked by count with lexicographic
+    tie-break, token totals consistent with t01's token definition."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.sampling import data_card, data_card_sql
+    from tests.conftest import assert_same_result
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["one two", "three four five", "sechs sieben", "uno"],
+            "lang": ["en", "en", "de", "es"],
+            "source": ["web", "web", "web", "books"],
+            "n_chars": [7, 15, 12, 3],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {r["source"]: r for r in data_card(docs).collect()}
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_langs"] == 2
+    assert got["web"]["top_lang"] == "en" and got["web"]["total_tokens"] == 7
+    assert got["books"]["top_lang"] == "es" and got["books"]["median_chars"] == 3.0
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(data_card(docs), con, data_card_sql())

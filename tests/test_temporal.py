@@ -316,3 +316,28 @@ def test_json_props_malformed_rows_become_nulls(spark):
     got = temporal.json_props_rollup(ev).collect()[0]
     assert got["n_events"] == 4 and got["n_missing"] == 3
     assert got["sum_k"] == 5 and got["ndv_k"] == 1
+
+
+def test_out_of_orderness_plants_and_measures_disorder(spark):
+    """An event arriving (by event_id sequence) with an EARLIER event time
+    than a predecessor must be counted late with its exact lateness; an
+    ordered stream must audit to zero — the property that makes the zero
+    result on the generator's ordered corpus meaningful."""
+    rows = [
+        # type 'a': arrival 1,2,3 but event 2 is 10 min behind event 1
+        (1, 1, _ts(10), "a", 0.0),
+        (2, 1, _ts(0), "a", 0.0),    # late by 600_000 ms
+        (3, 1, _ts(20), "a", 0.0),
+        # type 'b': perfectly ordered
+        (4, 2, _ts(0), "b", 0.0),
+        (5, 2, _ts(5), "b", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in temporal.out_of_orderness(ev).collect()}
+    assert got["a"]["n_late"] == 1
+    assert got["a"]["max_late_ms"] == 600_000
+    assert got["a"]["frac_beyond_budget"] > 0  # 600s > the 300s budget
+    assert got["b"]["n_late"] == 0 and got["b"]["max_late_ms"] == 0
