@@ -2173,3 +2173,143 @@ def span_dup_pairs_sql(table: str = "documents") -> str:
     FROM spans GROUP BY 1, 2
     HAVING max(span_tokens) >= {SPAN_MIN_TOKENS}
     """
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (g05) — the missed-duplicate suggester
+# ---------------------------------------------------------------------------
+
+CN_HUB_CAP = 50  # centers with degree above this do not generate wedges
+CN_MIN_JACCARD = 0.25  # report candidate links at/above this neighborhood overlap
+
+
+def fused_dup_edges(docs: DataFrame) -> DataFrame:
+    """The FUSED near-dup graph: the distinct union of every pair modality
+    in this module — MinHash LSH (d02), SimHash Hamming (d04), n-gram
+    Jaccard (d05), directed containment (d17, symmetrized), duplicated
+    spans (d19).  Each modality catches duplicates the others miss; their
+    union is the graph a production dedup pipeline actually reasons over.
+    Each source is a bounded equi-join pipeline, so the union inherits
+    every skew cap; distinct() collapses cross-modality agreement."""
+    mh = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sh = simhash_pairs(docs).select("doc_a", "doc_b")
+    ng = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    ct = containment_pairs(docs).select(
+        F.least("inner_id", "outer_id").alias("doc_a"),
+        F.greatest("inner_id", "outer_id").alias("doc_b"),
+    )
+    sp = span_dup_pairs(docs).select("doc_a", "doc_b")
+    return (
+        mh.unionByName(sh)
+        .unionByName(ng)
+        .unionByName(ct)
+        .unionByName(sp)
+        .distinct()
+    )
+
+
+def common_neighbor_pairs(docs: DataFrame) -> DataFrame:
+    """Link prediction over the FUSED near-dup graph: NON-adjacent node
+    pairs ranked by neighborhood Jaccard |N(u)∩N(w)| / |N(u)∪N(w)| — the
+    classic common-neighbors predictor (Liben-Nowell & Kleinberg 2003).
+    On a dedup graph these are the pairs every modality *missed*: two docs
+    never paired directly whose near-dup neighborhoods overlap heavily are
+    almost certainly duplicates themselves — the recall-repair query a
+    production dedup pipeline runs after every index build.  The fused
+    graph (rather than d02 alone) is what gives the predictor signal:
+    cross-modality wedges (A—B by MinHash, B—C by containment) propose
+    A—C candidates no single index could.
+
+    Scale anatomy: wedges come from a self-join of the symmetrized edge
+    list on its center, so fan-out is Σ deg(center)² — the one quadratic
+    hazard.  ``CN_HUB_CAP`` bounds it exactly like d05's stop-shingle cap:
+    hub centers (boilerplate attractors) are excluded from wedge
+    generation, everything else is equi-joins + one rollup on the
+    candidate pair.  Degrees always count the FULL graph (the cap limits
+    wedge generation only, not the denominator)."""
+    pairs = fused_dup_edges(docs).localCheckpoint(eager=True)
+    return common_neighbor_pairs_from_pairs(pairs)
+
+
+def common_neighbor_pairs_from_pairs(pairs: DataFrame) -> DataFrame:
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.join(
+        deg.filter(F.col("deg") <= CN_HUB_CAP).select("u"), "u"
+    )  # (center u, spoke v)
+    w1 = centers.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    w2 = centers.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    cand = (
+        w1.alias("w1")
+        .join(
+            w2.alias("w2"),
+            (F.col("w1.c") == F.col("w2.c")) & (F.col("w1.a") < F.col("w2.b")),
+        )
+        .groupBy(F.col("w1.a").alias("doc_a"), F.col("w2.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # drop pairs that are already edges — we predict MISSING links
+    cand = cand.join(pairs, ["doc_a", "doc_b"], "left_anti")
+    da = deg.select(F.col("u").alias("doc_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("deg").alias("db"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    ).cast("double")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            portable_round(jac, 6).alias("nbr_jaccard"),
+        )
+        .filter(F.col("nbr_jaccard") >= CN_MIN_JACCARD)
+    )
+
+
+def fused_dup_edges_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b FROM ({simhash_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b FROM ({ngram_jaccard_pairs_sql(table)})
+      UNION ALL SELECT least(inner_id, outer_id), greatest(inner_id, outer_id)
+                 FROM ({containment_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b FROM ({span_dup_pairs_sql(table)})
+    )
+    """
+
+
+def common_neighbor_pairs_sql(table: str = "documents") -> str:
+    jac = "n_common::DOUBLE / (da.deg + db.deg - n_common)::DOUBLE"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      {fused_dup_edges_sql(table)}
+    ),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    centers AS (
+      SELECT s.u, s.v FROM sym s JOIN deg d ON d.u = s.u
+      WHERE d.deg <= {CN_HUB_CAP}
+    ),
+    cand AS (
+      SELECT w1.v AS doc_a, w2.v AS doc_b, count(*) AS n_common
+      FROM centers w1 JOIN centers w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2
+    ),
+    missing AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+    )
+    SELECT m.doc_a, m.doc_b, CAST(n_common AS BIGINT) AS n_common,
+           {portable_round_sql(jac, 6)} AS nbr_jaccard
+    FROM missing m
+    JOIN deg da ON da.u = m.doc_a
+    JOIN deg db ON db.u = m.doc_b
+    WHERE {portable_round_sql(jac, 6)} >= {CN_MIN_JACCARD}
+    """

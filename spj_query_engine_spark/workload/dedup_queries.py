@@ -304,3 +304,17 @@ def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d19_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dup_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "g05_link_prediction",
+    dedup.common_neighbor_pairs_sql(),
+    doc="Common-neighbor link prediction (Liben-Nowell & Kleinberg) over "
+    "the FUSED near-dup graph (union of the d02/d04/d05/d17/d19 pair "
+    "modalities): non-adjacent pairs ranked by neighborhood Jaccard >= %s "
+    "- the recall-repair query that surfaces duplicates every index "
+    "missed; wedge fan-out hub-capped at degree %d, degrees keep the "
+    "full graph." % (dedup.CN_MIN_JACCARD, dedup.CN_HUB_CAP),
+)
+def g05_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.common_neighbor_pairs(_docs(spark, sf_dir))

@@ -380,3 +380,22 @@ def test_span_dup_pairs_finds_shifted_span(spark):
         con,
         dedup.span_dup_pairs_sql(),
     )
+
+
+def test_common_neighbor_pairs_predicts_missing_link(spark):
+    """A path graph 1-2, 2-3, 1-4, 3-4 (a 4-cycle) has two missing chords;
+    each chord's endpoints share BOTH neighbors -> Jaccard 1.0.  A planted
+    hub above CN_HUB_CAP must not generate wedges but must still count in
+    the degree denominator."""
+    import pandas as pd
+
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype("int64")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.common_neighbor_pairs_from_pairs(pairs).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)]["n_common"] == 2 and got[(1, 3)]["nbr_jaccard"] == 1.0
