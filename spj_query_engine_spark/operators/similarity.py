@@ -1562,3 +1562,191 @@ def sq_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (s14) — retrieval that refuses near-duplicates
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 8  # relevance candidates per query entering the greedy stage
+MMR_SELECT = 3  # diversified results returned per query
+MMR_LAMBDA = 0.7  # relevance weight; (1 − λ) penalizes similarity to selected
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pool: int = MMR_POOL,
+    select: int = MMR_SELECT,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    top-k: after the exact relevance pool (s01's two-phase top-k), pick
+    ``select`` results greedily, each maximizing
+    ``λ·rel − (1−λ)·max_sim_to_already_selected`` — retrieval that refuses
+    to return three copies of the same near-duplicate, the selection rule
+    dedup-aware training-data curation uses for few-shot/RAG examples.
+
+    Scale anatomy: the corpus is touched ONLY by the relevance pool (s01's
+    partial-top-k shape); everything after is bounded by
+    n_queries × pool² — the candidate-pair cosine matrix and ``select``
+    unrolled greedy rounds are driver-free window/join passes over a tiny
+    frame.  Greedy MMR is inherently sequential in k, so k is a constant
+    (unrolled), never data-dependent — the same contract as d07's fixed
+    propagation rounds.  All comparisons run on 6-dp portable-rounded
+    cosines combined with one multiply-subtract, so both engines order
+    candidates identically; ties break on cand_id."""
+    dim = dim_of(embeddings, vec_col)
+    cands = brute_force_topk(
+        embeddings, vec_col, id_col, k=pool, n_queries=n_queries
+    ).select("query_id", "cand_id", F.col("cosine").alias("rel"))
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cv = (
+        cands.join(vecs, cands.cand_id == vecs.vid)
+        .select("query_id", "cand_id", "rel", "v")
+        .localCheckpoint(eager=True)
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pair_sim = portable_round(
+        dot_product(F.col("a.v"), F.col("b.v"), dim)
+        / (
+            F.sqrt(dot_product(F.col("a.v"), F.col("a.v"), dim))
+            * F.sqrt(dot_product(F.col("b.v"), F.col("b.v"), dim))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("ca"),
+            F.col("b.cand_id").alias("cb"),
+            pair_sim.alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = float(MMR_LAMBDA)
+    picked = []  # list of DataFrames (query_id, cand_id, score, rank)
+    w = Window.partitionBy("query_id")
+    # round 1: pure relevance
+    r1 = (
+        cv.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("rel"), F.asc("cand_id")))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "cand_id", F.col("rel").alias("score"), F.lit(1).alias("rank")
+        )
+    )
+    picked.append(r1)
+    for r in range(2, select + 1):
+        sel = picked[0]
+        for p in picked[1:]:
+            sel = sel.unionByName(p)
+        sel_ids = sel.select("query_id", F.col("cand_id").alias("sid"))
+        remaining = cv.join(
+            sel_ids.withColumnRenamed("sid", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pairs.join(
+                sel_ids,
+                (pairs.query_id == sel_ids.query_id) & (pairs.cb == sel_ids.sid),
+            )
+            .groupBy(pairs.query_id.alias("query_id"), F.col("ca").alias("cand_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = remaining.join(maxsim, ["query_id", "cand_id"]).select(
+            "query_id",
+            "cand_id",
+            (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sim")).alias(
+                "score"
+            ),
+        )
+        pick = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(w.orderBy(F.desc("score"), F.asc("cand_id"))),
+            )
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "score", F.lit(r).alias("rank"))
+        )
+        picked.append(pick.localCheckpoint(eager=True))
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id",
+        "cand_id",
+        portable_round(F.col("score"), 6).alias("mmr_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def mmr_topk_sql(
+    table: str = "embeddings",
+    pool: int = MMR_POOL,
+    select: int = MMR_SELECT,
+    n_queries: int = N_QUERIES,
+) -> str:
+    lam = float(MMR_LAMBDA)
+    sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
+    ctes = [
+        f"""pool AS MATERIALIZED (
+      SELECT query_id, cand_id, cosine AS rel
+      FROM ({brute_force_topk_sql(table, k=pool, n_queries=n_queries)})
+    )""",
+        f"""cv AS MATERIALIZED (
+      SELECT p.query_id, p.cand_id, p.rel, e.embedding AS v
+      FROM pool p JOIN {table} e ON e.vec_id = p.cand_id
+    )""",
+        f"""pairs AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb, {sim} AS sim
+      FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+    )""",
+        """sel1 AS MATERIALIZED (
+      SELECT query_id, cand_id, rel AS score, 1 AS rank FROM (
+        SELECT query_id, cand_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id ASC) AS rn
+        FROM cv) WHERE rn = 1
+    )""",
+    ]
+    prev_sel = "sel1"
+    union = ["SELECT * FROM sel1"]
+    for r in range(2, select + 1):
+        sel_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, r))
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+      SELECT query_id, cand_id, score, {r} AS rank FROM (
+        SELECT s.query_id, s.cand_id, s.score,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score DESC, s.cand_id ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.cand_id,
+                 {lam!r} * c.rel - {1.0 - lam!r} * max(p.sim) AS score
+          FROM cv c
+          JOIN ({sel_union}) sel ON sel.query_id = c.query_id
+          JOIN pairs p ON p.query_id = c.query_id AND p.ca = c.cand_id
+                       AND p.cb = sel.cand_id
+          WHERE c.cand_id NOT IN (SELECT cand_id FROM ({sel_union}) s2
+                                  WHERE s2.query_id = c.query_id)
+          GROUP BY c.query_id, c.cand_id, c.rel
+        ) s) WHERE rn = 1
+    )"""
+        )
+        union.append(f"SELECT * FROM sel{r}")
+        prev_sel = f"sel{r}"
+    body = " UNION ALL ".join(union)
+    score = portable_round_sql("score", 6)
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, cand_id, {score} AS mmr_score, rank::BIGINT AS rank
+    FROM ({body})
+    """

@@ -235,3 +235,18 @@ def s13_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u06_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return vectorops.sentence_stats_udtf(spark, docs)
+
+
+@register(
+    "s14_mmr_topk",
+    similarity.mmr_topk_sql(),
+    doc="MMR diversified top-%d (Carbonell & Goldstein): greedy "
+    "lambda*rel - (1-lambda)*max-sim-to-selected over the exact top-%d "
+    "relevance pool - retrieval that refuses near-duplicate results (the "
+    "few-shot/RAG selection rule); corpus touched only by the s01-shaped "
+    "pool, greedy rounds bounded by queries x pool^2 and unrolled (k is "
+    "a constant, never data-dependent)."
+    % (similarity.MMR_SELECT, similarity.MMR_POOL),
+)
+def s14_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mmr_topk(_emb(spark, sf_dir))

@@ -399,3 +399,33 @@ def test_common_neighbor_pairs_predicts_missing_link(spark):
     }
     assert set(got) == {(1, 3), (2, 4)}
     assert got[(1, 3)]["n_common"] == 2 and got[(1, 3)]["nbr_jaccard"] == 1.0
+
+
+def test_mmr_topk_diversifies(spark):
+    """Geometry where MMR genuinely flips the order: cand 2 has HIGHER
+    relevance than cand 3 but is a near-copy of the rank-1 pick, so the
+    diversity penalty drops it below the off-axis cand 3.  Pure relevance
+    top-2 = (1, 2); MMR top-2 must be (1, 3)."""
+    import math
+
+    import pandas as pd
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit([1.0, 0.0, 0.0])),      # the query
+        (1, unit([0.9, 0.44, 0.0])),     # best rel (~0.898)
+        (2, unit([0.89, 0.45, 0.02])),   # near-copy of 1 (rel ~0.892, sim~0.9997)
+        (3, unit([0.85, 0.0, 0.53])),    # off-axis (rel ~0.849, sim-to-1 ~0.76)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).selectExpr("vec_id", "cast(embedding as array<float>) embedding")
+    got = {
+        r["rank"]: r["cand_id"]
+        for r in similarity.mmr_topk(emb, pool=3, select=2, n_queries=1).collect()
+    }
+    assert got[1] == 1     # pure relevance winner
+    assert got[2] == 3     # MMR overrides relevance order (2 > 3 by rel alone)
