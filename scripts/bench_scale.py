@@ -129,6 +129,12 @@ FAMILY = [
     "m08_integrity_audit",
     "u06_udtf_sentences",
     "d18_minhash_calibration",
+    # round-2 session-6 additions
+    "d19_span_dup_pairs",
+    "g05_link_prediction",
+    "s14_mmr_topk",
+    "e37_out_of_orderness",
+    "p12_data_card",
 ]
 
 
