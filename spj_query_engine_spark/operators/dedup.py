@@ -203,7 +203,10 @@ def _minhash_bands(inv: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
     on the shingle-hash sets.
@@ -215,7 +218,8 @@ def minhash_lsh_pairs(
     handles hot buckets (plus: identical empty-signature docs all land in one
     bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
     """
-    inv = shingle_index(docs, text_col, id_col).persist()
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col).persist()
     bands = _minhash_bands(inv)
     left = bands.alias("a")
     right = bands.alias("b")
@@ -311,7 +315,8 @@ def incremental_dedup(
     against it, and the quadratic old×old direction never forms.  Output:
     each new doc's BEST corpus match at Jaccard ≥ JACCARD_T (drop these,
     keep the rest of the batch)."""
-    inv = shingle_index(docs, text_col, id_col).persist()
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col).persist()
     bands = _minhash_bands(inv)
     is_new = (F.col("doc_id") % INC_MOD) >= INC_NEW
     nb = bands.filter(is_new).select(
@@ -539,14 +544,18 @@ def simhash_pairs_sql(table: str = "documents") -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs Jaccard ≥ JACCARD_T via a shingle inverted index:
     explode distinct shingle hashes → drop shingles in > NGRAM_MAX_DF docs
     (stop-shingle skew control — THE lever that keeps the self-join from
     quadratic blowup at 100 TB) → self-join on shingle → count common
     shingles per pair → join set sizes → Jaccard filter."""
-    inv = shingle_index(docs, text_col, id_col).persist()
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col).persist()
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= NGRAM_MAX_DF
@@ -1906,7 +1915,10 @@ CONTAIN_T = 0.8  # containment threshold: |A ∩ B| / |A| ≥ this
 
 
 def containment_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED containment pairs (Broder's resemblance-vs-containment
     distinction): (inner, outer) where ≥ ``CONTAIN_T`` of the inner doc's
@@ -1921,7 +1933,8 @@ def containment_pairs(
     erase which side is contained) and divides by the INNER size only.
     Exact-ordering note: the self-join emits each unordered pair once per
     direction via a != b, so no pair double-counts."""
-    inv = shingle_index(docs, text_col, id_col).persist()
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col).persist()
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= NGRAM_MAX_DF
@@ -2191,10 +2204,11 @@ def fused_dup_edges(docs: DataFrame) -> DataFrame:
     union is the graph a production dedup pipeline actually reasons over.
     Each source is a bounded equi-join pipeline, so the union inherits
     every skew cap; distinct() collapses cross-modality agreement."""
-    mh = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    inv = shingle_index(docs).persist()  # ONE index serves mh/ng/ct
+    mh = minhash_lsh_pairs(docs, inv=inv).select("doc_a", "doc_b")
     sh = simhash_pairs(docs).select("doc_a", "doc_b")
-    ng = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    ct = containment_pairs(docs).select(
+    ng = ngram_jaccard_pairs(docs, inv=inv).select("doc_a", "doc_b")
+    ct = containment_pairs(docs, inv=inv).select(
         F.least("inner_id", "outer_id").alias("doc_a"),
         F.greatest("inner_id", "outer_id").alias("doc_b"),
     )
@@ -2312,4 +2326,126 @@ def common_neighbor_pairs_sql(table: str = "documents") -> str:
     JOIN deg da ON da.u = m.doc_a
     JOIN deg db ON db.u = m.doc_b
     WHERE {portable_round_sql(jac, 6)} >= {CN_MIN_JACCARD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dedup modality impact report (d20) — recall attribution across indexes
+# ---------------------------------------------------------------------------
+
+
+def dedup_impact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Recall ATTRIBUTION across the five near-dup modalities: per modality
+    the pair count, distinct docs touched, and — the decision-driving
+    number — how many pairs ONLY that modality found.  A modality with
+    zero unique pairs is pure cost at 100 TB and can be dropped from the
+    fused index; one with many is irreplaceable.  This is the dashboard a
+    dedup pipeline publishes after every index build, and the fused-graph
+    twin of s11/d18's per-index calibrations.
+
+    Shape: each modality's pair set is its own bounded equi-join pipeline
+    (mh/ng/ct share ONE persisted shingle index); the attribution itself
+    is a tagged union → one rollup keyed by pair (pairs, not corpus) → one
+    rollup keyed by modality (six rows out).  The FUSED row reports the
+    distinct union and the total single-modality pairs."""
+    inv = shingle_index(docs, text_col, id_col).persist()
+    tagged = None
+    sources = [
+        ("minhash", minhash_lsh_pairs(docs, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
+        ("simhash", simhash_pairs(docs, text_col, id_col).select("doc_a", "doc_b")),
+        ("ngram", ngram_jaccard_pairs(docs, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
+        (
+            "containment",
+            containment_pairs(docs, text_col, id_col, inv=inv)
+            .select(
+                F.least("inner_id", "outer_id").alias("doc_a"),
+                F.greatest("inner_id", "outer_id").alias("doc_b"),
+            )
+            .distinct(),
+        ),
+        ("span", span_dup_pairs(docs, text_col, id_col).select("doc_a", "doc_b")),
+    ]
+    for tag, df in sources:
+        t = df.select("doc_a", "doc_b", F.lit(tag).alias("modality"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.localCheckpoint(eager=True)
+    nm = tagged.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_modalities")
+    )
+    per_pairs = tagged.join(nm, ["doc_a", "doc_b"]).groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("n_modalities") == 1, 1).otherwise(0)).alias(
+            "n_unique_pairs"
+        ),
+    )
+    endpoints = tagged.select("modality", F.col("doc_a").alias("d")).unionByName(
+        tagged.select("modality", F.col("doc_b").alias("d"))
+    )
+    per_docs = endpoints.groupBy("modality").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    per = per_pairs.join(per_docs, "modality").select(
+        "modality", "n_pairs", "n_docs", "n_unique_pairs"
+    )
+    fused = nm.select(
+        F.lit("FUSED").alias("modality"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_modalities") == 1, 1).otherwise(0)).alias(
+            "n_unique_pairs"
+        ),
+    )
+    fused_docs = (
+        nm.select(F.col("doc_a").alias("d"))
+        .unionByName(nm.select(F.col("doc_b").alias("d")))
+        .agg(F.countDistinct("d").alias("nd"))
+    )
+    fused = fused.crossJoin(fused_docs).select(
+        "modality", "n_pairs", F.col("nd").alias("n_docs"), "n_unique_pairs"
+    )
+    return per.unionByName(fused)
+
+
+def dedup_impact_sql(table: str = "documents") -> str:
+    return f"""
+    WITH tagged AS MATERIALIZED (
+      SELECT doc_a, doc_b, 'minhash' AS modality FROM ({minhash_lsh_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b, 'simhash' FROM ({simhash_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b, 'ngram' FROM ({ngram_jaccard_pairs_sql(table)})
+      UNION ALL SELECT DISTINCT least(inner_id, outer_id), greatest(inner_id, outer_id),
+                       'containment' FROM ({containment_pairs_sql(table)})
+      UNION ALL SELECT doc_a, doc_b, 'span' FROM ({span_dup_pairs_sql(table)})
+    ),
+    nm AS MATERIALIZED (
+      SELECT doc_a, doc_b, count(*) AS n_modalities FROM tagged GROUP BY 1, 2
+    ),
+    per_pairs AS (
+      SELECT t.modality,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN nm.n_modalities = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_pairs
+      FROM tagged t
+      JOIN nm ON nm.doc_a = t.doc_a AND nm.doc_b = t.doc_b
+      GROUP BY t.modality
+    ),
+    per_docs AS (
+      SELECT modality, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT modality, doc_a AS d FROM tagged
+            UNION ALL SELECT modality, doc_b FROM tagged)
+      GROUP BY modality
+    ),
+    per AS (
+      SELECT p.modality, p.n_pairs, d.n_docs, p.n_unique_pairs
+      FROM per_pairs p JOIN per_docs d ON d.modality = p.modality
+    ),
+    fused AS (
+      SELECT 'FUSED' AS modality,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             (SELECT CAST(count(DISTINCT d) AS BIGINT)
+              FROM (SELECT doc_a AS d FROM nm UNION ALL SELECT doc_b FROM nm)) AS n_docs,
+             CAST(sum(CASE WHEN n_modalities = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_pairs
+      FROM nm
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM fused
     """

@@ -318,3 +318,17 @@ def d19_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g05_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.common_neighbor_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d20_dedup_impact",
+    dedup.dedup_impact_sql(),
+    doc="Recall attribution across the five near-dup modalities: per "
+    "modality the pair count, docs touched, and pairs ONLY it found "
+    "(zero unique pairs = droppable index at 100 TB) plus the FUSED "
+    "union row; mh/ng/ct share one persisted shingle index, attribution "
+    "is pairs-bounded rollups.",
+    bench=False,  # composition of d02/d04/d05/d17/d19, all five already benched
+)
+def d20_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_impact(_docs(spark, sf_dir))

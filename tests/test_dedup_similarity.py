@@ -429,3 +429,31 @@ def test_mmr_topk_diversifies(spark):
     }
     assert got[1] == 1     # pure relevance winner
     assert got[2] == 3     # MMR overrides relevance order (2 > 3 by rel alone)
+
+
+def test_dedup_impact_attributes_unique_pairs(spark, docs):
+    """On the 4-doc fixture (1 ≈ 2 near-dups, 4 = exact copy of 1): every
+    modality that fires must report consistent pair/doc counts, and the
+    FUSED row's n_pairs must equal the distinct union of all modality
+    pair sets."""
+    rows = dedup.dedup_impact(docs).collect()
+    by_mod = {r["modality"]: r for r in rows}
+    assert "FUSED" in by_mod
+    fused = by_mod.pop("FUSED")
+    all_pairs = set()
+    for r in by_mod.values():
+        assert r["n_pairs"] >= r["n_unique_pairs"] >= 0
+        assert r["n_docs"] >= 2 or r["n_pairs"] == 0
+    # recompute the fused union independently from the modality frames
+    frames = [
+        dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b"),
+        dedup.simhash_pairs(docs).select("doc_a", "doc_b"),
+        dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b"),
+        dedup.containment_pairs(docs).selectExpr(
+            "least(inner_id, outer_id) doc_a", "greatest(inner_id, outer_id) doc_b"
+        ),
+        dedup.span_dup_pairs(docs).select("doc_a", "doc_b"),
+    ]
+    for f in frames:
+        all_pairs |= {(r["doc_a"], r["doc_b"]) for r in f.collect()}
+    assert fused["n_pairs"] == len(all_pairs)
