@@ -892,3 +892,49 @@ def data_card_sql(table: str = "documents") -> str:
            median_chars
     FROM card JOIN med ON card.source = med.source
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact-k balanced sample (p13) — equal representation per stratum
+# ---------------------------------------------------------------------------
+
+BALANCED_K = 50  # rows kept per stratum
+BALANCED_SEED = 77
+
+
+def balanced_sample(docs: DataFrame, stratum_col: str = "lang", k: int = BALANCED_K) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (language), chosen by portable-hash
+    rank — the balanced eval-set construction (equal representation per
+    class regardless of class skew) that fraction-based stratified
+    sampling (p02) cannot give: p02's keep-rate yields a BINOMIAL count
+    per stratum, this yields a deterministic exact count, reproducible on
+    any partitioning/engine because the rank key is the salted md5 of the
+    row key, not a sampler state.
+
+    Shape: one row_number window per stratum partition (same anatomy as
+    t07's per-language top-k) — strata counts are bounded by the label
+    vocabulary; AQE's skew handling covers a giant stratum.  Strata with
+    fewer than k rows keep everything (the honest behavior; padding would
+    fabricate data)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _bucket_raw(F.col("doc_id"), BALANCED_SEED), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", F.col(stratum_col).alias("stratum"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def balanced_sample_sql(table: str = "documents", stratum_col: str = "lang", k: int = BALANCED_K) -> str:
+    key = _bucket_raw_sql("doc_id", BALANCED_SEED)
+    return f"""
+    SELECT doc_id, {stratum_col} AS stratum, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, {stratum_col},
+             row_number() OVER (PARTITION BY {stratum_col}
+                                ORDER BY {key}, doc_id) AS rk
+      FROM {table}
+    ) WHERE rk <= {k}
+    """

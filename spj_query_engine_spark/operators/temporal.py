@@ -1734,3 +1734,65 @@ def out_of_orderness_sql(table: str = "events") -> str:
            {portable_round_sql(frac, 6)} AS frac_beyond_budget
     FROM late GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-level sketch rollup (e39) — distinct counting from stored partials
+# ---------------------------------------------------------------------------
+
+SKETCH_LG_K = 12  # HLL lgConfigK → ~0.8% typical error, 2^12 registers
+SKETCH_MAX_ERR = 0.05  # per-week relative-error gate vs the exact count
+
+
+def sketch_rollup(events: DataFrame) -> DataFrame:
+    """Two-level mergeable-sketch distinct counting (Spark 4 Apache
+    DataSketches surface): DAILY ``hll_sketch_agg(user_id)`` partials,
+    then WEEKLY distinct users by ``hll_union_agg`` over the stored day
+    sketches — the raw events are touched exactly once, ever.  This is
+    THE 100 TB cardinality pattern: persist the ~KB day sketches and any
+    later rollup (week, month, arbitrary ranges, cross-product with other
+    dimensions) is a union of partials, never a re-scan — the property
+    ``approx_count_distinct`` (t10) alone cannot give, because its
+    intermediate sketch is not exposed for storage or re-aggregation.
+
+    Like t10/s05, the sketch hash isn't replayable in DuckDB, so the
+    OUTCOME is gated in-engine: each week's estimate must land within
+    ``SKETCH_MAX_ERR`` of the exact distinct count; the oracle recomputes
+    the exact count and asserts the flag."""
+    base = events.select(
+        (F.unix_millis(F.col("ts").cast(T.TimestampType())) / F.lit(86_400_000))
+        .cast("long")
+        .alias("day_no"),
+        "user_id",
+    )
+    day_sketch = base.groupBy("day_no").agg(
+        F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk")
+    )
+    weekly_est = (
+        day_sketch.withColumn("week_no", (F.col("day_no") / 7).cast("long"))
+        .groupBy("week_no")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+    )
+    weekly_exact = base.withColumn(
+        "week_no", (F.col("day_no") / 7).cast("long")
+    ).groupBy("week_no").agg(F.count_distinct("user_id").alias("exact_users"))
+    rel_err = F.abs(F.col("est_users") - F.col("exact_users")) / F.greatest(
+        F.col("exact_users"), F.lit(1)
+    )
+    return weekly_est.join(weekly_exact, "week_no").select(
+        "week_no",
+        "exact_users",
+        (rel_err <= SKETCH_MAX_ERR).cast("long").alias("est_ok"),
+    )
+
+
+def sketch_rollup_sql(table: str = "events") -> str:
+    """Oracle: exact weekly distinct users (replayable); the sketch bound
+    is the in-engine assertion — every week's flag must be 1."""
+    return f"""
+    SELECT ((epoch_ms(ts) // 86400000) // 7) AS week_no,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1::BIGINT AS est_ok
+    FROM {table}
+    GROUP BY 1
+    """

@@ -445,3 +445,16 @@ def m08_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p12_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.data_card(docs)
+
+
+@register(
+    "p13_balanced_sample",
+    sampling.balanced_sample_sql(),
+    doc="Exact-k balanced sample: exactly %d rows per language by salted "
+    "portable-hash rank - the equal-representation eval set p02's "
+    "binomial keep-rate cannot give; one window per stratum partition, "
+    "under-full strata keep everything." % sampling.BALANCED_K,
+)
+def p13_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.balanced_sample(docs)

@@ -362,3 +362,18 @@ def e38_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e37_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.out_of_orderness(ev)
+
+
+@register(
+    "e39_sketch_rollup",
+    temporal.sketch_rollup_sql(),
+    doc="Two-level HLL DataSketches rollup (Spark 4): daily "
+    "hll_sketch_agg(user) partials unioned into weekly distincts via "
+    "hll_union_agg - raw events scanned once ever, later rollups merge "
+    "stored KB-sized sketches; per-week estimate gated in-engine within "
+    "%s of the exact count (t10's pattern, but with STORED re-mergeable "
+    "state t10 cannot expose)." % temporal.SKETCH_MAX_ERR,
+)
+def e39_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.sketch_rollup(ev)

@@ -172,3 +172,27 @@ def test_data_card_per_source(spark):
     con = _duck.connect()
     con.register("documents", pdf)
     assert_same_result(data_card(docs), con, data_card_sql())
+
+
+def test_balanced_sample_exact_k_and_underfull(spark):
+    """Exactly k per stratum when the stratum has >= k rows; under-full
+    strata keep everything; the pick is stable under repartitioning."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.sampling import balanced_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": ["x"] * 100,
+            "lang": ["en"] * 80 + ["de"] * 20,
+            "source": ["s"] * 100,
+            "n_chars": [1] * 100,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = balanced_sample(docs, k=30).toPandas()
+    counts = got.groupby("stratum")["doc_id"].count().to_dict()
+    assert counts == {"en": 30, "de": 20}
+    again = balanced_sample(docs.repartition(7), k=30).toPandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])

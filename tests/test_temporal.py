@@ -341,3 +341,26 @@ def test_out_of_orderness_plants_and_measures_disorder(spark):
     assert got["a"]["max_late_ms"] == 600_000
     assert got["a"]["frac_beyond_budget"] > 0  # 600s > the 300s budget
     assert got["b"]["n_late"] == 0 and got["b"]["max_late_ms"] == 0
+
+
+def test_sketch_rollup_weekly_union(spark):
+    """The weekly estimate from unioned DAY sketches must gate within the
+    error bound against the exact weekly distinct count — including a user
+    active on several days of one week (the case where summing day counts
+    would overcount and only a true sketch UNION stays correct)."""
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # week A: user 1 active on 3 days, users 2-3 once -> 3 distinct
+    for i, (day, uid) in enumerate([(0, 1), (1, 1), (2, 1), (0, 2), (1, 3)]):
+        rows.append((i, uid, base + dt.timedelta(days=day), "view", 0.0))
+    # week B (days 7-13): users 4-5 -> 2 distinct
+    rows.append((10, 4, base + dt.timedelta(days=7), "view", 0.0))
+    rows.append((11, 5, base + dt.timedelta(days=8), "view", 0.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["week_no"]: r for r in temporal.sketch_rollup(ev).collect()}
+    weeks = sorted(got)
+    assert got[weeks[0]]["exact_users"] == 3 and got[weeks[0]]["est_ok"] == 1
+    assert got[weeks[1]]["exact_users"] == 2 and got[weeks[1]]["est_ok"] == 1
