@@ -301,7 +301,10 @@ INC_NEW = 8  # doc_id % INC_MOD >= INC_NEW → the incoming batch (~20%)
 
 
 def incremental_dedup(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time dedup: match an INCOMING batch against the EXISTING
     corpus only — never corpus×corpus.  (The held-out batch here is the
