@@ -1328,3 +1328,116 @@ def readability_sql(table: str = "documents") -> str:
            {portable_round_sql(score, 4)} AS flesch
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (t21) — integer-lift phrase discovery
+# ---------------------------------------------------------------------------
+
+COLL_MIN_N = 5  # minimum bigram support
+COLL_TOP_K = 20  # collocations reported
+
+
+def collocations(docs: DataFrame, text_col: str = "text", k: int = COLL_TOP_K) -> DataFrame:
+    """Corpus-level COLLOCATIONS: the top-``k`` bigrams by integer lift
+    ``n(w1 w2)·N·10⁶ div (n(w1)·n(w2))`` — the PMI ranking (Church & Hanks
+    1990) with the log dropped (log is monotone, so the ranking is
+    identical) and every term an exact BIGINT, so the result value-replays
+    across engines where a floating PMI never would.  Collocation mining
+    is the phrase-discovery step before tokenizer/vocab construction —
+    t15 ranks raw pair frequency (BPE's statistic); lift surfaces the
+    *statistically bound* phrases frequency buries.
+
+    Shape: one token explode → unigram rollup (vocabulary-bounded), one
+    pair projection → bigram rollup (pair-vocabulary-bounded), a 1-row
+    total broadcast, a support filter BEFORE the ranking window.  At
+    int64 limits: n_bigram·N·10⁶ overflows past N ≈ 10¹² tokens — swap
+    the lift to DECIMAL(38,0) there; the plan shape is unchanged."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").alias("n_total"))
+    big = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .filter(F.col("n_big") >= COLL_MIN_N)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    # BIGINT div, never double /: the numerator tops 2^53 long before the
+    # int64 limit, so a float division would floor to the wrong integer
+    lift = F.expr("(n_big * n_total * 1000000) div (n_w1 * n_w2)")
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_big", lift.cast("long").alias("lift_ppm"))
+    )
+    # two-phase top-k (s01's pattern): a global ORDER BY window would move
+    # the whole scored pair vocabulary to ONE partition; phase 1 ranks
+    # within a hash salt, phase 2 ranks only the <= n_salt*k survivors
+    n_salt = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = [F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")]
+    w1s = Window.partitionBy("salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", F.pmod(F.crc32(F.concat_ws(" ", "w1", "w2")), F.lit(n_salt)))
+        .withColumn("r1", F.row_number().over(w1s))
+        .filter(F.col("r1") <= k)
+    )
+    w = Window.orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "n_big", "lift_ppm", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def collocations_sql(table: str = "documents", k: int = COLL_TOP_K) -> str:
+    return f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM t
+    ),
+    unic AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+    total AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM unic),
+    big AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bigc AS (
+      SELECT w1, w2, count(*) AS n_big FROM big GROUP BY 1, 2
+      HAVING count(*) >= {COLL_MIN_N}
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, CAST(b.n_big AS BIGINT) AS n_big,
+             CAST((b.n_big * total.n_total * 1000000) // (u1.n_w * u2.n_w) AS BIGINT)
+               AS lift_ppm
+      FROM bigc b
+      JOIN unic u1 ON u1.w = b.w1
+      JOIN unic u2 ON u2.w = b.w2, total
+    )
+    SELECT w1, w2, n_big, lift_ppm, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, w1 ASC, w2 ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -2486,3 +2486,21 @@ register(
         "GROUPBY customer.c_custkey"
     )
 )
+
+
+from spj_query_engine_spark.operators import recommend
+
+
+@register(
+    "g06_copurchase",
+    recommend.copurchase_topk_sql(),
+    doc="Item-item co-purchase recommendations (Linden et al. 2003): "
+    "top-%d co-occurring parts per part from order baskets - the "
+    "market-basket shape as bounded equi-joins (basket cap %d, support "
+    ">= %d before the ranking window); the inverted-index anatomy of d05 "
+    "with baskets as posting lists."
+    % (recommend.CO_TOP, recommend.BASKET_CAP, recommend.CO_MIN),
+)
+def g06_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return recommend.copurchase_topk(li)

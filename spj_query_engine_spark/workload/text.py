@@ -251,3 +251,16 @@ def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t20_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.readability(_docs(spark, sf_dir))
+
+
+@register(
+    "t21_collocations",
+    textops.collocations_sql(),
+    doc="Collocation mining: top-%d bigrams by integer lift "
+    "n(w1w2)*N*1e6 div (n(w1)*n(w2)) - the PMI ranking with the monotone "
+    "log dropped so every term is an exact BIGINT; the phrase-discovery "
+    "complement to t15's raw-frequency BPE statistic, all rollups "
+    "vocabulary-bounded." % textops.COLL_TOP_K,
+)
+def t21_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.collocations(_docs(spark, sf_dir))

@@ -182,3 +182,35 @@ def test_cross_join_when_no_condition(spark, ecommerce, ecommerce_duck):
         ecommerce_duck,
         "SELECT cid, iid FROM CUSTOMER, CARTDETAILS WHERE cid < 3 AND qty > 47",
     )
+
+
+def test_copurchase_topk_support_and_rank(spark):
+    """Parts co-occurring in >= CO_MIN baskets recommend each other,
+    ranked by support with id tie-break; singleton co-occurrence is
+    pruned; a basket over BASKET_CAP is ignored."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.recommend import (
+        BASKET_CAP,
+        copurchase_topk,
+        copurchase_topk_sql,
+    )
+    from tests.conftest import assert_same_result
+
+    rows = []
+    # parts 1,2 co-occur in 3 baskets; parts 1,3 in 2; parts 2,3 in 1 (pruned)
+    for ok, parts in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2, 3]), (13, [1, 3]), (14, [2, 4])]:
+        rows += [(ok, p) for p in parts]
+    # a degenerate mega-basket that must be excluded by the cap
+    rows += [(99, p) for p in range(1000, 1000 + BASKET_CAP + 1)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    li = spark.createDataFrame(pdf)
+    got = {(r["part"], r["rk"]): r["rec"] for r in copurchase_topk(li).collect()}
+    assert got[(1, 1)] == 2  # support 3
+    assert got[(1, 2)] == 3  # support 2
+    assert (2, 2) not in got or got[(2, 2)] != 3  # 2-3 support 1 pruned
+    assert all(p < 1000 for p, _ in got)  # mega-basket contributed nothing
+    con = _duck.connect()
+    con.register("lineitem", pdf)
+    assert_same_result(copurchase_topk(li), con, copurchase_topk_sql())

@@ -271,3 +271,35 @@ def test_vocab_stats_hapax(spark):
     assert_same_result(
         textops.vocab_stats(spark.createDataFrame(vdocs)), con, textops.vocab_stats_sql()
     )
+
+
+def test_collocations_lift_beats_frequency(spark):
+    """'san francisco' (always together, rare words) must out-lift
+    'the cat' (frequent words, loosely bound) even when the latter pair
+    occurs more often — the ranking property that distinguishes t21 from
+    t15's raw frequency; lift values must be exact BIGINT."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.textops import (
+        collocations,
+        collocations_sql,
+    )
+    from tests.conftest import assert_same_result
+
+    texts = (
+        ["san francisco is great"] * 5
+        + ["the cat sat on the mat"] * 6
+        + ["the dog and the cat played"] * 2
+    )
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    got = collocations(docs, k=50).toPandas()
+    by_pair = {(r.w1, r.w2): r for r in got.itertuples()}
+    assert ("san", "francisco") in by_pair
+    sf = by_pair[("san", "francisco")]
+    tc = by_pair.get(("the", "cat"))
+    assert tc is not None and sf.lift_ppm > tc.lift_ppm
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(collocations(docs, k=50), con, collocations_sql(k=50))
