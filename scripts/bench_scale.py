@@ -135,6 +135,11 @@ FAMILY = [
     "s14_mmr_topk",
     "e37_out_of_orderness",
     "p12_data_card",
+    "d20_dedup_impact",
+    "e39_sketch_rollup",
+    "p13_balanced_sample",
+    "t21_collocations",
+    "g06_copurchase",
 ]
 
 
@@ -205,6 +210,32 @@ def build_scaled(spark) -> None:
         os.path.join(SCALED, "events.parquet")
     )
     open(os.path.join(SCALED, "_DONE_V3"), "w").close()
+
+
+def build_scaled_lineitem(spark) -> None:
+    """Additive: replicate lineitem for the market-basket family (g06).
+    Replica r shifts order and part keys into disjoint id spaces, so each
+    replica keeps the exact per-basket structure — the axis a transaction
+    log actually grows along (more orders, same basket shape)."""
+    marker = os.path.join(SCALED, "_DONE_LINEITEM")
+    if os.path.exists(marker):
+        return
+    li = load_tables(spark, BASE, ("lineitem",))["lineitem"]
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(r * 100_000_000)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(r * 10_000_000)).alias("l_partkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+        )
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "lineitem.parquet")
+    )
+    open(marker, "w").close()
 
 
 def _scaled_fn(name: str, sf_dir: str):
@@ -283,6 +314,7 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     build_scaled(spark)
+    build_scaled_lineitem(spark)
     # resume support: a killed run leaves its partial results on disk
     results: dict[str, dict] = {}
     if out_path and os.path.exists(out_path):
