@@ -1750,3 +1750,125 @@ def mmr_topk_sql(
     SELECT query_id, cand_id, {score} AS mmr_score, rank::BIGINT AS rank
     FROM ({body})
     """
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (s15) — metadata predicates inside the vector index
+# ---------------------------------------------------------------------------
+
+FILTER_PROBE = 4  # filtered search probes deeper: the filter thins each cell
+
+
+def filtered_ivf_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = FILTER_PROBE,
+) -> DataFrame:
+    """FILTERED vector search: top-``k`` neighbors sharing the query's
+    ``label`` — the hybrid metadata-plus-vector query every production
+    vector store serves ("similar items WHERE category = X").  The filter
+    applies to the CANDIDATE set between cell probe and rerank
+    (pre-filtering): post-filtering an unfiltered top-k would silently
+    return fewer than k (or zero) matches whenever the neighborhood is
+    label-diverse — the classic filtered-ANN recall trap.  Because the
+    filter thins every cell, filtered search probes deeper
+    (``FILTER_PROBE`` > s03's ``N_PROBE``) for the same recall.
+
+    Plan anatomy = s03 (broadcast centroid assignment, cell equi-join,
+    bounded rerank) with one extra broadcast join carrying the label onto
+    the candidate side and an equi-condition on it — the filter reaches
+    the candidate generation, not the result."""
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("lbl"),
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    pair_sim = cosine_sim(F.col("vec"), F.col("c_vec"))
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "lbl", "cid", pair_sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    cells = ranked.filter(F.col("rnk") == 1).select(
+        "vid", F.col("lbl").alias("c_lbl"), F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)
+    ).select(
+        F.col("vid").alias("query_id"), F.col("lbl").alias("q_lbl"),
+        F.col("cid").alias("cell"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(
+            (F.col("vid") != F.col("query_id"))
+            & (F.col("c_lbl") == F.col("q_lbl"))  # the metadata pre-filter
+        )
+        .select("query_id", F.col("vid").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
+    c = emb.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec2"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("c_vec2")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def filtered_ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = FILTER_PROBE,
+) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "cv.embedding"), 6)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, b.label AS lbl, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    cells AS (SELECT vid, lbl AS c_lbl, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vid AS query_id, lbl AS q_lbl, cid AS cell FROM ranked
+      WHERE vid < {n_queries} AND rnk <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS cand_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vid != p.query_id AND a.c_lbl = p.q_lbl
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.cand_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.query_id
+      JOIN {table} cv ON cv.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

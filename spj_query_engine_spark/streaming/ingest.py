@@ -546,3 +546,69 @@ def run_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         ud = spark.read.schema(out_schema).parquet(tgt).distinct()
     return active_users_from_ud(ud)
+
+
+def run_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the two-level HLL rollup (e40): every micro-batch
+    appends its per-day PARTIAL sketch (``hll_sketch_agg`` over the batch's
+    users — a KB-sized binary row) plus its distinct (user, day) pairs for
+    the exactness gate; the read side ``hll_union_agg``s ALL fragments —
+    several partial sketches per day, from whichever batches touched it —
+    into weekly estimates.  HLL union is associative, commutative and
+    idempotent over inputs, so any batch slicing converges to e39's batch
+    answer; per-batch streaming state is zero.  This is the production
+    shape: sketch partials land next to the data, every later rollup is a
+    merge of stored partials, and the raw stream is never replayed."""
+    from spj_query_engine_spark.operators.temporal import (
+        SKETCH_LG_K,
+        SKETCH_MAX_ERR,
+    )
+
+    tgt = f"/tmp/spj_sketch_{uuid.uuid4().hex[:8]}"
+    day_no = (F.unix_millis(F.col("ts")) / F.lit(86_400_000)).cast("long")
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        b = batch_df.select(day_no.alias("day_no"), "user_id")
+        b.groupBy("day_no").agg(
+            F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk")
+        ).write.mode("append").parquet(f"{tgt}_sk")
+        b.distinct().write.mode("append").parquet(f"{tgt}_ud")
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os as _os
+
+    if not _os.path.isdir(f"{tgt}_sk"):
+        return spark.createDataFrame(
+            [], "week_no long, exact_users long, est_ok long"
+        )
+    sk = spark.read.schema("day_no long, sk binary").parquet(f"{tgt}_sk")
+    est = (
+        sk.withColumn("week_no", (F.col("day_no") / 7).cast("long"))
+        .groupBy("week_no")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+    )
+    ud = spark.read.schema("day_no long, user_id long").parquet(f"{tgt}_ud")
+    exact = (
+        ud.withColumn("week_no", (F.col("day_no") / 7).cast("long"))
+        .select("week_no", "user_id")
+        .distinct()
+        .groupBy("week_no")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    rel_err = F.abs(F.col("est_users") - F.col("exact_users")) / F.greatest(
+        F.col("exact_users"), F.lit(1)
+    )
+    return est.join(exact, "week_no").select(
+        "week_no",
+        "exact_users",
+        (rel_err <= SKETCH_MAX_ERR).cast("long").alias("est_ok"),
+    )

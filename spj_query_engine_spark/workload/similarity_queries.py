@@ -250,3 +250,17 @@ def u06_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s14_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "s15_filtered_ann",
+    similarity.filtered_ivf_topk_sql(),
+    doc="FILTERED vector search: top-k neighbors sharing the query's label "
+    "- the metadata-plus-vector hybrid query; the predicate applies "
+    "between cell probe and rerank (PRE-filtering - post-filtering a "
+    "plain top-k silently under-returns in label-diverse neighborhoods), "
+    "probing deeper (%d cells) because the filter thins every cell."
+    % similarity.FILTER_PROBE,
+)
+def s15_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.filtered_ivf_topk(_emb(spark, sf_dir))

@@ -377,3 +377,19 @@ def e37_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e39_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.sketch_rollup(ev)
+
+
+@register(
+    "e40_stream_sketch",
+    temporal.sketch_rollup_sql(),
+    doc="Streaming twin of the two-level HLL rollup: micro-batches append "
+    "per-day PARTIAL sketches (KB binary rows), the read side "
+    "hll_union_aggs all fragments into weekly estimates - associative "
+    "idempotent merge, zero streaming state, finite replay equals e39 "
+    "(the oracle); the raw stream is never replayed for later rollups.",
+    bench=False,  # dominated by the micro-batch write loop, not throughput
+)
+def e40_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.ingest import run_stream_sketch_rollup
+
+    return run_stream_sketch_rollup(spark, sf_dir)

@@ -457,3 +457,38 @@ def test_dedup_impact_attributes_unique_pairs(spark, docs):
     for f in frames:
         all_pairs |= {(r["doc_a"], r["doc_b"]) for r in f.collect()}
     assert fused["n_pairs"] == len(all_pairs)
+
+
+def test_filtered_ann_prefilters_labels(spark):
+    """Every returned neighbor must share the query's label, and a
+    label-diverse neighborhood must still return the best SAME-label
+    matches (post-filtering an unfiltered top-k would drop them)."""
+    import math
+
+    import pandas as pd
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # query 0 (label 1): its geometric top-2 are label-2 vectors; the
+    # label-1 matches are farther out — pre-filtering must surface them
+    rows = [
+        (0, unit([1.0, 0.0, 0.0]), 1),
+        (1, unit([0.99, 0.14, 0.0]), 2),   # closest, wrong label
+        (2, unit([0.97, 0.24, 0.0]), 2),   # second, wrong label
+        (3, unit([0.9, 0.44, 0.0]), 1),    # best same-label
+        (4, unit([0.8, 0.6, 0.0]), 1),     # second same-label
+        (5, unit([0.0, 0.0, 1.0]), 1),     # far same-label
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    ).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding",
+        "cast(label as int) label",
+    )
+    got = similarity.filtered_ivf_topk(
+        emb, k=2, n_queries=1, n_cells=2, n_probe=2
+    ).collect()
+    ids = [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [3, 4]

@@ -52,6 +52,7 @@ EXPECTED_ON_EMPTY = {
     "m05_modality_lake": 1,
     "e08_funnel": 3,
     "u05_python_datasource": 10,  # table-independent synthetic source
+    "d20_dedup_impact": 1,  # the FUSED global-agg row (0 pairs) survives
 }
 
 

@@ -44,6 +44,9 @@ BNLJ_OK = {
     "s11_lsh_recall",  # composes s01's whitelisted broadcast query join
     "q62_important_nations",  # broadcast single-row global-total cross join
     "s12_ivf_pq",  # broadcast centroid-assignment crossJoin (s03 shape)
+    "t21_collocations",  # broadcast single-row corpus-total cross join (t12 shape)
+    "d20_dedup_impact",  # broadcast single-row fused-docs-count cross join
+    "s15_filtered_ann",  # broadcast centroid-assignment crossJoin (s03 shape)
 }
 
 
