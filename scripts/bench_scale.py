@@ -140,6 +140,7 @@ FAMILY = [
     "p13_balanced_sample",
     "t21_collocations",
     "g06_copurchase",
+    "s15_filtered_ann",
 ]
 
 

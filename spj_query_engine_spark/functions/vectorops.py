@@ -262,3 +262,64 @@ def sentence_stats_udtf_sql(table: str = "documents") -> str:
            COALESCE(p.digest, md5('')) AS digest
     FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# SQL-registered Python UDF (u07) — the spark.sql-callable rung
+# ---------------------------------------------------------------------------
+
+VOWELS = "aeiou"
+
+
+def register_vowel_udf(spark) -> None:
+    """Register an Arrow ``pandas_udf`` under a SQL name so ANY SQL text in
+    the session (`spark.sql`, views, the CLI front-end) can call it — the
+    deployment mode the other ladder rungs (u01 DataFrame scalar, u02/u03
+    grouped, u04 batch-iterator, u05 source, u06 UDTF) don't cover: a
+    Python function published to SQL users who never touch the DataFrame
+    API.  The body is integer counting only (vowels among ASCII letters),
+    so the SQL twin replays it exactly — no float path at all."""
+    import pandas as pd
+
+    def vowel_count(texts):  # pd.Series[str] -> pd.Series[int64]
+        return pd.Series(
+            [
+                sum(1 for ch in (t or "").lower() if ch in VOWELS)
+                for t in texts
+            ],
+            dtype="int64",
+        )
+
+    # functional pandas_udf form: the module-wide `from __future__ import
+    # annotations` stringifies type hints, which the decorator cannot resolve
+    spark.udf.register("vowel_count", pandas_udf(vowel_count, "long"))
+
+
+def vowel_profile(spark, docs) -> "object":
+    """Per-language vowel-density profile computed ENTIRELY in SQL text
+    through the registered Python UDF — `spark.sql` is the only API used
+    after registration."""
+    register_vowel_udf(spark)
+    docs.createOrReplaceTempView("u07_documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(vowel_count(text)) AS BIGINT) AS n_vowels,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM u07_documents
+        GROUP BY lang
+        """
+    )
+
+
+def vowel_profile_sql(table: str = "documents") -> str:
+    vc = "len(regexp_extract_all(lower(text), '[aeiou]'))"
+    return f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({vc}) AS BIGINT) AS n_vowels,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM {table}
+    GROUP BY lang
+    """

@@ -264,3 +264,17 @@ def s14_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s15_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_ivf_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "u07_sql_udf",
+    vectorops.vowel_profile_sql(),
+    doc="SQL-REGISTERED Python UDF (spark.udf.register of an Arrow "
+    "pandas_udf): a per-language profile computed entirely in spark.sql "
+    "text through the registered function - the publish-to-SQL-users "
+    "deployment mode the u01-u06 ladder rungs don't cover; integer "
+    "counting only, so the oracle replays it exactly.",
+)
+def u07_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return vectorops.vowel_profile(spark, docs)

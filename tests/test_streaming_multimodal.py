@@ -368,3 +368,29 @@ def test_tws_running_totals(spark):
         assert not errs, errs
     finally:
         con.close()
+
+
+def test_sql_registered_udf_counts_vowels(spark):
+    """u07: the registered pandas UDF must be callable from raw SQL text
+    and agree with a pure-SQL vowel count, including NULL/empty text."""
+    import pandas as pd
+
+    from spj_query_engine_spark.functions.vectorops import (
+        register_vowel_udf,
+        vowel_profile,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello World", "xyz", ""],
+            "lang": ["en", "en", "de"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {r["lang"]: r for r in vowel_profile(spark, docs).collect()}
+    assert got["en"]["n_vowels"] == 3  # e, o, o
+    assert got["de"]["n_vowels"] == 0
+    # and directly through spark.sql on a literal
+    register_vowel_udf(spark)
+    assert spark.sql("SELECT vowel_count('aeiou xyz') v").first()["v"] == 5
