@@ -2452,3 +2452,172 @@ def dedup_impact_sql(table: str = "documents") -> str:
     )
     SELECT * FROM per UNION ALL SELECT * FROM fused
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH band tuning sweep (d21) — design-of-experiments for the index itself
+# ---------------------------------------------------------------------------
+
+BAND_SWEEP = (2, 3, 4, 6)  # band counts over the MINHASH_K=12 signature
+
+
+def lsh_band_tuning(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH BAND-COUNT sweep: for each way of cutting the 12-component
+    signature into b bands of 12/b rows, the candidate-pair count and the
+    exact-Jaccard-verified count — the S-curve trade every LSH deployment
+    tunes (more bands → higher recall, more junk candidates; fewer → the
+    reverse).  d18 calibrates the sketch's ESTIMATES; this calibrates the
+    BANDING — together they are the measurements that justify d02's
+    (6 × 2) choice before anyone trusts it at 100 TB.
+
+    Cost anatomy: ONE signature pass (the d02 MIN aggregates) feeds every
+    config; per config one band equi-join (bounded exactly like d02's);
+    verification joins the shingle index only for the DISTINCT union of
+    candidates across configs (nested by construction: coarser bands are
+    stricter).  Output is one row per config — integers only."""
+    inv = shingle_index(docs, text_col, id_col).persist()
+    sigs = inv.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    ).persist()
+    k = len(_MINHASH_AB)
+    all_cands = None
+    for nb in BAND_SWEEP:
+        rows = k // nb
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                            ).alias("key"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        a, b_ = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .withColumn("n_bands", F.lit(nb))
+        )
+        all_cands = cand if all_cands is None else all_cands.unionByName(cand)
+    all_cands = all_cands.localCheckpoint(eager=True)
+    distinct_pairs = all_cands.select("doc_a", "doc_b").distinct()
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    ib = inv.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    common = (
+        distinct_pairs.join(ia, "doc_a")
+        .join(
+            ib.withColumnRenamed("doc_b", "doc_b2"),
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("g_a") == F.col("g_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    ).cast("double")
+    verified = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(portable_round(jacc, 6) >= JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    tagged = all_cands.join(verified.withColumn("ok", F.lit(1)), ["doc_a", "doc_b"], "left")
+    prec = F.expr("(n_verified * 1000000) div greatest(n_candidates, 1)")
+    return (
+        tagged.groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("ok"), F.lit(0))).alias("n_verified"),
+        )
+        .select(
+            F.col("n_bands").cast("long").alias("n_bands"),
+            (F.lit(k) / F.col("n_bands")).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_verified",
+            prec.alias("precision_ppm"),
+        )
+    )
+
+
+def lsh_band_tuning_sql(table: str = "documents") -> str:
+    k = len(_MINHASH_AB)
+    perm_mins = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> {minhash_perm_sql('x', a, b)})) AS m{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    cand_ctes = []
+    cand_union = []
+    for nb in BAND_SWEEP:
+        rows = k // nb
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '_' || ".join(f"m{b * rows + r}" for r in range(rows))
+            + " AS key FROM sigs"
+            for b in range(nb)
+        )
+        cand_ctes.append(
+            f"""cand{nb} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({band_selects}) a JOIN ({band_selects}) b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+        )
+        cand_union.append(f"SELECT doc_a, doc_b, {nb} AS n_bands FROM cand{nb}")
+    jacc = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)::DOUBLE"
+    )
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS MATERIALIZED (
+      SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             {perm_mins}
+      FROM shset WHERE len(sh) > 0
+    ),
+    {", ".join(cand_ctes)},
+    all_cands AS MATERIALIZED ({" UNION ALL ".join(cand_union)}),
+    verified AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b
+      FROM (SELECT DISTINCT doc_a, doc_b FROM all_cands) p
+      JOIN shset sa ON sa.doc_id = p.doc_a
+      JOIN shset sb ON sb.doc_id = p.doc_b
+      WHERE {portable_round_sql(jacc, 6)} >= {JACCARD_T}
+    )
+    SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+           CAST({k} // c.n_bands AS BIGINT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_verified,
+           CAST((sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                // greatest(count(*), 1) AS BIGINT) AS precision_ppm
+    FROM all_cands c
+    LEFT JOIN verified v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+    GROUP BY c.n_bands
+    """

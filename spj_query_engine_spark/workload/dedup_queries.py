@@ -332,3 +332,16 @@ def g05_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d20_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_impact(_docs(spark, sf_dir))
+
+
+@register(
+    "d21_lsh_band_tuning",
+    dedup.lsh_band_tuning_sql(),
+    doc="LSH band-count sweep over the 12-component signature (b in %s): "
+    "candidate and exact-verified pair counts + integer precision per "
+    "config - the recall/junk S-curve trade that justifies d02's 6x2 "
+    "banding; ONE signature pass feeds every config, verification "
+    "touches only the distinct candidate union." % (dedup.BAND_SWEEP,),
+)
+def d21_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_band_tuning(_docs(spark, sf_dir))

@@ -492,3 +492,20 @@ def test_filtered_ann_prefilters_labels(spark):
     ).collect()
     ids = [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ids == [3, 4]
+
+
+def test_lsh_band_tuning_monotone(spark, docs):
+    """More bands can only ADD candidates (nested by construction), and
+    verified counts can never exceed candidates; the 6-band config must
+    find at least the pairs d02 finds."""
+    rows = {r["n_bands"]: r for r in dedup.lsh_band_tuning(docs).collect()}
+    assert set(rows) == set(dedup.BAND_SWEEP)
+    prev = -1
+    for nb in sorted(rows):
+        r = rows[nb]
+        assert r["rows_per_band"] == 12 // nb
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert r["n_candidates"] >= prev  # nested candidate sets
+        prev = r["n_candidates"]
+    d02_pairs = dedup.minhash_lsh_pairs(docs).count()
+    assert rows[6]["n_verified"] >= d02_pairs
