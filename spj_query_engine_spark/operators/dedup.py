@@ -2621,3 +2621,87 @@ def lsh_band_tuning_sql(table: str = "documents") -> str:
     LEFT JOIN verified v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
     GROUP BY c.n_bands
     """
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level dedup (d22) — the C4-style boilerplate-sentence census
+# ---------------------------------------------------------------------------
+
+SENT_TOP_K = 20  # most-duplicated sentences reported
+SENT_MIN_OCC = 2  # a sentence is "duplicated" at this corpus-wide count
+SENT_PREFIX = 40  # exemplar prefix carried for humans
+
+
+def sentence_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sentence-level duplication census: the ``SENT_TOP_K`` most-repeated
+    sentences corpus-wide with their occurrence and document counts — the
+    natural-language-unit dedup granularity C4 (Raffel et al. 2020)
+    dedupes on (they drop repeated three-sentence spans) and RefinedWeb's
+    line-level filter approximates.  d13/d19 work on fixed token windows;
+    sentences are the unit an editor actually copies, so this census IS
+    the boilerplate removal worklist (cookie banners, footers, licence
+    blurbs).
+
+    Shape: one split+explode projection (sentence text never shuffles —
+    only its md5 and a ``SENT_PREFIX``-char exemplar), one digest rollup,
+    a support filter, then the two-phase salted top-k (no single-partition
+    window).  Sentence boundaries are the same ASCII ``[.!?]+`` split +
+    explicit strip charset as the u06 UDTF, so every sentence-level
+    operator in the repo segments identically."""
+    sent = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.expr("trim(BOTH ' \t\n\r' FROM raw)").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    from pyspark.sql import Window
+
+    counts = sent.groupBy(F.md5("sentence").alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.substring("sentence", 1, SENT_PREFIX)).alias("exemplar"),
+    ).filter(F.col("n_occurrences") >= SENT_MIN_OCC)
+    n_salt = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = [F.desc("n_occurrences"), F.asc("digest")]
+    w1 = Window.partitionBy("salt").orderBy(*order)
+    partial = (
+        counts.withColumn("salt", F.pmod(F.crc32(F.col("digest")), F.lit(n_salt)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SENT_TOP_K)
+    )
+    w = Window.orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SENT_TOP_K)
+        .select(
+            "digest", "exemplar", "n_occurrences", "n_docs",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def sentence_dedup_sql(table: str = "documents") -> str:
+    strip = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"""
+    WITH sent AS (
+      SELECT doc_id, trim(s, {strip}) AS sentence
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM {table})
+      WHERE trim(s, {strip}) <> ''
+    ),
+    counts AS (
+      SELECT md5(sentence) AS digest,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             min(substr(sentence, 1, {SENT_PREFIX})) AS exemplar
+      FROM sent GROUP BY 1
+      HAVING count(*) >= {SENT_MIN_OCC}
+    )
+    SELECT digest, exemplar, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, digest ASC) AS rank
+      FROM counts
+    ) WHERE rank <= {SENT_TOP_K}
+    """

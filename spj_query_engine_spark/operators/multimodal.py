@@ -496,3 +496,60 @@ def integrity_audit_sql(table: str = "documents", tamper_mod: int = TAMPER_MOD) 
     FROM {table}
     WHERE doc_id % {tamper_mod} = 0 AND text IS NOT NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# Payload format sniffing (m09) — magic numbers vs declared mime
+# ---------------------------------------------------------------------------
+
+SNIFF_MOD = 9  # doc_id % SNIFF_MOD == 0 → planted PNG header (mislabeled asset)
+
+_PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+
+
+def format_sniff_audit(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Content-type SNIFFING audit (m08's sibling): derive each asset's
+    real format from its MAGIC NUMBER (leading payload bytes) and flag
+    rows whose declared mime disagrees — the mislabeled-asset catch
+    (an image uploaded as ``text/plain`` crashes the decode stage of
+    every downstream consumer; the lake must quarantine it at ingest).
+    To prove the audit, records with ``doc_id % SNIFF_MOD == 0`` get a
+    PNG header deterministically prepended; the audit must flag exactly
+    those as declared-text/sniffed-png.
+
+    Pure projection + filter (an 8-byte prefix compare per row, no
+    shuffle until the tiny flagged set) — scan-speed at 100 TB, the same
+    contract as m08."""
+    planted = mm.select(
+        F.col(id_col),
+        F.when(
+            F.col(id_col) % SNIFF_MOD == 0,
+            F.concat(F.lit(_PNG_MAGIC), F.col("payload")),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+        F.col("meta.mime").alias("declared"),
+    )
+    prefix = F.hex(F.expr("substring(payload, 1, 8)"))
+    sniffed = (
+        F.when(prefix == F.lit("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(prefix.startswith("FFD8"), F.lit("image/jpeg"))
+        .when(prefix.startswith("25504446"), F.lit("application/pdf"))
+        .otherwise(F.lit("text/utf-8"))
+    )
+    return (
+        planted.select(F.col(id_col), "declared", sniffed.alias("sniffed"))
+        .filter(F.col("declared") != F.col("sniffed"))
+    )
+
+
+def format_sniff_audit_sql(table: str = "documents", mod: int = SNIFF_MOD) -> str:
+    """Oracle: exactly the planted rows are flagged (untampered payloads
+    are UTF-8 text whose leading bytes can never spell a magic number
+    from the sniff list — '%' (0x25) and 0x89/0xFF are the only openers
+    and text here never starts with '%PDF')."""
+    return f"""
+    SELECT doc_id, 'text/utf-8' AS declared, 'image/png' AS sniffed
+    FROM {table}
+    WHERE doc_id % {mod} = 0 AND text IS NOT NULL
+    """

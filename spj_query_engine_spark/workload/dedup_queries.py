@@ -345,3 +345,17 @@ def d20_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d21_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_band_tuning(_docs(spark, sf_dir))
+
+
+@register(
+    "d22_sentence_dedup",
+    dedup.sentence_dedup_sql(),
+    doc="Sentence-level duplication census (C4's dedup granularity): "
+    "top-%d most-repeated sentences with occurrence/doc counts - the "
+    "boilerplate-removal worklist at the unit an editor copies; "
+    "sentence text never shuffles (md5 + %d-char exemplar), support "
+    "filter before a two-phase salted top-k, segmentation identical "
+    "to the u06 UDTF." % (dedup.SENT_TOP_K, dedup.SENT_PREFIX),
+)
+def d22_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.sentence_dedup(_docs(spark, sf_dir))

@@ -458,3 +458,17 @@ def p12_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p13_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.balanced_sample(docs)
+
+
+@register(
+    "m09_format_sniff",
+    multimodal.format_sniff_audit_sql(),
+    doc="Content-type sniffing audit (m08's sibling): real format from the "
+    "payload's MAGIC NUMBER vs declared mime - the mislabeled-asset "
+    "quarantine at ingest; deterministic PNG-header plant on doc_id %% %d "
+    "== 0 proves the audit flags exactly the bad rows; 8-byte prefix "
+    "compare per row, no shuffle until the flagged set."
+    % multimodal.SNIFF_MOD,
+)
+def m09_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.format_sniff_audit(_mm(spark, sf_dir))

@@ -509,3 +509,36 @@ def test_lsh_band_tuning_monotone(spark, docs):
         prev = r["n_candidates"]
     d02_pairs = dedup.minhash_lsh_pairs(docs).count()
     assert rows[6]["n_verified"] >= d02_pairs
+
+
+def test_sentence_dedup_finds_planted_boilerplate(spark):
+    """A cookie-banner sentence shared by 3 docs must rank first with
+    exact occurrence/doc counts; segmentation must match the u06 UDTF
+    rule (ASCII [.!?]+ split, whitespace strip).  The shipped corpus has
+    no sentence punctuation, so its true census is empty — this plant is
+    the machinery proof."""
+    import duckdb as _duck
+    import pandas as pd
+
+    banner = "we use cookies to improve your experience"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                banner + ". unique one! tail",
+                "lead-in. " + banner + ". more text",
+                banner + "? yet another body",
+                "completely original text. nothing shared",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    rows = dedup.sentence_dedup(docs).collect()
+    assert rows and rows[0]["rank"] == 1
+    assert rows[0]["n_occurrences"] == 3 and rows[0]["n_docs"] == 3
+    assert rows[0]["exemplar"].startswith("we use cookies")
+    con = _duck.connect()
+    con.register("documents", pdf)
+    from tests.conftest import assert_same_result
+
+    assert_same_result(dedup.sentence_dedup(docs), con, dedup.sentence_dedup_sql())

@@ -394,3 +394,17 @@ def test_sql_registered_udf_counts_vowels(spark):
     # and directly through spark.sql on a literal
     register_vowel_udf(spark)
     assert spark.sql("SELECT vowel_count('aeiou xyz') v").first()["v"] == 5
+
+
+def test_format_sniff_flags_planted_png(spark):
+    """m09: exactly the planted rows flag as declared-text/sniffed-png;
+    real magic numbers (JPEG header) sniff to their type."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators import multimodal
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 9, 18], "text": ["aa", "bb", "cc", "dd"]})
+    mm = multimodal.attach_payload(spark.createDataFrame(pdf))
+    got = {r["doc_id"]: r for r in multimodal.format_sniff_audit(mm).collect()}
+    assert set(got) == {9, 18}  # SNIFF_MOD = 9
+    assert got[9]["sniffed"] == "image/png" and got[9]["declared"] == "text/utf-8"
