@@ -141,6 +141,10 @@ FAMILY = [
     "t21_collocations",
     "g06_copurchase",
     "s15_filtered_ann",
+    "d21_lsh_band_tuning",
+    "d22_sentence_dedup",
+    "m09_format_sniff",
+    "u07_sql_udf",
 ]
 
 
