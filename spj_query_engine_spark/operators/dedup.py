@@ -2705,3 +2705,60 @@ def sentence_dedup_sql(table: str = "documents") -> str:
       FROM counts
     ) WHERE rank <= {SENT_TOP_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient (g07) — how clique-like each duplicate family is
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(docs: DataFrame) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the near-dup graph:
+    ``2·T(v) div (deg(v)·(deg(v)−1))`` as exact ppm — the clique-ness
+    metric that separates template families (cc ≈ 1: everything matches
+    everything) from hub-and-spoke boilerplate stars (cc ≈ 0: spokes
+    match the hub, not each other), the decision input for whether d07's
+    cluster canonicalization keeps one doc (clique) or needs review
+    (star).  Triangles come from g02's degree-oriented wedge join —
+    this entry adds only a degree join and one integer division on top.
+    Nodes with deg < 2 have no defined coefficient and are excluded."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    tri = triangle_counts_from_pairs(pairs)
+    sym = pairs.select(F.col("doc_a").alias("u")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).filter(F.col("deg") >= 2)
+    return (
+        deg.join(tri.withColumnRenamed("doc_id", "u"), "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .withColumn("cc_ppm", F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+    )
+
+
+def clustering_coefficient_sql(table: str = "documents") -> str:
+    # outer CTE names must not collide with the CTEs inside the nested
+    # pair/triangle subqueries (duckdb hits an internal recursive-CTE-scan
+    # assertion when a MATERIALIZED outer CTE shadows a nested one)
+    return f"""
+    WITH cc_pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    cc_tri AS MATERIALIZED (
+      SELECT doc_id, n_triangles FROM ({triangle_counts_sql(table)})
+    ),
+    cc_deg AS (
+      SELECT u, count(*) AS deg FROM (
+        SELECT doc_a AS u FROM cc_pairs UNION ALL SELECT doc_b FROM cc_pairs
+      ) GROUP BY u HAVING count(*) >= 2
+    )
+    SELECT cc_deg.u AS doc_id,
+           CAST(cc_deg.deg AS BIGINT) AS degree,
+           CAST(coalesce(cc_tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2 * coalesce(cc_tri.n_triangles, 0) * 1000000)
+                // (cc_deg.deg * (cc_deg.deg - 1)) AS BIGINT) AS cc_ppm
+    FROM cc_deg LEFT JOIN cc_tri ON cc_tri.doc_id = cc_deg.u
+    """

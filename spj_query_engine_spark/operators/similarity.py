@@ -1872,3 +1872,84 @@ def filtered_ivf_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (s16) — ensemble retrieval over two indexes
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 10  # depth taken from each source ranking
+RRF_TOP = 5  # fused results per query
+RRF_SCALE = 1_000_000_000  # integer scale: score = Σ SCALE div (K + rank)
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack, Clarke & Buettcher 2009) of two
+    retrieval rankings — the exact top-``RRF_POOL`` (s01) and the LSH
+    index's top-``RRF_POOL`` (s02) — into one list per query:
+    ``score(d) = Σ_sources SCALE div (K + rank_source(d))`` summed over
+    the sources that returned ``d``.  RRF is THE hybrid-search combiner
+    (vector + keyword, or several indexes) because it needs only ranks,
+    never incomparable scores; here it ensembles two indexes of the same
+    corpus, which also quantifies how much the sketch index disagrees
+    with ground truth (s11 measures that disagreement; this REPAIRS it).
+
+    Every term is an exact BIGINT (integer div), so the fused ranking
+    value-replays in SQL.  Cost: both source rankings are already bounded
+    pipelines; fusion is a full-outer join of two (queries × pool)-row
+    frames + one window."""
+    exact = brute_force_topk(
+        embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
+    ).select("query_id", "cand_id", F.col("rank").alias("r1"))
+    approx = lsh_topk(
+        embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
+    ).select("query_id", "cand_id", F.col("rank").alias("r2"))
+    fused = exact.join(approx, ["query_id", "cand_id"], "full_outer")
+    contrib1 = F.when(
+        F.col("r1").isNotNull(), F.expr(f"{RRF_SCALE} div ({RRF_K} + r1)")
+    ).otherwise(F.lit(0))
+    contrib2 = F.when(
+        F.col("r2").isNotNull(), F.expr(f"{RRF_SCALE} div ({RRF_K} + r2)")
+    ).otherwise(F.lit(0))
+    scored = fused.select(
+        "query_id", "cand_id", (contrib1 + contrib2).cast("long").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select("query_id", "cand_id", "rrf_score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def rrf_fusion_sql(table: str = "embeddings", n_queries: int = N_QUERIES) -> str:
+    return f"""
+    WITH exact_r AS MATERIALIZED (
+      SELECT query_id, cand_id, rank AS r1
+      FROM ({brute_force_topk_sql(table, k=RRF_POOL, n_queries=n_queries)})
+    ),
+    approx_r AS MATERIALIZED (
+      SELECT query_id, cand_id, rank AS r2
+      FROM ({lsh_topk_sql(table, k=RRF_POOL, n_queries=n_queries)})
+    ),
+    fused AS (
+      SELECT coalesce(e.query_id, a.query_id) AS query_id,
+             coalesce(e.cand_id, a.cand_id) AS cand_id,
+             CAST(coalesce({RRF_SCALE} // ({RRF_K} + e.r1), 0)
+                  + coalesce({RRF_SCALE} // ({RRF_K} + a.r2), 0) AS BIGINT)
+               AS rrf_score
+      FROM exact_r e FULL OUTER JOIN approx_r a
+        ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    )
+    SELECT query_id, cand_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {RRF_TOP}
+    """

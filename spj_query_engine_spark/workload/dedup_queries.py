@@ -359,3 +359,16 @@ def d21_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d22_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sentence_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "g07_clustering_coeff",
+    dedup.clustering_coefficient_sql(),
+    doc="Local clustering coefficient per node (2T div deg(deg-1), exact "
+    "ppm) over the near-dup graph: clique-like template families vs "
+    "hub-and-spoke boilerplate stars - the input to whether d07's "
+    "canonicalization is safe; g02's wedge join plus one degree join "
+    "and an integer division.",
+)
+def g07_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.clustering_coefficient(_docs(spark, sf_dir))

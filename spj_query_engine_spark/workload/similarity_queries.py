@@ -278,3 +278,17 @@ def s15_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u07_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return vectorops.vowel_profile(spark, docs)
+
+
+@register(
+    "s16_rrf_fusion",
+    similarity.rrf_fusion_sql(),
+    doc="Reciprocal-Rank Fusion (Cormack et al. 2009) of the exact (s01) "
+    "and LSH (s02) rankings: score = sum of %d div (%d + rank) over the "
+    "sources returning the doc - THE hybrid-search combiner (needs only "
+    "ranks, never incomparable scores), every term exact BIGINT; fusion "
+    "is a full-outer join of two bounded rank frames + one window."
+    % (similarity.RRF_SCALE, similarity.RRF_K),
+)
+def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.rrf_fusion(_emb(spark, sf_dir))

@@ -47,6 +47,7 @@ BNLJ_OK = {
     "t21_collocations",  # broadcast single-row corpus-total cross join (t12 shape)
     "d20_dedup_impact",  # broadcast single-row fused-docs-count cross join
     "s15_filtered_ann",  # broadcast centroid-assignment crossJoin (s03 shape)
+    "s16_rrf_fusion",  # composes s01's whitelisted broadcast query join
 }
 
 
