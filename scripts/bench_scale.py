@@ -145,6 +145,8 @@ FAMILY = [
     "d22_sentence_dedup",
     "m09_format_sniff",
     "u07_sql_udf",
+    "s16_rrf_fusion",
+    "g07_clustering_coeff",
 ]
 
 
