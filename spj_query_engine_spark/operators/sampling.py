@@ -938,3 +938,88 @@ def balanced_sample_sql(table: str = "documents", stratum_col: str = "lang", k: 
       FROM {table}
     ) WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline (p14) — the whole curation chain as ONE plan
+# ---------------------------------------------------------------------------
+
+
+def e2e_pipeline(docs: DataFrame) -> DataFrame:
+    """The full training-data curation chain as ONE declarative plan —
+    quality filter → exact dedup (min-id survivor) → reproducible
+    train/val/test split → per-split manifest (docs, tokens) — the
+    composition every preceding entry is a piece of, run end-to-end so
+    Catalyst sees the WHOLE pipeline and can pipeline the projections,
+    prune columns across stages, and share the one real shuffle (the
+    dedup groupBy).  This is the shape a 100 TB curation run ships:
+    each stage is a projection or a single keyed aggregate; nothing
+    materializes between stages unless the operator (not the
+    orchestration) demands it.
+
+    Stages (each individually oracle-proven elsewhere):
+    * quality ≥ corpus median (t02's score, t11's relative-cut idea,
+      collapsed to a global median scalar broadcast);
+    * exact dedup keeps the min doc_id per md5(text) (d01's rule);
+    * split by salted portable hash (p01);
+    * manifest: docs + BPE-regex tokens per split (p11's counts)."""
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.operators.textops import BPE_TOKEN_RE, quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    med = q.agg(F.expr("percentile(quality, 0.5)").alias("med"))
+    scored = docs.join(q, "doc_id").crossJoin(F.broadcast(med))
+    kept = scored.filter(F.col("quality") >= F.col("med"))
+    survivors = (
+        kept.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n_tokens"),
+        )
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("digest")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    split = train_split(survivors, "doc_id").select("doc_id", "split")
+    return (
+        survivors.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def e2e_pipeline_sql(table: str = "documents") -> str:
+    from spj_query_engine_spark.operators.textops import BPE_TOKEN_RE, quality_score_sql
+
+    bucket = _bucket_sql("doc_id", 42)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT doc_id, quality FROM ({quality_score_sql(table)})
+    ),
+    med AS (SELECT quantile_cont(quality, 0.5) AS med FROM q),
+    kept AS (
+      SELECT d.doc_id, d.text FROM {table} d
+      JOIN q ON q.doc_id = d.doc_id, med
+      WHERE q.quality >= med.med
+    ),
+    hashed AS (
+      SELECT doc_id, md5(text) AS digest,
+             len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM kept
+    ),
+    survivors AS (SELECT * FROM hashed WHERE doc_id = keeper),
+    labeled AS (
+      SELECT *, CASE WHEN {bucket} < 80 THEN 'train'
+                     WHEN {bucket} < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM survivors
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY split
+    """

@@ -472,3 +472,18 @@ def p13_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m09_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.format_sniff_audit(_mm(spark, sf_dir))
+
+
+@register(
+    "p14_e2e_pipeline",
+    sampling.e2e_pipeline_sql(),
+    doc="The WHOLE curation chain as one declarative plan: quality >= "
+    "corpus median -> exact-dedup min-id survivors -> hash split -> "
+    "per-split doc/token manifest - Catalyst pipelines the projections "
+    "and shares the one real shuffle; each stage is individually "
+    "oracle-proven elsewhere (t02/t11, d01, p01, p11), this proves "
+    "the composition.",
+)
+def p14_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.e2e_pipeline(docs)

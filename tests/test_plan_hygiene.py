@@ -48,6 +48,7 @@ BNLJ_OK = {
     "d20_dedup_impact",  # broadcast single-row fused-docs-count cross join
     "s15_filtered_ann",  # broadcast centroid-assignment crossJoin (s03 shape)
     "s16_rrf_fusion",  # composes s01's whitelisted broadcast query join
+    "p14_e2e_pipeline",  # broadcast single-row quality-median cross join
 }
 
 

@@ -196,3 +196,23 @@ def test_balanced_sample_exact_k_and_underfull(spark):
     assert counts == {"en": 30, "de": 20}
     again = balanced_sample(docs.repartition(7), k=30).toPandas()
     assert set(got["doc_id"]) == set(again["doc_id"])
+
+
+def test_e2e_pipeline_manifest_and_oracle(spark, docs, duck):
+    """p14: the end-to-end curation chain — splits partition the survivor
+    set (doc counts sum to the post-filter post-dedup census) and the
+    whole composition matches its DuckDB twin."""
+    got = sampling.e2e_pipeline(docs).toPandas()
+    assert set(got["split"]) <= {"train", "val", "test"}
+    # recompute the survivor census independently: quality >= median, then
+    # one survivor per exact-text digest
+    from spj_query_engine_spark.operators.textops import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    med = q.approxQuantile("quality", [0.5], 0.0)[0]
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= med)
+    n_survivors = kept.select(F.md5("text")).distinct().count()
+    assert int(got["n_docs"].sum()) == n_survivors
+    from tests.conftest import assert_same_result
+
+    assert_same_result(sampling.e2e_pipeline(docs), duck, sampling.e2e_pipeline_sql())
