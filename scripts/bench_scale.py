@@ -147,6 +147,7 @@ FAMILY = [
     "u07_sql_udf",
     "s16_rrf_fusion",
     "g07_clustering_coeff",
+    "p14_e2e_pipeline",
 ]
 
 
