@@ -148,6 +148,7 @@ FAMILY = [
     "s16_rrf_fusion",
     "g07_clustering_coeff",
     "p14_e2e_pipeline",
+    "p15_dsir_selection",
 ]
 
 

@@ -1023,3 +1023,140 @@ def e2e_pipeline_sql(table: str = "documents") -> str:
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM labeled GROUP BY split
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (p15)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_SCALE = 10_000
+DSIR_QUANTILE = 0.8
+
+
+def dsir_selection(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    with hashed-unigram features, integer-exact: score every raw-corpus
+    document by how target-like its token distribution is, select the top
+    20 %, and report the per-language census.  The planted self-check: the
+    target language's own documents must post the highest mean weight.
+
+    Exactness design (the t12/t21 discipline): the per-bucket importance
+    weight is the smoothed probability ratio kept INTEGER —
+    ``(t_cnt+1)(r_total+B)·10⁴ div (r_cnt+1)(t_total+B)`` — and the
+    per-document score is the integer mean of its tokens' weights, so
+    every compared value is an exact BIGINT and the hash cannot drift;
+    the only doubles are the final interpolated cutoff and the reported
+    per-group mean of identical integers.
+
+    Scale shape: one token explode feeding ONE bucket groupBy (the
+    feature census — B=512 rows total, broadcast everywhere after), one
+    per-doc aggregate (the only data-sized shuffle), and a single-row
+    quantile broadcast.  The weight table is O(B) regardless of corpus
+    size — at 100 TB only the two passes over tokens grow; drop
+    DSIR_SCALE or pre-divide the totals if bucket counts approach
+    2⁶³/(r_total·10⁴)."""
+    B, SCALE = DSIR_BUCKETS, DSIR_SCALE
+    tok = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucketed = tok.select(
+        id_col, group_col, F.pmod(h32(F.col("tok")), F.lit(B)).alias("b")
+    )
+    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        bucketed.filter(F.col(group_col) == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    totals = bucketed.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.count(F.when(F.col(group_col) == target_lang, 1)).alias("t_total"),
+    )
+    weights = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"t_cnt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"((t_cnt + 1) * (r_total + {B}) * {SCALE})"
+                f" div ((r_cnt + 1) * (t_total + {B}))"
+            ).alias("w"),
+        )
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy(id_col, group_col)
+        .agg(F.expr("sum(w) div count(*)").alias("avg_w"))
+    )
+    cut = per_doc.agg(F.expr(f"percentile(avg_w, {DSIR_QUANTILE})").alias("cutoff"))
+    from spj_query_engine_spark.functions.hashing import portable_round
+
+    return (
+        per_doc.crossJoin(F.broadcast(cut))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("avg_w") >= F.col("cutoff")).cast("long")).alias(
+                "n_selected"
+            ),
+            portable_round(
+                F.sum("avg_w").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_weight"),
+        )
+    )
+
+
+def dsir_selection_sql(table: str = "documents", target_lang: str = "en") -> str:
+    from spj_query_engine_spark.functions.hashing import portable_round_sql
+
+    B, SCALE = DSIR_BUCKETS, DSIR_SCALE
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM {table}
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {h32_sql('tok')} % {B} AS b
+      FROM tok WHERE tok <> ''
+    ),
+    raw AS (SELECT b, count(*)::BIGINT AS r_cnt FROM bucketed GROUP BY b),
+    tgt AS (
+      SELECT b, count(*)::BIGINT AS t_cnt FROM bucketed
+      WHERE lang = '{target_lang}' GROUP BY b
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS r_total,
+             (count(*) FILTER (lang = '{target_lang}'))::BIGINT AS t_total
+      FROM bucketed
+    ),
+    w AS (
+      SELECT raw.b,
+             ((COALESCE(t_cnt, 0) + 1) * (r_total + {B}) * {SCALE})
+               // ((r_cnt + 1) * (t_total + {B})) AS w
+      FROM raw LEFT JOIN tgt USING (b), tot
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(w) AS BIGINT) // count(*) AS avg_w
+      FROM bucketed JOIN w USING (b) GROUP BY doc_id, lang
+    ),
+    cut AS (SELECT quantile_cont(avg_w, {DSIR_QUANTILE}) AS cutoff FROM per_doc)
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN avg_w >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           {portable_round_sql('CAST(SUM(avg_w) AS DOUBLE) / count(*)', 4)}
+             AS mean_weight
+    FROM per_doc, cut GROUP BY lang
+    """

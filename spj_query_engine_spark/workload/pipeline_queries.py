@@ -487,3 +487,18 @@ def m09_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p14_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.e2e_pipeline(docs)
+
+
+@register(
+    "p15_dsir_selection",
+    sampling.dsir_selection_sql(),
+    doc="DSIR importance selection (Xie et al. 2023): hashed-unigram "
+    "importance weights score every doc by target-likeness (target = the "
+    "'en' slice), top-20% selected, per-language census reported - the "
+    "weight table is O(512) rows broadcast everywhere, integer-exact "
+    "ratios per the t12/t21 discipline; self-check: the target language "
+    "posts the highest mean weight.",
+)
+def p15_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.dsir_selection(docs)

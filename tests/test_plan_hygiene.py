@@ -49,6 +49,7 @@ BNLJ_OK = {
     "s15_filtered_ann",  # broadcast centroid-assignment crossJoin (s03 shape)
     "s16_rrf_fusion",  # composes s01's whitelisted broadcast query join
     "p14_e2e_pipeline",  # broadcast single-row quality-median cross join
+    "p15_dsir_selection",  # broadcast single-row totals + quantile-cutoff cross joins
 }
 
 

@@ -216,3 +216,31 @@ def test_e2e_pipeline_manifest_and_oracle(spark, docs, duck):
     from tests.conftest import assert_same_result
 
     assert_same_result(sampling.e2e_pipeline(docs), duck, sampling.e2e_pipeline_sql())
+
+
+def test_dsir_selection_recovers_target(spark, docs, duck):
+    """p15: on a planted corpus with disjoint vocabularies the target
+    language's docs all clear the selection cutoff; on the real corpus the
+    target posts the highest mean weight and matches the DuckDB twin."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            # 4 'en' docs share a vocabulary disjoint from 16 'xx' docs
+            "text": ["alpha beta gamma delta"] * 4 + ["uno dos tres quatro"] * 16,
+            "lang": ["en"] * 4 + ["xx"] * 16,
+        }
+    )
+    planted = spark.createDataFrame(pdf)
+    got = {r["lang"]: r for r in sampling.dsir_selection(planted).collect()}
+    # every target doc is target-like; the raw-majority 'xx' docs are not
+    assert got["en"]["n_selected"] == 4 and got["xx"]["n_selected"] == 0
+    assert got["en"]["mean_weight"] > got["xx"]["mean_weight"]
+    # real corpus: target language ranks first by mean weight + oracle match
+    rows = sampling.dsir_selection(docs).collect()
+    top = max(rows, key=lambda r: r["mean_weight"])
+    assert top["lang"] == "en"
+    from tests.conftest import assert_same_result
+
+    assert_same_result(sampling.dsir_selection(docs), duck, sampling.dsir_selection_sql())
