@@ -24,6 +24,20 @@ from spj_query_engine_spark.testing import compare_frames
 import __spark_entry__ as entrymod
 
 
+def _driver_sortable(pdf) -> str | None:
+    """Replicate the DRIVER's canonicalization hazard: it sorts the raw
+    frame by every column with pandas, so array/map/struct cells
+    (numpy.ndarray / dict — unhashable) abort the compare even though our
+    local normalize() tuple-izes them (CORRECTNESS_r02: m01, u01).  Returns
+    the error string if the driver would blow up, else None."""
+    try:
+        if len(pdf.columns):
+            pdf.sort_values(by=list(pdf.columns))
+        return None
+    except TypeError as exc:
+        return f"driver canonicalization would fail: {exc}"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
@@ -60,6 +74,12 @@ def main() -> int:
             results[name] = {"status": "oracle_error", "error": str(exc)[:500]}
             failed.append(name)
             print(f"  {name}: ORACLE ERROR {str(exc)[:200]}")
+            continue
+        canon_err = _driver_sortable(actual) or _driver_sortable(expected)
+        if canon_err:
+            results[name] = {"status": "driver_canon_error", "error": canon_err}
+            failed.append(name)
+            print(f"  {name}: DRIVER CANON ERROR {canon_err[:200]}")
             continue
         errors = compare_frames(actual, expected)
         if errors:

@@ -82,6 +82,31 @@ def normalize_embeddings_sql(table: str = "embeddings") -> str:
     """
 
 
+def normalize_embeddings_long(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """u01's gate shape: the unit vector POSEXPLODED to (vec_id, pos, val)
+    scalar rows.  The driver's correctness gate sorts every output column
+    with pandas, and array cells arrive as numpy.ndarray (unhashable) — the
+    CORRECTNESS_r02 u01 error — so the registered entry emits atomic columns
+    while still value-checking every component of every vector."""
+    return normalize_embeddings(emb, vec_col, id_col).select(
+        F.col(id_col), F.posexplode("unit_vec").alias("pos", "val")
+    )
+
+
+def normalize_embeddings_long_sql(table: str = "embeddings") -> str:
+    # DuckDB zips equal-length unnests in the SELECT list, giving the
+    # (position, element) pairing posexplode produces.
+    return f"""
+    WITH base AS ({normalize_embeddings_sql(table)})
+    SELECT vec_id,
+           unnest(generate_series(0, len(unit_vec) - 1)) AS pos,
+           unnest(unit_vec) AS val
+    FROM base
+    """
+
+
 def source_stats_arrow(docs):
     """Per-source corpus stats through ``applyInArrow`` (u03) — the RAW
     Arrow grouped API: the group arrives as a ``pyarrow.Table`` and is

@@ -112,6 +112,38 @@ def decode_features_sql(table: str = "documents") -> str:
     """
 
 
+def decode_features_wide(mm: DataFrame) -> DataFrame:
+    """m01's gate shape: ``decode_features`` with the FEAT_DIM feature vector
+    flattened to scalar columns ``feat_0..feat_{FEAT_DIM-1}``.  The driver's
+    correctness gate canonicalizes results with a pandas sort over every
+    column, and array cells arrive as numpy.ndarray (unhashable) — see the
+    CORRECTNESS_r02 m01/u01 errors — so the registered entry exposes atomic
+    columns; the array-valued operator stays for pipeline use."""
+    return decode_features(mm).select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        *[F.col("feat")[k].alias(f"feat_{k}") for k in range(FEAT_DIM)],
+    )
+
+
+def decode_features_wide_sql(table: str = "documents") -> str:
+    feats = ", ".join(
+        f"(('0x' || substr(md5({k}::VARCHAR || text), 1, 8))::BIGINT::DOUBLE / 4294967296.0)"
+        f" AS feat_{k}"
+        for k in range(FEAT_DIM)
+    )
+    return f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                       (a, x) -> a + x) % {CHECKSUM_MOD} AS checksum,
+           {feats}
+    FROM {table}
+    """
+
+
 def frame_sample(mm: DataFrame, n_frames: int = FRAME_COUNT) -> DataFrame:
     """Frame sampling for video-like payloads: split the byte stream into
     ``n_frames`` contiguous chunks and fingerprint each — the shape of a

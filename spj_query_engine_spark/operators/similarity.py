@@ -784,6 +784,44 @@ def pq_encode_sql(
     """
 
 
+def pq_encode_words(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """s07's gate shape: the ``m`` code words packed big-endian into ONE
+    BIGINT (fold ``acc * k_cent + code`` in sub-space order) — literally the
+    "8 bytes per vector" the PQ paper promises (16^8 = 2^32 fits easily),
+    and an atomic column for the driver's hash gate, whose pandas
+    canonicalizer cannot sort array cells (CORRECTNESS_r02 m01/u01 errors).
+    The array-valued ``pq_encode`` stays as the internal building block
+    (s08/s12 join on the exploded codes)."""
+    enc = pq_encode(embeddings, vec_col, id_col, m, k_cent, dim)
+    return enc.select(
+        id_col,
+        F.expr(f"aggregate(codes, 0L, (acc, c) -> acc * {k_cent} + c)").alias(
+            "code_word"
+        ),
+        "err2",
+    )
+
+
+def pq_encode_words_sql(
+    table: str = "embeddings", m: int = PQ_M, k_cent: int = PQ_K
+) -> str:
+    return f"""
+    WITH base AS ({pq_encode_sql(table, m, k_cent)})
+    SELECT vec_id,
+           list_reduce(list_prepend(0::BIGINT, codes),
+                       (acc, c) -> acc * {k_cent} + c) AS code_word,
+           err2
+    FROM base
+    """
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -28,13 +28,15 @@ def _mm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m01_decode_features",
-    multimodal.decode_features_sql(),
+    multimodal.decode_features_wide_sql(),
     doc="Multimodal decode + feature extraction: binary payload column → "
     "Arrow-batched mapInPandas → 8-dim features (decoder stubbed "
-    "deterministically; plumbing real and oracle-verified).",
+    "deterministically; plumbing real and oracle-verified). Gate shape "
+    "flattens the feature vector to scalar columns — the driver's pandas "
+    "canonicalizer cannot sort array cells (CORRECTNESS_r02 m01 err).",
 )
 def m01_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_features(_mm(spark, sf_dir))
+    return multimodal.decode_features_wide(_mm(spark, sf_dir))
 
 
 @register(

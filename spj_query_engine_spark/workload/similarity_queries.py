@@ -75,16 +75,18 @@ def s05_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u01_pandas_normalize",
-    vectorops.normalize_embeddings_sql(),
+    vectorops.normalize_embeddings_long_sql(),
     doc="Arrow scalar pandas_udf surface: unit-normalize embeddings in a "
     "vectorized Python UDF whose sequential float64 fold reproduces the "
     "oracle's accumulation order exactly — the Python path, value-hash "
-    "verified.",
+    "verified. Gate shape posexplodes the unit vector to scalar rows — the "
+    "driver's pandas canonicalizer cannot sort array cells "
+    "(CORRECTNESS_r02 u01 err).",
 )
 def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spj_query_engine_spark.functions.vectorops import normalize_embeddings
+    from spj_query_engine_spark.functions.vectorops import normalize_embeddings_long
 
-    return normalize_embeddings(_emb(spark, sf_dir))
+    return normalize_embeddings_long(_emb(spark, sf_dir))
 
 
 @register(
@@ -103,17 +105,19 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s07_pq_encode",
-    similarity.pq_encode_sql(),
+    similarity.pq_encode_words_sql(),
     doc="Product quantization (Jegou et al.): %d sub-spaces x %d "
     "seed-deterministic centroids compress 64 floats to %d bytes per "
     "vector + squared reconstruction error - n x m narrow rows join a "
     "broadcast 128-row codebook, per-(vec, subspace) min partial-aggregates "
-    "map-side; the compression behind RAM-resident billion-vector ANN."
+    "map-side; the compression behind RAM-resident billion-vector ANN. "
+    "Gate shape packs the m codes into one BIGINT code word (array cells "
+    "break the driver's pandas canonicalizer, CORRECTNESS_r02 m01/u01)."
     % (similarity.PQ_M, similarity.PQ_K, similarity.PQ_M),
 )
 def s07_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.pq_encode(emb)
+    return similarity.pq_encode_words(emb)
 
 
 @register(

@@ -598,3 +598,35 @@ def test_clustering_coefficient_clique_vs_star(spark):
     }
     assert got[1]["cc_ppm"] == 1_000_000  # triangle member: fully clustered
     assert got[10]["cc_ppm"] == 0  # star hub: no closed wedge
+
+
+def test_pq_encode_words_packs_codes(emb):
+    """s07's gate shape: the m codes fold big-endian into one BIGINT
+    (acc * k_cent + code), agreeing with the array form and the SQL twin."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    spark = emb.sparkSession
+    rows = [
+        (0, [float(i) for i in range(8)]),
+        (1, [float(7 - i) for i in range(8)]),
+        (2, [float(i) + 0.1 for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    words = {
+        r["vec_id"]: r["code_word"]
+        for r in similarity.pq_encode_words(df, m=2, k_cent=2, dim=8).collect()
+    }
+    assert words == {0: 0, 1: 3, 2: 0}  # [0,0] -> 0, [1,1] -> 1*2+1, [0,0] -> 0
+    con = _duck.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": [r[1] for r in rows]}),
+    )
+    assert_same_result(
+        similarity.pq_encode_words(df, m=2, k_cent=2, dim=8),
+        con,
+        similarity.pq_encode_words_sql(m=2, k_cent=2),
+    )
+    con.close()

@@ -408,3 +408,61 @@ def test_format_sniff_flags_planted_png(spark):
     got = {r["doc_id"]: r for r in multimodal.format_sniff_audit(mm).collect()}
     assert set(got) == {9, 18}  # SNIFF_MOD = 9
     assert got[9]["sniffed"] == "image/png" and got[9]["declared"] == "text/utf-8"
+
+
+def test_decode_features_wide_flattens_and_matches_oracle(spark, mm):
+    """m01's gate shape: feat_k columns equal the array components exactly,
+    and the wide oracle twin agrees (the driver's canonicalizer cannot sort
+    array cells, so the registered entry must be all-scalar)."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    arr = {r["doc_id"]: r for r in multimodal.decode_features(mm).collect()}
+    wide = {r["doc_id"]: r for r in multimodal.decode_features_wide(mm).collect()}
+    for did, row in wide.items():
+        assert [row[f"feat_{k}"] for k in range(multimodal.FEAT_DIM)] == list(
+            arr[did]["feat"]
+        )
+        assert row["n_bytes"] == arr[did]["n_bytes"]
+    con = _duck.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abcdefgh", "spark engine"]}),
+    )
+    assert_same_result(wide and multimodal.decode_features_wide(mm), con,
+                       multimodal.decode_features_wide_sql())
+    con.close()
+
+
+def test_normalize_embeddings_long_posexplodes(spark):
+    """u01's gate shape: every (pos, val) pair of every unit vector, as
+    scalar rows, matching both the array form and the long oracle twin."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.functions.vectorops import (
+        normalize_embeddings,
+        normalize_embeddings_long,
+        normalize_embeddings_long_sql,
+    )
+    from tests.conftest import assert_same_result
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[3.0, 4.0], [0.0, 0.0], [1.0, 0.0]]}
+    )
+    emb = spark.createDataFrame(pdf).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    rows = normalize_embeddings_long(emb).collect()
+    got = {(r["vec_id"], r["pos"]): r["val"] for r in rows}
+    assert got[(0, 0)] == 0.6 and got[(0, 1)] == 0.8
+    assert got[(1, 0)] == 0.0  # zero vector passes through unscaled
+    assert got[(2, 0)] == 1.0
+    arrs = {r["vec_id"]: list(r["unit_vec"]) for r in normalize_embeddings(emb).collect()}
+    for (vid, pos), val in got.items():
+        assert arrs[vid][pos] == val
+    con = _duck.connect()
+    con.register("embeddings", pdf)
+    assert_same_result(normalize_embeddings_long(emb), con,
+                       normalize_embeddings_long_sql())
+    con.close()
