@@ -339,11 +339,13 @@ def vowel_profile(spark, docs) -> "object":
 
 
 def vowel_profile_sql(table: str = "documents") -> str:
+    # COALESCE: the pandas UDF maps NULL text to 0, so Spark's sum over an
+    # all-NULL-text group is 0; SQL's sum skips NULLs and would yield NULL.
     vc = "len(regexp_extract_all(lower(text), '[aeiou]'))"
     return f"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum({vc}) AS BIGINT) AS n_vowels,
+           CAST(COALESCE(sum({vc}), 0) AS BIGINT) AS n_vowels,
            CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM {table}
     GROUP BY lang

@@ -2475,8 +2475,12 @@ def lsh_band_tuning(
     Cost anatomy: ONE signature pass (the d02 MIN aggregates) feeds every
     config; per config one band equi-join (bounded exactly like d02's);
     verification joins the shingle index only for the DISTINCT union of
-    candidates across configs (nested by construction: coarser bands are
-    stricter).  Output is one row per config — integers only."""
+    candidates across configs.  Candidate sets nest only where the finer
+    cut subdivides a coarser band exactly (2→3, 2→4, 2→6, 3→6, 4→6 of
+    the 12-component signature); the 3→4 cut misaligns (no 3-row band
+    lies inside a 4-row band), so the union — not a superset assumption —
+    is what makes one verification pass sound.  Output is one row per
+    config — integers only."""
     inv = shingle_index(docs, text_col, id_col).persist()
     sigs = inv.groupBy("doc_id").agg(
         *[

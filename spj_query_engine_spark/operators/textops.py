@@ -1351,8 +1351,11 @@ def collocations(docs: DataFrame, text_col: str = "text", k: int = COLL_TOP_K) -
     Shape: one token explode → unigram rollup (vocabulary-bounded), one
     pair projection → bigram rollup (pair-vocabulary-bounded), a 1-row
     total broadcast, a support filter BEFORE the ranking window.  At
-    int64 limits: n_bigram·N·10⁶ overflows past N ≈ 10¹² tokens — swap
-    the lift to DECIMAL(38,0) there; the plan shape is unchanged."""
+    int64 limits: the numerator n_bigram·N·10⁶ must stay under 2⁶³, and
+    for natural text the top bigram count is ~N/20, so overflow hits
+    around N ≈ 10⁸–10⁹ tokens (with ANSI off Spark would wrap silently
+    and corrupt the ranking) — swap the lift to DECIMAL(38,0) beyond
+    that; the plan shape is unchanged."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
