@@ -3,10 +3,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "workload_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"q01_scan_full": sec, ...}, "sf": 0.1}
+     "queries": {<slowest that fit the driver's 2000-char tail>},
+     "n_queries": N, "detail": "BENCH_DETAIL.json", "sf": 0.1}
 
-Each query executes fully through Spark's noop sink (no driver collect — the
-measurement is engine throughput, not result transfer)."""
+Full per-query timings land in BENCH_DETAIL.json (the printed line must fit
+the driver's bounded output tail; see the comment at the bottom).  Each query
+executes fully through Spark's noop sink (no driver collect — the measurement
+is engine throughput, not result transfer)."""
 
 from __future__ import annotations
 
@@ -43,10 +46,16 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_WARMUP=0 restores cold-start measurement.
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 
+    # Local-iteration filter: SPARK_GRAFT_BENCH_ONLY="d02 s01" limits the run
+    # to names containing any of the substrings.  Unset in driver runs.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, wq in REGISTRY.items():
         if not wq.bench:
+            continue
+        if only and not any(s in name for s in only):
             continue
         try:
             runs = []
@@ -84,13 +93,47 @@ def main() -> None:
 
         gc.collect()
 
+    # The driver keeps only the LAST 2000 characters of bench output and
+    # parses the final JSON line from that window (BENCH_r02: 190 per-query
+    # timings made the line ~5000 chars, the head was sheared off, and the
+    # round recorded "parsed": null).  Full per-query detail therefore goes
+    # to BENCH_DETAIL.json at the repo root, and the printed line carries
+    # the total plus as many of the SLOWEST queries (the ones perf grading
+    # cares about) as fit a conservative 1900-char budget.
+    detail = {
+        "metric": "workload_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t == t),
+        key=lambda kv: kv[1],
+        reverse=True,
+    )
+    line_queries: dict[str, float] = {}
+    for n, t in slowest:
+        line_queries[n] = t
+        probe = dict(detail, queries=line_queries,
+                     n_queries=len(timings), detail="BENCH_DETAIL.json")
+        if len(json.dumps(probe)) > 1900:
+            del line_queries[n]
+            break
     print(
         json.dumps(
             {
                 "metric": "workload_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": line_queries,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
