@@ -2766,3 +2766,239 @@ def clustering_coefficient_sql(table: str = "documents") -> str:
                 // (cc_deg.deg * (cc_deg.deg - 1)) AS BIGINT) AS cc_ppm
     FROM cc_deg LEFT JOIN cc_tri ON cc_tri.doc_id = cc_deg.u
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (d23) — the sketch-based EXACT-dup screen
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash functions
+BLOOM_M = 1 << 16  # bit positions (65,536)
+_BLOOM_AB = minhash_params(BLOOM_K, seed=77)
+
+
+def bloom_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BLOOM-FILTER ingestion screen: flag each incoming document whose
+    ``BLOOM_K`` bit positions are ALL already set by the existing corpus —
+    the constant-space membership sketch every ingestion pipeline puts in
+    FRONT of content-hash dedup (d01 re-hashes the world every batch; a
+    Bloom filter of the seen corpus answers "definitely new" in O(k) with
+    zero false negatives).  Incoming batch = d11's deterministic
+    ``doc_id % INC_MOD >= INC_NEW`` slice.
+
+    Positions are the portable universal-hash family over the text's h32
+    (same machinery as MinHash, different seed), mod ``BLOOM_M``, so both
+    engines compute identical bits and even this probabilistic structure
+    is value-hash replayable.  Output per incoming doc: the Bloom verdict,
+    the exact-duplicate truth (md5 equality against the corpus slice), and
+    the false-positive flag — the measured FP rate is the (1−e^(−kn/m))^k
+    curve every deployment sizes m against.
+
+    Scale shape: the corpus side collapses to ≤ m DISTINCT set-bit rows
+    (the relational stand-in for the bitmap; at 100 TB aggregate them
+    into a BLOOM_M-bit binary with bit_or and BROADCAST it — the join
+    disappears, the verdict becomes a map-side expression).  The
+    position equi-join is k·|batch| narrow rows against ≤ m rows — never
+    corpus×corpus; the exact-truth join is digest-vs-digest (d01's
+    shuffle shape) and exists here only to GRADE the sketch."""
+    h = h32(F.col(text_col))
+    is_new = (F.col(id_col) % INC_MOD) >= INC_NEW
+    base = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest"), h.alias("h"), is_new.alias("is_new")
+    )
+    positions = [
+        (minhash_perm(F.col("h"), a, b) % BLOOM_M).alias(f"pos_{j}")
+        for j, (a, b) in enumerate(_BLOOM_AB)
+    ]
+    wide = base.select(id_col, "digest", "is_new", *positions)
+    seen_bits = (
+        wide.filter(~F.col("is_new"))
+        .select(
+            F.explode(F.array(*[F.col(f"pos_{j}") for j in range(BLOOM_K)])).alias(
+                "bit"
+            )
+        )
+        .distinct()
+    )
+    new_pos = wide.filter(F.col("is_new")).select(
+        F.col(id_col).alias("new_id"),
+        F.col("digest").alias("new_digest"),
+        F.posexplode(F.array(*[F.col(f"pos_{j}") for j in range(BLOOM_K)])).alias(
+            "j", "bit"
+        ),
+    )
+    hits = (
+        new_pos.join(seen_bits, "bit", "left_semi")
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    corpus_digests = (
+        wide.filter(~F.col("is_new")).select(F.col("digest").alias("new_digest")).distinct()
+    )
+    truth = (
+        wide.filter(F.col("is_new"))
+        .select(F.col(id_col).alias("new_id"), F.col("digest").alias("new_digest"))
+        .join(
+            corpus_digests.withColumn("exact_dup", F.lit(1)),
+            "new_digest",
+            "left",
+        )
+    )
+    return (
+        truth.join(hits, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_K)
+            .cast("long")
+            .alias("bloom_hit"),
+            F.coalesce(F.col("exact_dup"), F.lit(0)).cast("long").alias("exact_dup"),
+        )
+        .withColumn(
+            "false_positive",
+            (F.col("bloom_hit") == 1).cast("long")
+            * (F.col("exact_dup") == 0).cast("long"),
+        )
+    )
+
+
+def bloom_dedup_sql(table: str = "documents") -> str:
+    pos_exprs = ", ".join(
+        f"({minhash_perm_sql(h32_sql('text'), a, b)}) % {BLOOM_M} AS pos_{j}"
+        for j, (a, b) in enumerate(_BLOOM_AB)
+    )
+    pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, digest, is_new, pos_{j} AS bit FROM wide"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH wide AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS digest,
+             (doc_id % {INC_MOD}) >= {INC_NEW} AS is_new,
+             {pos_exprs}
+      FROM {table}
+    ),
+    pos AS MATERIALIZED ({pos_union}),
+    seen_bits AS (SELECT DISTINCT bit FROM pos WHERE NOT is_new),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_hit
+      FROM pos p JOIN seen_bits s ON s.bit = p.bit
+      WHERE p.is_new GROUP BY p.doc_id
+    ),
+    corpus_digests AS (SELECT DISTINCT digest FROM wide WHERE NOT is_new),
+    truth AS (
+      SELECT w.doc_id,
+             CASE WHEN c.digest IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+      FROM wide w LEFT JOIN corpus_digests c ON c.digest = w.digest
+      WHERE w.is_new
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN COALESCE(h.n_hit, 0) = {BLOOM_K} THEN 1 ELSE 0 END
+                AS BIGINT) AS bloom_hit,
+           CAST(t.exact_dup AS BIGINT) AS exact_dup,
+           CAST(CASE WHEN COALESCE(h.n_hit, 0) = {BLOOM_K} AND t.exact_dup = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+    FROM truth t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (g08) — seeded relevance over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PPR_SEED_MOD = 50  # nodes with doc_id % PPR_SEED_MOD == 0 form the seed set
+
+
+def personalized_pagerank(
+    docs: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """PERSONALIZED PageRank (g01's power iteration with the teleport mass
+    pinned to a seed set): restart probability flows only to nodes with
+    ``doc_id % PPR_SEED_MOD == 0``, so rank measures proximity TO THE
+    SEEDS — the "more like these" primitive behind seed-based data
+    curation (rank a corpus by closeness to a trusted sub-corpus) and
+    item-to-item recommendation, where global PageRank only measures
+    popularity.
+
+    Same fixed-point integer arithmetic as g01 (units of 1e-12,
+    ``rank div deg`` contributions, damping as an exact 85/100 rational)
+    — no float enters, the oracle replays every unrolled round
+    bit-for-bit.  Non-seed nodes start AND restart at 0; mass enters
+    only through seeds and decays through the damped walk, so scores
+    order nodes by seed-reachability.
+
+    Scale shape: identical to g01 — per round one equi-join of the rank
+    vector onto degree-annotated edges plus one aggregate on the
+    destination; the seed indicator is a pure projection.  O(|E|) per
+    round, localCheckpoint barriers keep lineage flat."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges_deg.select("src").distinct().localCheckpoint(eager=True)
+    seed_term = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    is_seed = (F.col("src") % PPR_SEED_MOD == 0).cast("long")
+    rank = nodes.select(
+        "src", (is_seed * F.lit(PR_SCALE)).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(rank, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        rank = (
+            nodes
+            .join(incoming, F.col("src") == F.col("dst"), "left")
+            .select(
+                "src",
+                (
+                    is_seed * F.lit(seed_term)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0L)) div {PR_DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return rank.select(F.col("src").alias("doc_id"), F.col("rank").alias("ppr"))
+
+
+def personalized_pagerank_sql(
+    table: str = "documents", iters: int = PR_ITERS
+) -> str:
+    seed_term = str((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN)
+    seed = f"CASE WHEN src % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END"
+    sql = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    rank0 AS (SELECT src, ({seed} * {PR_SCALE})::BIGINT AS rank FROM deg)
+    """
+    prev = "rank0"
+    for i in range(1, iters + 1):
+        sql += f"""
+    , contrib{i} AS (
+      SELECT e.dst, r.rank // d.deg AS c
+      FROM edges e JOIN {prev} r ON r.src = e.src JOIN deg d ON d.src = e.src
+    ),
+    incoming{i} AS (SELECT dst, SUM(c) AS inc FROM contrib{i} GROUP BY dst),
+    rank{i} AS (
+      SELECT deg.src,
+             (({seed.replace('src', 'deg.src')}) * {seed_term}
+              + ({PR_DAMP_NUM} * COALESCE(i.inc, 0)) // {PR_DAMP_DEN})::BIGINT AS rank
+      FROM deg LEFT JOIN incoming{i} i ON i.dst = deg.src
+    )
+    """
+        prev = f"rank{i}"
+    sql += f"SELECT src AS doc_id, rank AS ppr FROM {prev}"
+    return sql

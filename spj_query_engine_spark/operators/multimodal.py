@@ -585,3 +585,116 @@ def format_sniff_audit_sql(table: str = "documents", mod: int = SNIFF_MOD) -> st
     FROM {table}
     WHERE doc_id % {mod} = 0 AND text IS NOT NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (m10) — variable-boundary blob dedup
+# ---------------------------------------------------------------------------
+
+CDC_W = 8  # rolling-hash window (bytes)
+CDC_B = 257  # polynomial base
+CDC_P = 1_000_003  # hash modulus (prime)
+CDC_D = 64  # boundary divisor → ~64-byte average chunks
+_CDC_PW = [pow(CDC_B, j, CDC_P) for j in range(CDC_W)]
+
+
+def cdc_chunks(mm: DataFrame, d: int = CDC_D) -> DataFrame:
+    """CONTENT-DEFINED chunking (the LBFS/rsync/casync boundary rule):
+    split each payload where a ``CDC_W``-byte polynomial rolling hash is
+    ≡ 0 mod ``CDC_D``, so boundaries move WITH the content — insert one
+    byte and only the chunk containing the edit changes, where d13's
+    fixed-offset blocks would shift-invalidate every block after it.
+    This is how binary/blob corpora (model checkpoints, video, crawl
+    WARCs) dedup at scale.  Each chunk carries its fingerprint and the
+    corpus-wide copy count of identical content.
+
+    The byte loop is inherently per-byte work → Arrow-batched
+    ``mapInPandas`` with a vectorized numpy fold (the real-codec slot, as
+    m01-m04); the hash uses reduced powers B^j mod P so every term stays
+    far inside int64 and the DuckDB oracle replays boundaries exactly
+    over the ASCII codes (payload == UTF-8 text here).  Scale shape: the
+    fan-out is rows→chunks (bounded by bytes/D), the census is one
+    groupBy on the 8-hex fingerprint — d01's digest-only shuffle, never
+    bodies."""
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bs = bytes(payload)
+                n = len(bs)
+                if n == 0:
+                    continue
+                starts = [0]
+                if n >= CDC_W:
+                    a = np.frombuffer(bs, dtype=np.uint8).astype(np.int64)
+                    h = np.zeros(n - CDC_W + 1, dtype=np.int64)
+                    for j in range(CDC_W):
+                        h += a[j : n - CDC_W + 1 + j] * _CDC_PW[j]
+                    h %= CDC_P
+                    for i in np.nonzero(h % d == 0)[0] + (CDC_W - 1):
+                        if i < n - 1:
+                            starts.append(int(i) + 1)
+                ends = starts[1:] + [n]
+                for cno, (s, e) in enumerate(zip(starts, ends)):
+                    fp = int(hashlib.md5(bs[s:e]).hexdigest()[:8], 16)
+                    rows.append((doc_id, cno, s, e - s, fp))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_no", "start", "n_bytes", "fp"]
+            )
+
+    chunks = mm.mapInPandas(
+        chunk,
+        schema="doc_id long, chunk_no int, start int, n_bytes int, fp long",
+    )
+    from pyspark.sql import Window
+
+    return chunks.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("long")
+    )
+
+
+def cdc_chunks_sql(table: str = "documents", d: int = CDC_D) -> str:
+    # term j of the window ending at 0-based position i reads 1-based list
+    # index (i - CDC_W + 1 + j) + 1 = i - (CDC_W - 2) + j
+    hash_terms = " + ".join(
+        f"cs[i - {CDC_W - 2 - j}] * {_CDC_PW[j]}" for j in range(CDC_W)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, text,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS cs,
+             octet_length(encode(text)) AS n
+      FROM {table} WHERE octet_length(encode(text)) > 0
+    ),
+    bounds AS (
+      SELECT doc_id, i
+      FROM base, unnest(range({CDC_W - 1}, n)) AS u(i)
+      WHERE (({hash_terms}) % {CDC_P}) % {d} = 0 AND i < n - 1
+    ),
+    starts AS (
+      SELECT doc_id, 0 AS s FROM base
+      UNION ALL
+      SELECT doc_id, i + 1 AS s FROM bounds
+    ),
+    chunks AS (
+      SELECT st.doc_id, st.s,
+             lead(st.s, 1, b.n) OVER (PARTITION BY st.doc_id ORDER BY st.s) AS e,
+             row_number() OVER (PARTITION BY st.doc_id ORDER BY st.s) - 1
+               AS chunk_no
+      FROM starts st JOIN base b USING (doc_id)
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(chunk_no AS INTEGER) AS chunk_no,
+             CAST(s AS INTEGER) AS start,
+             CAST(e - s AS INTEGER) AS n_bytes,
+             ('0x' || substr(md5(substr(text, s + 1, e - s)), 1, 8))::BIGINT AS fp
+      FROM chunks JOIN base USING (doc_id)
+    )
+    SELECT doc_id, chunk_no, start, n_bytes, fp,
+           CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+    FROM fps
+    """

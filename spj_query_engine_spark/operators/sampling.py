@@ -1160,3 +1160,68 @@ def dsir_selection_sql(table: str = "documents", target_lang: str = "en") -> str
              AS mean_weight
     FROM per_doc, cut GROUP BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Source-interleaved training order (p16) — the data-ORDER half of mixing
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_SHARDS = 8  # output shards the ordered stream is striped across
+
+
+def interleave_sources(
+    docs: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic SOURCE-INTERLEAVED training order: round-robin across
+    sources so no contiguous run of one source dominates a training batch
+    — p03/p15 decide WHAT to keep; this decides the ORDER it is consumed
+    in (homogeneous runs correlate gradients; interleaving is the standard
+    fix, and determinism makes the run replayable).
+
+    Order key: rank of the doc within its source (by id — deterministic,
+    no sampler state), then source name; position is the dense global
+    index over that pair, so sources alternate A,B,C,A,B,C… until a
+    source exhausts, exactly like a round-robin data loader.  The shard
+    stripe (position mod shards) gives each training worker an identical
+    source mix.
+
+    Shape: one window per source partition (rank) + one global ordering
+    window for position.  The global window is the honest cost of a TOTAL
+    order — same as p09's curriculum; at 100 TB emit (rank, source) as
+    the SORT KEY and let the writer's rangepartition produce the order
+    without a single-partition window, or keep positions per-shard
+    (partitionBy shard) — both documented forms of the same plan."""
+    from pyspark.sql import Window
+
+    per_src = Window.partitionBy(source_col).orderBy(id_col)
+    glob = Window.orderBy("rr_rank", source_col)
+    return (
+        docs.select(id_col, source_col)
+        .withColumn("rr_rank", F.row_number().over(per_src))
+        .withColumn("position", F.row_number().over(glob).cast("long"))
+        .select(
+            id_col,
+            source_col,
+            F.col("rr_rank").cast("long").alias("rr_rank"),
+            "position",
+            F.pmod(F.col("position") - 1, F.lit(INTERLEAVE_SHARDS))
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+
+def interleave_sources_sql(table: str = "documents") -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rr_rank
+      FROM {table}
+    )
+    SELECT doc_id, source,
+           CAST(rr_rank AS BIGINT) AS rr_rank,
+           CAST(row_number() OVER (ORDER BY rr_rank, source) AS BIGINT) AS position,
+           CAST((row_number() OVER (ORDER BY rr_rank, source) - 1)
+                % {INTERLEAVE_SHARDS} AS BIGINT) AS shard
+    FROM ranked
+    """

@@ -1991,3 +1991,94 @@ def rrf_fusion_sql(table: str = "embeddings", n_queries: int = N_QUERIES) -> str
       FROM fused
     ) WHERE rank <= {RRF_TOP}
     """
+
+
+# ---------------------------------------------------------------------------
+# NN-descent refinement (s17) — one neighbor-of-neighbor round over s06
+# ---------------------------------------------------------------------------
+
+
+def nn_descent_round(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KNN_K,
+) -> DataFrame:
+    """One NN-DESCENT round (Dong et al., WWW'11) over the s06 kNN graph:
+    candidates are the current graph's neighbors-of-neighbors — taken over
+    the UNDIRECTED graph (neighbors ∪ reverse neighbors), the paper's key
+    move — exact-reranked against the existing edges to produce a strictly
+    better top-k.  This is how production kNN graphs are built when the
+    IVF seed graph is too coarse: each round costs O(n·(2k)²) scored pairs
+    regardless of corpus size, and recall climbs toward exact without any
+    all-pairs stage.  Monotone by construction: the old edges are in the
+    candidate set, so the new kth cosine can never be worse.
+
+    Scale shape: the graph is 2·n·k narrow rows; the expansion is ONE
+    self-equi-join on the middle vertex (bounded by degree, never the
+    corpus), rerank joins ship (id, vec) pairs exactly like s06, and the
+    per-vertex top-k window sees ≤ (2k)² + k candidates.  Further rounds
+    iterate the same plan with a localCheckpoint barrier per round."""
+    base = knn_join(embeddings, vec_col, id_col, k=k)
+    fwd = base.select(F.col(id_col).alias("a"), F.col("nbr_id").alias("b"))
+    fwd = fwd.localCheckpoint(eager=True)  # base feeds two branches below
+    und = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    cand = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("qid"), F.col("y.b").alias("mid"))
+        .filter(F.col("qid") != F.col("mid"))
+        .unionByName(fwd.select(F.col("a").alias("qid"), F.col("b").alias("mid")))
+        .distinct()
+    )
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    q = emb.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    m = emb.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
+    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cand.join(q, "qid")
+        .join(m, "mid")
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("mid").alias("nbr_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nn_descent_round_sql(table: str = "embeddings", k: int = KNN_K) -> str:
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
+    return f"""
+    WITH base AS MATERIALIZED ({knn_join_sql(table, k=k)}),
+    fwd AS (SELECT vec_id AS a, nbr_id AS b FROM base),
+    und AS MATERIALIZED (
+      SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b FROM fwd
+    ),
+    cand AS (
+      SELECT x.a AS qid, y.b AS mid
+      FROM und x JOIN und y ON y.a = x.b
+      WHERE x.a != y.b
+      UNION
+      SELECT a AS qid, b AS mid FROM fwd
+    ),
+    scored AS (
+      SELECT cand.qid AS vec_id, cand.mid AS nbr_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.qid
+      JOIN {table} m ON m.vec_id = cand.mid
+    )
+    SELECT vec_id, nbr_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

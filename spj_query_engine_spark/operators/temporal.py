@@ -1796,3 +1796,89 @@ def sketch_rollup_sql(table: str = "events") -> str:
     FROM {table}
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay sweep (e41) — design-of-experiments for the watermark knob
+# ---------------------------------------------------------------------------
+
+WATERMARK_SWEEP_MS = (0, 10_000, 60_000, 300_000, 900_000)  # candidate delays
+
+
+def watermark_sweep(events: DataFrame) -> DataFrame:
+    """WATERMARK-DELAY sweep: for every candidate delay, the exact number
+    of events a streaming job with that ``withWatermark`` setting would
+    DROP as late — the delay → data-loss curve (d21 is to d02 what this
+    is to e37: e37 audits ONE configured budget; this sweeps the knob so
+    the budget is CHOSEN from data, not guessed).
+
+    An event is dropped iff its lateness — running max of event time over
+    arrival order (event_id) within its type, minus its own event time —
+    EXCEEDS the delay; that is precisely Structured Streaming's drop rule
+    on a per-key watermark.  drop_ppm is integer (n_dropped·10⁶ div n),
+    so the hash can never drift.
+
+    Shape: ONE window pass computes lateness (e37's anatomy), then the
+    sweep is a conditional-sum ROLLUP — the candidate array never
+    multiplies the event rows (no explode), so sweeping 5 or 50 delays
+    costs the same single shuffle.  At 100 TB: partition the window by
+    (type, ingest shard) exactly as e37 documents."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast(T.TimestampType()))
+    late = events.select(
+        "event_type",
+        (F.max(ts_ms).over(w) - ts_ms).alias("late_ms"),
+    )
+    per_type = late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(F.when(F.col("late_ms") > d, 1).otherwise(0)).alias(f"drop_{d}")
+            for d in WATERMARK_SWEEP_MS
+        ],
+    )
+    # unpivot the sweep to (event_type, delay_ms, n_dropped, drop_ppm) rows
+    stacked = per_type.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "stack(%d, %s) AS (delay_ms, n_dropped)"
+            % (
+                len(WATERMARK_SWEEP_MS),
+                ", ".join(f"{d}L, drop_{d}" for d in WATERMARK_SWEEP_MS),
+            )
+        ),
+    )
+    return stacked.select(
+        "event_type",
+        "delay_ms",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.expr("(n_dropped * 1000000) div n_events").cast("long").alias("drop_ppm"),
+    )
+
+
+def watermark_sweep_sql(table: str = "events") -> str:
+    over = (
+        "PARTITION BY event_type ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    delays = ", ".join(f"({d})" for d in WATERMARK_SWEEP_MS)
+    return f"""
+    WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms FROM {table}),
+    late AS (
+      SELECT event_type, max(ts_ms) OVER ({over}) - ts_ms AS late_ms FROM e
+    )
+    SELECT event_type,
+           d.delay_ms::BIGINT AS delay_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_ms > d.delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST((sum(CASE WHEN late_ms > d.delay_ms THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS drop_ppm
+    FROM late, (VALUES {delays}) AS d(delay_ms)
+    GROUP BY event_type, d.delay_ms
+    """

@@ -372,3 +372,33 @@ def d22_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g07_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.clustering_coefficient(_docs(spark, sf_dir))
+
+
+@register(
+    "d23_bloom_dedup",
+    dedup.bloom_dedup_sql(),
+    doc="Bloom-filter ingestion screen: %d portable hash bits over %d "
+    "positions per doc, incoming batch flagged when ALL bits are set by "
+    "the corpus, graded against exact md5 truth (zero false negatives by "
+    "construction; the false_positive column measures the (1-e^-kn/m)^k "
+    "cost).  Corpus side collapses to <= m distinct set bits - at 100 TB "
+    "a broadcast bitmap, never corpus x corpus."
+    % (dedup.BLOOM_K, dedup.BLOOM_M),
+)
+def d23_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.bloom_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "g08_personalized_pagerank",
+    dedup.personalized_pagerank_sql(),
+    doc="Personalized PageRank: teleport mass pinned to the deterministic "
+    "seed set (doc_id %% %d == 0), %d unrolled fixed-point integer "
+    "rounds - 'more like these' seed-proximity scoring for curation and "
+    "recommendation where global PageRank (g01) only measures "
+    "popularity; per round one rank-onto-edges equi-join + one "
+    "destination aggregate, O(|E|)."
+    % (dedup.PPR_SEED_MOD, dedup.PR_ITERS),
+)
+def g08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.personalized_pagerank(_docs(spark, sf_dir))

@@ -2504,3 +2504,49 @@ from spj_query_engine_spark.operators import recommend
 def g06_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return recommend.copurchase_topk(li)
+
+
+# --- q66: correlated scalar subquery (decorrelated to a join by design) ---
+
+
+@register(
+    "q66_correlated_subquery",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal > (
+      SELECT avg(s2.s_acctbal) FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """,
+    doc="Correlated scalar subquery: suppliers above their own nation's "
+    "average balance.  The oracle keeps the textbook correlated form; the "
+    "engine runs the DECORRELATED plan every optimizer rewrites it to - "
+    "one per-nation aggregate (25 rows, broadcast) joined back to the "
+    "supplier scan - demonstrating the equivalence Catalyst itself uses. "
+    "The threshold compare multiplies out (bal * n > sum) in DECIMAL so "
+    "no float average can flip a boundary supplier; output echoes raw "
+    "doubles only.  One supplier scan + one broadcast join at any scale.",
+)
+def q66_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("supplier", "nation"))
+    dec = F.col("s_acctbal").cast("decimal(18,2)")
+    per_nation = (
+        t["supplier"]
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(dec).alias("bal_sum"),
+            F.count(F.lit(1)).alias("n_sup"),
+        )
+        .withColumnRenamed("s_nationkey", "agg_nationkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(per_nation),
+            F.col("s_nationkey") == F.col("agg_nationkey"),
+        )
+        .filter(dec * F.col("n_sup") > F.col("bal_sum"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )

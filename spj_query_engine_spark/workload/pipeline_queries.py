@@ -504,3 +504,33 @@ def p14_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p15_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.dsir_selection(docs)
+
+
+@register(
+    "p16_interleave_sources",
+    sampling.interleave_sources_sql(),
+    doc="Source-interleaved training order: deterministic round-robin "
+    "position + %d-way shard stripe per document - p03/p15 choose WHAT "
+    "to train on, this fixes the ORDER so no batch is a homogeneous "
+    "run of one source; one per-source rank window + the honest global "
+    "ordering window (or range-partitioned sort at 100 TB, documented)."
+    % sampling.INTERLEAVE_SHARDS,
+)
+def p16_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.interleave_sources(docs)
+
+
+@register(
+    "m10_cdc_chunking",
+    multimodal.cdc_chunks_sql(),
+    doc="Content-defined chunking (LBFS/rsync boundary rule): payload split "
+    "where the %d-byte rolling hash hits 0 mod %d, so boundaries move "
+    "WITH the content and an insert invalidates one chunk, not every "
+    "block after it (d13's fixed blocks shift-break); per-chunk "
+    "fingerprint + corpus-wide copy count.  Byte loop is Arrow-batched "
+    "mapInPandas with a vectorized numpy fold; census shuffles digests "
+    "only." % (multimodal.CDC_W, multimodal.CDC_D),
+)
+def m10_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.cdc_chunks(_mm(spark, sf_dir))

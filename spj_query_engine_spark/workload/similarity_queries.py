@@ -296,3 +296,18 @@ def u07_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fusion(_emb(spark, sf_dir))
+
+
+@register(
+    "s17_nn_descent",
+    similarity.nn_descent_round_sql(),
+    doc="One NN-descent round (Dong et al. WWW'11) over the s06 kNN graph: "
+    "undirected neighbor-of-neighbor expansion + exact rerank, monotone "
+    "by construction (old edges stay in the candidate set) - the "
+    "kNN-graph refinement loop production ANN builds run; O(n*(2k)^2) "
+    "scored pairs per round independent of corpus size, one self-join "
+    "on the middle vertex, never all-pairs.",
+)
+def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.nn_descent_round(emb)

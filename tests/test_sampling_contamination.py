@@ -244,3 +244,32 @@ def test_dsir_selection_recovers_target(spark, docs, duck):
     from tests.conftest import assert_same_result
 
     assert_same_result(sampling.dsir_selection(docs), duck, sampling.dsir_selection_sql())
+
+
+def test_interleave_sources_round_robins(spark):
+    """3 sources with 3/2/1 docs: positions must alternate A,B,C while all
+    sources last, then continue with the survivors; shard striping is
+    position mod INTERLEAVE_SHARDS; and the oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from tests.conftest import assert_same_result
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "source": ["A", "A", "A", "B", "B", "C"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = sampling.interleave_sources(docs).collect()
+    by_pos = [r["source"] for r in sorted(got, key=lambda r: r["position"])]
+    assert by_pos == ["A", "B", "C", "A", "B", "A"]
+    for r in got:
+        assert r["shard"] == (r["position"] - 1) % sampling.INTERLEAVE_SHARDS
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        sampling.interleave_sources(docs), con, sampling.interleave_sources_sql()
+    )
+    con.close()

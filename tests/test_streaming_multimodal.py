@@ -466,3 +466,47 @@ def test_normalize_embeddings_long_posexplodes(spark):
     assert_same_result(normalize_embeddings_long(emb), con,
                        normalize_embeddings_long_sql())
     con.close()
+
+
+def test_cdc_chunks_boundaries_move_with_content(spark):
+    """The CDC property d13's fixed blocks lack: PREPENDING one byte to a
+    shared payload must leave the shared suffix's chunk fingerprints
+    intact (boundaries are content-defined), so the two docs still share
+    chunks; and every doc's chunks must tile its byte length exactly.
+    The oracle twin agrees on the whole chunk table."""
+    import duckdb as _duck
+
+    # varied words → diverse 8-byte windows (a repeated short phrase has so
+    # few distinct windows that no boundary may fire); d=16 densifies
+    # boundaries on this small fixture, same machinery as the default 64
+    base_text = " ".join(f"word{i} tok{i * 7 % 93}" for i in range(60))
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base_text, "X" + base_text]}
+    )
+    mm = multimodal.attach_payload(spark.createDataFrame(pdf))
+    rows = multimodal.cdc_chunks(mm, d=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, chs in by_doc.items():
+        chs.sort(key=lambda r: r["chunk_no"])
+        n = len(base_text) + (1 if did == 2 else 0)
+        assert sum(c["n_bytes"] for c in chs) == n
+        assert chs[0]["start"] == 0
+        for a, b in zip(chs, chs[1:]):
+            assert b["start"] == a["start"] + a["n_bytes"]
+    fps1 = {r["fp"] for r in by_doc[1]}
+    fps2 = {r["fp"] for r in by_doc[2]}
+    assert fps1 & fps2, "content-defined boundaries must preserve shared chunks"
+    shared = fps1 & fps2
+    for r in rows:
+        if r["fp"] in shared:
+            assert r["n_copies"] >= 2
+    con = _duck.connect()
+    con.register("documents", pdf)
+    from tests.conftest import assert_same_result
+
+    assert_same_result(
+        multimodal.cdc_chunks(mm, d=16), con, multimodal.cdc_chunks_sql(d=16)
+    )
+    con.close()

@@ -364,3 +364,31 @@ def test_sketch_rollup_weekly_union(spark):
     weeks = sorted(got)
     assert got[weeks[0]]["exact_users"] == 3 and got[weeks[0]]["est_ok"] == 1
     assert got[weeks[1]]["exact_users"] == 2 and got[weeks[1]]["est_ok"] == 1
+
+
+def test_watermark_sweep_monotone_and_exact(spark):
+    """Constructed lateness: with arrival order 1..4 and event times
+    [10s, 30s, 5s, 29s], event 3 is 25s late and event 4 is 1s late —
+    delay 0 drops both, 10s drops only event 3, 60s drops none.  Drops
+    must be monotone non-increasing in the delay."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base + dt.timedelta(seconds=10), "view", 0.0),
+        (2, 1, base + dt.timedelta(seconds=30), "view", 0.0),
+        (3, 1, base + dt.timedelta(seconds=5), "view", 0.0),   # 25s late
+        (4, 1, base + dt.timedelta(seconds=29), "view", 0.0),  # 1s late
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["delay_ms"]: r for r in temporal.watermark_sweep(ev).collect()}
+    assert set(got) == set(temporal.WATERMARK_SWEEP_MS)
+    assert got[0]["n_dropped"] == 2
+    assert got[10_000]["n_dropped"] == 1
+    assert got[60_000]["n_dropped"] == 0
+    drops = [got[d]["n_dropped"] for d in sorted(got)]
+    assert drops == sorted(drops, reverse=True)
+    assert got[0]["drop_ppm"] == 500_000  # 2 of 4
