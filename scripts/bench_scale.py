@@ -149,6 +149,18 @@ FAMILY = [
     "g07_clustering_coeff",
     "p14_e2e_pipeline",
     "p15_dsir_selection",
+    # round-3 additions
+    "d23_bloom_dedup",
+    "g08_personalized_pagerank",
+    "s17_nn_descent",
+    "m10_cdc_chunking",
+    "e41_watermark_sweep",
+    "p16_interleave_sources",
+    "t22_vocab_power_law",
+    "m11_shot_boundaries",
+    "p17_token_budget_pack",
+    "t23_coverage_curve",
+    "d24_dedup_weights",
 ]
 
 
@@ -282,6 +294,15 @@ def _scaled_fn(name: str, sf_dir: str):
         def fn(spark, d):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
             return similarity.knn_join(emb, n_cells=16 * REPLICAS)
+
+        return fn
+    if name == "s17_nn_descent" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import similarity
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            return similarity.nn_descent_round(emb, n_cells=16 * REPLICAS)
 
         return fn
     if name == "s09_knn_join_2level" and sf_dir == SCALED:

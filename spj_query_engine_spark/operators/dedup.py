@@ -3002,3 +3002,40 @@ def personalized_pagerank_sql(
         prev = f"rank{i}"
     sql += f"SELECT src AS doc_id, rank AS ppr FROM {prev}"
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Duplication-aware training weights (d24) — down-weight instead of drop
+# ---------------------------------------------------------------------------
+
+
+def dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DUPLICATION-AWARE sampling weights: every document gets weight
+    1/n_copies of its exact-content group (ppm, integer floor) — the
+    DOWN-WEIGHT alternative to d01's drop (each distinct content
+    contributes total mass 1 regardless of copy count, so popular
+    boilerplate neither dominates the gradient nor vanishes entirely —
+    the soft-dedup recipe when copy count itself is signal).
+
+    Shape: d01's digest-only shuffle (md5 groupBy), one count join back on
+    the digest — bodies never shuffle; the weight is a pure projection."""
+    digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+    counts = digests.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return digests.join(counts, "fp").select(
+        id_col,
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.expr("1000000 div n_copies").cast("long").alias("weight_ppm"),
+    )
+
+
+def dedup_weights_sql(table: str = "documents") -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS fp FROM {table}),
+    c AS (SELECT fp, count(*) AS n_copies FROM d GROUP BY fp)
+    SELECT d.doc_id,
+           CAST(c.n_copies AS BIGINT) AS n_copies,
+           CAST(1000000 // c.n_copies AS BIGINT) AS weight_ppm
+    FROM d JOIN c USING (fp)
+    """

@@ -698,3 +698,105 @@ def cdc_chunks_sql(table: str = "documents", d: int = CDC_D) -> str:
            CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
     FROM fps
     """
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection (m11) — frame-difference cuts over the frame stream
+# ---------------------------------------------------------------------------
+
+SHOT_FRAMES = 16  # frames sampled per payload
+SHOT_DELTA_PPM = 80_000  # mean-intensity jump (ppm of the 0-255 range) → cut
+
+
+def shot_boundaries(mm: DataFrame, n_frames: int = SHOT_FRAMES) -> DataFrame:
+    """SHOT-BOUNDARY detection, the video-curation primitive (scene-level
+    dedup/sampling keys on shots, not raw frames): sample ``n_frames``
+    contiguous byte ranges per payload (m02's keyframe anatomy), reduce
+    each to an exact integer intensity profile, and flag a CUT wherever
+    the mean intensity jumps by more than ``SHOT_DELTA_PPM`` between
+    consecutive frames — the classic frame-difference detector with the
+    pixel decode stubbed to byte values (the mapInPandas slot a real
+    ffmpeg/PIL decoder drops into).
+
+    Exactness: per-frame mean rides as mean_ppm = (sum·10⁶) div (255·len)
+    — pure BIGINT — and the cut test compares |Δmean_ppm| to the
+    threshold, so both engines flag identical frames.  Scale shape: frame
+    extraction is Arrow-batched per-byte work; the consecutive-frame
+    compare is ONE lag window partitioned by doc (frames-per-doc bounded,
+    never corpus-wide); output one row per frame with its cut flag."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bs = bytes(payload)
+                n = len(bs)
+                for f in range(n_frames):
+                    lo = (n * f) // n_frames
+                    hi = (n * (f + 1)) // n_frames
+                    chunk = bs[lo:hi]
+                    if not chunk:
+                        continue
+                    mean_ppm = (sum(chunk) * 1_000_000) // (255 * len(chunk))
+                    rows.append((doc_id, f, len(chunk), mean_ppm))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes", "mean_ppm"]
+            )
+
+    frames = mm.mapInPandas(
+        stats,
+        schema="doc_id long, frame_no int, frame_bytes int, mean_ppm long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    delta = F.col("mean_ppm") - F.lag("mean_ppm").over(w)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        "frame_bytes",
+        "mean_ppm",
+        F.coalesce(F.abs(delta), F.lit(0)).cast("long").alias("delta_ppm"),
+        (F.coalesce(F.abs(delta), F.lit(0)) > SHOT_DELTA_PPM)
+        .cast("long")
+        .alias("is_cut"),
+    )
+
+
+def shot_boundaries_sql(
+    table: str = "documents", n_frames: int = SHOT_FRAMES
+) -> str:
+    """Oracle twin over ASCII codes: same integer frame boundaries, byte
+    sums and ppm means, same lag compare."""
+    selects = []
+    for f in range(n_frames):
+        lo = f"(octet_length(encode(text)) * {f}) // {n_frames}"
+        hi = f"(octet_length(encode(text)) * {f + 1}) // {n_frames}"
+        chunk = f"substr(text, ({lo}) + 1, ({hi}) - ({lo}))"
+        selects.append(
+            f"""SELECT doc_id, {f} AS frame_no,
+                length({chunk}) AS frame_bytes,
+                (list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split({chunk}, ''), c -> ascii(c)::BIGINT)),
+                   (a, x) -> a + x) * 1000000) // (255 * length({chunk}))
+                  AS mean_ppm
+             FROM {table} WHERE length({chunk}) > 0"""
+        )
+    frames = " UNION ALL ".join(selects)
+    return f"""
+    WITH frames AS MATERIALIZED ({frames}),
+    lagged AS (
+      SELECT doc_id, frame_no, frame_bytes, mean_ppm,
+             COALESCE(abs(mean_ppm - lag(mean_ppm) OVER (
+               PARTITION BY doc_id ORDER BY frame_no)), 0) AS delta_ppm
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(frame_bytes AS INTEGER) AS frame_bytes,
+           CAST(mean_ppm AS BIGINT) AS mean_ppm,
+           CAST(delta_ppm AS BIGINT) AS delta_ppm,
+           CAST(CASE WHEN delta_ppm > {SHOT_DELTA_PPM} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_cut
+    FROM lagged
+    """

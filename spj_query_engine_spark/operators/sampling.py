@@ -1225,3 +1225,97 @@ def interleave_sources_sql(table: str = "documents") -> str:
                 % {INTERLEAVE_SHARDS} AS BIGINT) AS shard
     FROM ranked
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget pack (p17) — budgeted greedy selection by quality rank
+# ---------------------------------------------------------------------------
+
+BUDGET_PCT = 30  # token budget as a percent of the corpus total
+
+
+def token_budget_pack(docs: DataFrame, budget_pct: int = BUDGET_PCT) -> DataFrame:
+    """TOKEN-BUDGET selection: walk the corpus in quality order (t02's
+    score, doc_id tie-break) and keep documents until the cumulative token
+    count fills ``budget_pct`` percent of the corpus — "give me the best N
+    tokens", the budgeted form of quality filtering every training run
+    with a fixed compute budget performs (p14 cuts at a quality threshold;
+    this cuts at a TOKEN total, which is what the budget actually is).
+
+    A doc is kept iff the cumulative tokens THROUGH it stay ≤ budget, plus
+    the first doc that crosses the line (so the budget is always reached —
+    the standard greedy-fill convention: its cum_tokens - doc_tokens <
+    budget test is integer-exact).  Budget = (total·pct) div 100, exact
+    BIGINT.  Shape: one corpus projection for token counts, a broadcast
+    1-row total, ONE ordered cumulative window — the honest global-order
+    pass (at 100 TB: range-partition on the sort key, same plan the p16
+    docstring documents).  Output: every kept doc with its rank and
+    running total."""
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.operators.textops import quality_score
+
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("doc_tokens"),
+    )
+    scored = toks.join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    total = toks.agg(F.sum("doc_tokens").alias("total_tokens"))
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("doc_tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .withColumn(
+            "budget", F.expr(f"(total_tokens * {budget_pct}) div 100").cast("long")
+        )
+    )
+    return ranked.filter(
+        F.col("cum_tokens") - F.col("doc_tokens") < F.col("budget")
+    ).select("doc_id", "quality", "doc_tokens", "sel_rank", "cum_tokens")
+
+
+def token_budget_pack_sql(
+    table: str = "documents", budget_pct: int = BUDGET_PCT
+) -> str:
+    from spj_query_engine_spark.operators.textops import quality_score_sql
+
+    return f"""
+    WITH q AS ({quality_score_sql(table)}),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS doc_tokens
+      FROM {table}
+    ),
+    scored AS (
+      SELECT toks.doc_id, q.quality, toks.doc_tokens
+      FROM toks JOIN q USING (doc_id)
+    ),
+    total AS (SELECT CAST(sum(doc_tokens) AS BIGINT) AS total_tokens FROM toks),
+    ranked AS (
+      SELECT doc_id, quality, doc_tokens,
+             CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC)
+                  AS BIGINT) AS sel_rank,
+             CAST(sum(doc_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens,
+             (total_tokens * {budget_pct}) // 100 AS budget
+      FROM scored, total
+    )
+    SELECT doc_id, quality, doc_tokens, sel_rank, cum_tokens
+    FROM ranked WHERE cum_tokens - doc_tokens < budget
+    """

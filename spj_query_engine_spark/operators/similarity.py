@@ -2003,6 +2003,7 @@ def nn_descent_round(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = KNN_K,
+    n_cells: int = KNN_CELLS,
 ) -> DataFrame:
     """One NN-DESCENT round (Dong et al., WWW'11) over the s06 kNN graph:
     candidates are the current graph's neighbors-of-neighbors — taken over
@@ -2018,8 +2019,12 @@ def nn_descent_round(
     self-equi-join on the middle vertex (bounded by degree, never the
     corpus), rerank joins ship (id, vec) pairs exactly like s06, and the
     per-vertex top-k window sees ≤ (2k)² + k candidates.  Further rounds
-    iterate the same plan with a localCheckpoint barrier per round."""
-    base = knn_join(embeddings, vec_col, id_col, k=k)
+    iterate the same plan with a localCheckpoint barrier per round.
+    The seed graph inherits s06's deployment knob: ``n_cells`` (or conf
+    ``spj.knn.cells``) must grow with the corpus so cell size stays
+    constant — the descent itself is O(n·(2k)²) either way, but a
+    fixed-cell seed graph pays quadratic within-cell rerank."""
+    base = knn_join(embeddings, vec_col, id_col, k=k, n_cells=n_cells)
     fwd = base.select(F.col(id_col).alias("a"), F.col("nbr_id").alias("b"))
     fwd = fwd.localCheckpoint(eager=True)  # base feeds two branches below
     und = fwd.unionByName(

@@ -1444,3 +1444,151 @@ def collocations_sql(table: str = "documents", k: int = COLL_TOP_K) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary power-law profile (t22) — the Zipf histogram behind vocab sizing
+# ---------------------------------------------------------------------------
+
+
+def vocab_power_law(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """VOCABULARY POWER-LAW profile: bucket every word by
+    ``floor(log2(frequency))`` and report words/occurrences per bucket —
+    the rank-frequency (Zipf) histogram that sizes tokenizer vocabularies
+    and coverage targets (how many singleton/doubleton words a vocab cut
+    strands, what share of tokens the head buckets carry).  t14 reports
+    the scalar vocab stats; this is the full distribution they summarize.
+
+    Exactness: the bucket is ``length(bin(freq)) - 1`` — the binary
+    bit-length, a pure integer/string op identical in both engines — so
+    no floating log can misplace a power-of-two boundary word.  Scale
+    shape: one token explode → vocabulary-bounded frequency rollup (the
+    t12/t14 anatomy), then a ~40-row bucket rollup; nothing after the
+    first aggregate touches corpus-sized data."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    freq = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        freq.select(
+            (F.length(F.bin(F.col("freq"))) - 1).cast("long").alias("freq_bucket"),
+            "freq",
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def vocab_power_law_sql(table: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM {table}
+    ),
+    freq AS (SELECT w, count(*) AS freq FROM toks GROUP BY w)
+    SELECT CAST(length(bin(freq)) - 1 AS BIGINT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_tokens
+    FROM freq GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (t23) — token mass vs vocab-size cut
+# ---------------------------------------------------------------------------
+
+COVERAGE_SWEEP = (10, 100, 1_000, 10_000)  # candidate vocabulary sizes
+
+
+def vocab_coverage_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """VOCABULARY COVERAGE curve: for each candidate vocab size N, the
+    share of corpus token mass covered by the N most frequent words — the
+    curve that picks a tokenizer's vocab size (t22 shows the shape of the
+    distribution; this answers "how big must the vocab be for 99%
+    coverage").  Rank ties break on the word itself so both engines cut
+    identically.
+
+    Shape: one token explode → vocabulary-bounded frequency rollup, ONE
+    rank window over the vocabulary (never the corpus), then the sweep is
+    conditional sums — N candidates never multiply vocabulary rows.
+    coverage_ppm is integer ((covered·10⁶) div total)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    freq = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    )
+    agg = ranked.agg(
+        F.sum("freq").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        *[
+            F.sum(F.when(F.col("rnk") <= n, F.col("freq")).otherwise(0)).alias(
+                f"cov_{n}"
+            )
+            for n in COVERAGE_SWEEP
+        ],
+    )
+    stacked = agg.filter(
+        # an empty corpus: the global aggregate still emits its one row
+        # (total NULL), but the oracle's GROUP BY over zero rows emits none
+        F.col("total_tokens").isNotNull()
+    ).select(
+        "total_tokens",
+        "vocab_size",
+        F.expr(
+            "stack(%d, %s) AS (cut, covered)"
+            % (
+                len(COVERAGE_SWEEP),
+                ", ".join(f"{n}L, cov_{n}" for n in COVERAGE_SWEEP),
+            )
+        ),
+    )
+    return stacked.select(
+        F.col("cut").alias("vocab_cut"),
+        F.least(F.col("cut"), F.col("vocab_size")).cast("long").alias("n_words"),
+        F.col("covered").cast("long").alias("tokens_covered"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("(covered * 1000000) div total_tokens").cast("long").alias(
+            "coverage_ppm"
+        ),
+    )
+
+
+def vocab_coverage_curve_sql(table: str = "documents") -> str:
+    cuts = ", ".join(f"({n})" for n in COVERAGE_SWEEP)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM {table}
+    ),
+    freq AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rnk
+      FROM freq
+    )
+    SELECT c.cut::BIGINT AS vocab_cut,
+           CAST(least(c.cut, count(*)) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN rnk <= c.cut THEN freq ELSE 0 END) AS BIGINT)
+             AS tokens_covered,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST((sum(CASE WHEN rnk <= c.cut THEN freq ELSE 0 END) * 1000000)
+                // sum(freq) AS BIGINT) AS coverage_ppm
+    FROM ranked, (VALUES {cuts}) AS c(cut)
+    GROUP BY c.cut
+    """

@@ -3,7 +3,7 @@ the extension point that lets this engine ingest formats Spark has no
 built-in reader for (proprietary logs, REST pages, message queues) with
 proper PARTITION-level parallelism: the driver plans ``InputPartition``
 splits, executors call ``read(partition)`` independently, and the rows
-enter the plan as a normal scan节点 feeding codegen.
+enter the plan as a normal scan node feeding codegen.
 
 The reference's ``ConvertTxtToTbl`` is a single-process file converter
 (SURVEY.md §2); this is its Spark-native generalization: any Python
@@ -16,7 +16,13 @@ keeps the partitioning contract.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 KNUTH = 2654435761
 MOD = 1000003
@@ -89,4 +95,103 @@ def detrange_rollup_sql(n: int = 2000) -> str:
            CAST(SUM(id) AS BIGINT) AS sum_id,
            CAST(SUM(val) AS BIGINT) AS sum_val
     FROM t GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource SINK (u08) — the writer half of the extension surface
+# ---------------------------------------------------------------------------
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()`` — a
+    custom Python WRITER (Spark 4 ``DataSourceWriter``): every task writes
+    its partition to one JSONL file and returns a picklable commit message;
+    the driver sees all commits in ``commit()``.  This is the sink-side
+    twin of ``detrange`` (u05): together they prove the full custom-format
+    ROUND TRIP — any Python serializer becomes a distributed, task-parallel
+    writer with the same contract a real connector (message queue, REST
+    batch upload, proprietary format) would implement."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite):  # noqa: ANN001
+        return JsonlSinkWriter(self.options)
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = str(options["path"])
+
+    def write(self, iterator):  # noqa: ANN001
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(fn)  # spark.read.json chokes on 0-byte files
+        return WriterCommitMessage()
+
+
+def register_jsonlsink(spark) -> None:  # noqa: ANN001
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+
+
+def sink_roundtrip_rollup(spark, docs):  # noqa: ANN001
+    """u08's query: shard documents' (doc_id, n_chars) by ``doc_id % 8``,
+    push them through the Python JSONL sink, read the files back with the
+    built-in json reader, and roll up per shard — byte-for-byte roundtrip
+    proof whose output is independent of task layout (the rollup ignores
+    which task wrote which file).  The oracle computes the same rollup
+    straight from the table."""
+    import tempfile
+
+    register_jsonlsink(spark)
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="spj_u08_")
+    (
+        docs.select(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"), "n_chars"
+        )
+        .repartition(8, "shard")
+        .write.format("jsonlsink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # explicit schema: zero input rows leave no files behind (the writer
+    # deletes empties) and inference would fail on the bare directory
+    back = spark.read.schema("doc_id long, shard long, n_chars long").json(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_docs", "total_chars", "id_sum")
+    )
+
+
+def sink_roundtrip_rollup_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM {table}
+    GROUP BY 1
     """

@@ -402,3 +402,16 @@ def d23_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.personalized_pagerank(_docs(spark, sf_dir))
+
+
+@register(
+    "d24_dedup_weights",
+    dedup.dedup_weights_sql(),
+    doc="Duplication-aware sampling weights: 1/n_copies ppm per doc of each "
+    "exact-content group - the DOWN-WEIGHT alternative to d01's drop "
+    "(every distinct content contributes total mass 1, so boilerplate "
+    "neither dominates the gradient nor vanishes); d01's digest-only "
+    "shuffle + one digest join back, bodies never move.",
+)
+def d24_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_weights(_docs(spark, sf_dir))

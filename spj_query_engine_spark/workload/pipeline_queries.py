@@ -534,3 +534,54 @@ def p16_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m10_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.cdc_chunks(_mm(spark, sf_dir))
+
+
+from spj_query_engine_spark.sources.pydatasource import (
+    sink_roundtrip_rollup,
+    sink_roundtrip_rollup_sql,
+)
+
+
+@register(
+    "u08_python_sink",
+    sink_roundtrip_rollup_sql(),
+    doc="Custom Python DataSource WRITER (Spark 4 DataSourceWriter): tasks "
+    "write partition-parallel JSONL files through the jsonlsink format "
+    "and the rollup of the read-back equals the source table - the sink "
+    "half of u05's extension surface, proving the full custom-format "
+    "round trip a real connector (queue, REST, proprietary format) "
+    "implements.",
+    bench=False,  # dominated by local file IO, not engine throughput
+)
+def u08_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sink_roundtrip_rollup(spark, docs)
+
+
+@register(
+    "m11_shot_boundaries",
+    multimodal.shot_boundaries_sql(),
+    doc="Shot-boundary detection (frame-difference cuts): %d byte-range "
+    "frames per payload, exact integer intensity profile per frame, cut "
+    "where |delta mean_ppm| exceeds %d - the scene segmentation step "
+    "video curation keys on; Arrow-batched frame stats + ONE per-doc lag "
+    "window, decode slot stubbed to byte values."
+    % (multimodal.SHOT_FRAMES, multimodal.SHOT_DELTA_PPM),
+)
+def m11_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.shot_boundaries(_mm(spark, sf_dir))
+
+
+@register(
+    "p17_token_budget_pack",
+    sampling.token_budget_pack_sql(),
+    doc="Token-BUDGET selection: walk the corpus in quality order and keep "
+    "docs until the running token total fills %d%% of the corpus - the "
+    "budgeted form of quality filtering (p14 cuts at a score threshold; "
+    "a training run's real constraint is a token count).  One corpus "
+    "projection + broadcast total + ONE ordered cumulative window "
+    "(range-partitioned sort at 100 TB)." % sampling.BUDGET_PCT,
+)
+def p17_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.token_budget_pack(docs)

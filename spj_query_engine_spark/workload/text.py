@@ -264,3 +264,33 @@ def t20_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t21_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.collocations(_docs(spark, sf_dir))
+
+
+@register(
+    "t22_vocab_power_law",
+    textops.vocab_power_law_sql(),
+    doc="Vocabulary power-law (Zipf) histogram: words and token mass per "
+    "floor(log2(frequency)) bucket, the distribution behind tokenizer "
+    "vocab sizing and coverage cuts (t14's scalars expanded); bucket is "
+    "the integer bit-length, so no floating log can misplace a "
+    "power-of-two boundary - one vocabulary-bounded rollup then a "
+    "~40-row rollup.",
+)
+def t22_vocab_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.vocab_power_law(docs)
+
+
+@register(
+    "t23_coverage_curve",
+    textops.vocab_coverage_curve_sql(),
+    doc="Vocabulary coverage curve: token-mass share covered by the top-N "
+    "words for N in %s - the measurement that picks a tokenizer vocab "
+    "size ('how big for 99%% coverage'); one vocabulary-bounded rank "
+    "window, sweep as conditional sums (candidates never multiply "
+    "vocabulary rows), coverage integer-exact ppm."
+    % (textops.COVERAGE_SWEEP,),
+)
+def t23_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.vocab_coverage_curve(docs)

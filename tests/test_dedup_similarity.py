@@ -728,3 +728,24 @@ def test_nn_descent_monotone_improvement(emb):
         worst_old = min(c for (vv, _), c in old.items() if vv == v)
         worst_new = min(c for (vv, _), c in new.items() if vv == v)
         assert worst_new >= worst_old, f"vec {v}: descent made the graph worse"
+
+
+def test_dedup_weights_inverse_copies(docs):
+    """Weights are exactly 1e6 // n_copies: the duplicated text (docs 1, 4)
+    gets 500000 each, singletons get 1000000; total mass per distinct
+    content is (almost) constant.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = {r["doc_id"]: r for r in dedup.dedup_weights(docs).collect()}
+    assert got[1]["n_copies"] == 2 and got[1]["weight_ppm"] == 500_000
+    assert got[4]["weight_ppm"] == 500_000
+    assert got[2]["weight_ppm"] == 1_000_000 and got[3]["weight_ppm"] == 1_000_000
+    con = _duck.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [BASE, NEAR, OTHER, BASE]}),
+    )
+    assert_same_result(dedup.dedup_weights(docs), con, dedup.dedup_weights_sql())
+    con.close()

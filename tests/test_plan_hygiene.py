@@ -50,6 +50,7 @@ BNLJ_OK = {
     "s16_rrf_fusion",  # composes s01's whitelisted broadcast query join
     "p14_e2e_pipeline",  # broadcast single-row quality-median cross join
     "p15_dsir_selection",  # broadcast single-row totals + quantile-cutoff cross joins
+    "p17_token_budget_pack",  # broadcast single-row corpus-token-total cross join
 }
 
 

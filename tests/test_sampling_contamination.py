@@ -273,3 +273,41 @@ def test_interleave_sources_round_robins(spark):
         sampling.interleave_sources(docs), con, sampling.interleave_sources_sql()
     )
     con.close()
+
+
+def test_token_budget_pack_fills_budget_exactly(spark):
+    """Equal-quality docs (tie-broken by id) with 10 tokens each and a 30%
+    budget over 100 tokens: the pack must keep docs 1..3 (30 tokens) —
+    cum through doc 3 == budget, and doc 4 must NOT enter (its cum-before
+    == budget, not < budget).  With budget 35 the crossing doc IS kept.
+    Oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from tests.conftest import assert_same_result
+
+    text = "tok " * 10  # 10 tokens, identical quality for every doc
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 11)),
+            "text": [text.strip()] * 10,
+            "n_chars": [len(text.strip())] * 10,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = sorted(
+        r["doc_id"] for r in sampling.token_budget_pack(docs, budget_pct=30).collect()
+    )
+    assert got == [1, 2, 3]
+    got35 = sorted(
+        r["doc_id"] for r in sampling.token_budget_pack(docs, budget_pct=35).collect()
+    )
+    assert got35 == [1, 2, 3, 4]  # the budget-crossing doc is kept
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        sampling.token_budget_pack(docs, budget_pct=30),
+        con,
+        sampling.token_budget_pack_sql(budget_pct=30),
+    )
+    con.close()

@@ -256,3 +256,24 @@ def test_orc_roundtrip_matches_parquet_path(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "orc" in plan.lower()
     assert "PushedFilters: [" in plan and "LessThan(n_nationkey,5)" in plan
+
+
+def test_python_sink_roundtrip(spark):
+    """u08: rows pushed through the custom Python DataSourceWriter and read
+    back must reproduce the source exactly (per-shard counts, char totals
+    and id checksums), independent of task layout."""
+    import pandas as pd
+
+    from spj_query_engine_spark.sources.pydatasource import sink_roundtrip_rollup
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(20)), "n_chars": [10 * i for i in range(20)]}
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {r["shard"]: r for r in sink_roundtrip_rollup(spark, docs).collect()}
+    assert set(got) == set(range(8))
+    for s, r in got.items():
+        ids = [i for i in range(20) if i % 8 == s]
+        assert r["n_docs"] == len(ids)
+        assert r["id_sum"] == sum(ids)
+        assert r["total_chars"] == sum(10 * i for i in ids)

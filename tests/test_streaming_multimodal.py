@@ -510,3 +510,30 @@ def test_cdc_chunks_boundaries_move_with_content(spark):
         multimodal.cdc_chunks(mm, d=16), con, multimodal.cdc_chunks_sql(d=16)
     )
     con.close()
+
+
+def test_shot_boundaries_flags_planted_cut(spark):
+    """A payload whose first half is low-intensity bytes and second half
+    high-intensity must cut exactly once — at the frame where the jump
+    crosses SHOT_DELTA_PPM; a uniform payload must never cut.  Oracle
+    twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    flat = "a" * 256
+    jump = ("!" * 128) + ("z" * 128)  # 0x21 → 0x7a: a huge intensity step
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [flat, jump]})
+    mm = multimodal.attach_payload(spark.createDataFrame(pdf))
+    rows = multimodal.shot_boundaries(mm).collect()
+    cuts = {(r["doc_id"], r["frame_no"]) for r in rows if r["is_cut"] == 1}
+    assert all(d != 1 for d, _ in cuts), "uniform payload must not cut"
+    # the jump doc cuts exactly at the half boundary frame (frame 8 of 16)
+    assert (2, multimodal.SHOT_FRAMES // 2) in cuts
+    assert len([c for c in cuts if c[0] == 2]) == 1
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        multimodal.shot_boundaries(mm), con, multimodal.shot_boundaries_sql()
+    )
+    con.close()

@@ -303,3 +303,59 @@ def test_collocations_lift_beats_frequency(spark):
     con = _duck.connect()
     con.register("documents", pdf)
     assert_same_result(collocations(docs, k=50), con, collocations_sql(k=50))
+
+
+def test_vocab_power_law_buckets_exact(spark):
+    """Planted frequencies 1/2/3/4 land in bit-length buckets 0/1/1/2 with
+    exact word and token tallies; the oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from tests.conftest import assert_same_result
+
+    # a:4, b:2, c:1, d:3  → buckets: a→2, b→1, d→1, c→0
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a b d", "a a b d d c"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    from spj_query_engine_spark.operators import textops
+
+    got = {r["freq_bucket"]: r for r in textops.vocab_power_law(docs).collect()}
+    assert got[0]["n_words"] == 1 and got[0]["n_tokens"] == 1   # c
+    assert got[1]["n_words"] == 2 and got[1]["n_tokens"] == 5   # b(2) + d(3)
+    assert got[2]["n_words"] == 1 and got[2]["n_tokens"] == 4   # a
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        textops.vocab_power_law(docs), con, textops.vocab_power_law_sql()
+    )
+    con.close()
+
+
+def test_vocab_coverage_curve_exact(spark):
+    """a:6 b:3 c:1 → top-10 covers everything; a planted sweep value below
+    the vocab must cover only the head words.  Oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators import textops
+    from tests.conftest import assert_same_result
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a a a a a a b b b c"]})
+    docs = spark.createDataFrame(pdf)
+    got = {r["vocab_cut"]: r for r in textops.vocab_coverage_curve(docs).collect()}
+    assert set(got) == set(textops.COVERAGE_SWEEP)
+    for n, r in got.items():
+        assert r["total_tokens"] == 10
+        assert r["n_words"] == min(n, 3)
+        assert r["tokens_covered"] == 10  # every cut >= vocab size here
+        assert r["coverage_ppm"] == 1_000_000
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        textops.vocab_coverage_curve(docs), con, textops.vocab_coverage_curve_sql()
+    )
+    con.close()
