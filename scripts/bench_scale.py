@@ -161,6 +161,9 @@ FAMILY = [
     "p17_token_budget_pack",
     "t23_coverage_curve",
     "d24_dedup_weights",
+    "e42_attribution",
+    "e43_funnel_latency",
+    "g09_harmonic_centrality",
 ]
 
 
@@ -302,6 +305,14 @@ def _scaled_fn(name: str, sf_dir: str):
 
         def fn(spark, d):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            if REPLICAS >= 100:
+                # flat corpus-scaled assignment is O(n²/cell_size); past
+                # ~10× the descent must seed from the two-level graph
+                leaves = 16 * REPLICAS
+                seed = similarity.knn_join_2level(
+                    emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
+                )
+                return similarity.nn_descent_round(emb, seed_graph=seed)
             return similarity.nn_descent_round(emb, n_cells=16 * REPLICAS)
 
         return fn

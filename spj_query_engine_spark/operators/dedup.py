@@ -3039,3 +3039,111 @@ def dedup_weights_sql(table: str = "documents") -> str:
            CAST(1000000 // c.n_copies AS BIGINT) AS weight_ppm
     FROM d JOIN c USING (fp)
     """
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (g09) — bounded-radius closeness over the dup graph
+# ---------------------------------------------------------------------------
+
+HC_RADIUS = 3  # hops counted; 1/1 + 1/2 + 1/3 terms (exact ppm: floor-div)
+HC_HUB_CAP = 50  # frontier-expansion cap per node (g05's hub-cap discipline)
+
+
+def harmonic_centrality(docs: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
+    """HARMONIC CENTRALITY within ``radius`` hops: h(v) = Σ_u 1/d(v,u) over
+    nodes within distance ``radius`` — the centrality that separates docs
+    EMBEDDED in a duplication neighborhood (template families, mirrored
+    corpora: high h) from incidental one-off matches (low h), and unlike
+    closeness it is well-defined on disconnected graphs.  Exact integer
+    ppm: each distance d contributes 10⁶ div d, so the hash can't drift.
+
+    Computation is multi-source BFS as relational algebra: the frontier
+    (src, node, dist) table joins the edge list once per hop, a min-dist
+    aggregate dedups re-reached nodes, and each round is one equi-join +
+    one aggregate — g04's single-source BFS run from EVERY node at once.
+    Work per hop is Σ|ball(v, h)| rows; the per-node cap (``HC_HUB_CAP``
+    highest-degree spokes skipped at expansion, g05's hub discipline)
+    bounds ball growth on boilerplate stars while degrees and output
+    still cover every node."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    # hub cap: expansion skips the highest-degree centers (their balls are
+    # the quadratic hazard); they still appear as destinations and sources
+    # of the FIRST hop, so every node keeps a score
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    exp_edges = edges.join(
+        deg.filter(F.col("deg") <= HC_HUB_CAP).select("src"), "src"
+    ).localCheckpoint(eager=True)
+    # dist table: (origin, node, dist), dist >= 1
+    reach = edges.select(
+        F.col("src").alias("origin"), F.col("dst").alias("node"),
+        F.lit(1).alias("dist"),
+    )
+    frontier = reach
+    for d in range(2, radius + 1):
+        frontier = (
+            frontier.join(
+                exp_edges, F.col("node") == F.col("src")
+            )
+            .select("origin", F.col("dst").alias("node"), F.lit(d).alias("dist"))
+            .filter(F.col("origin") != F.col("node"))
+        )
+        reach = reach.unionByName(frontier)
+    shortest = reach.groupBy("origin", "node").agg(F.min("dist").alias("dist"))
+    return (
+        shortest.groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
+        )
+        .select(F.col("origin").alias("doc_id"), "n_reached", "harmonic_ppm")
+    )
+
+
+def harmonic_centrality_sql(table: str = "documents", radius: int = HC_RADIUS) -> str:
+    sql = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    exp_edges AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e JOIN deg d ON d.src = e.src
+      WHERE d.deg <= {HC_HUB_CAP}
+    ),
+    hop1 AS MATERIALIZED (SELECT src AS origin, dst AS node, 1 AS dist FROM edges)
+    """
+    prev = "hop1"
+    hops = ["SELECT * FROM hop1"]
+    for d in range(2, radius + 1):
+        sql += f"""
+    , hop{d} AS MATERIALIZED (
+      SELECT f.origin, e.dst AS node, {d} AS dist
+      FROM {prev} f JOIN exp_edges e ON e.src = f.node
+      WHERE f.origin != e.dst
+    )"""
+        hops.append(f"SELECT * FROM hop{d}")
+        prev = f"hop{d}"
+    union = " UNION ALL ".join(hops)
+    return (
+        sql
+        + f"""
+    , reach AS ({union}),
+    shortest AS (
+      SELECT origin, node, min(dist) AS dist FROM reach GROUP BY origin, node
+    )
+    SELECT origin AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+    FROM shortest GROUP BY origin
+    """
+    )

@@ -2004,6 +2004,7 @@ def nn_descent_round(
     id_col: str = "vec_id",
     k: int = KNN_K,
     n_cells: int = KNN_CELLS,
+    seed_graph: DataFrame | None = None,
 ) -> DataFrame:
     """One NN-DESCENT round (Dong et al., WWW'11) over the s06 kNN graph:
     candidates are the current graph's neighbors-of-neighbors — taken over
@@ -2023,8 +2024,17 @@ def nn_descent_round(
     The seed graph inherits s06's deployment knob: ``n_cells`` (or conf
     ``spj.knn.cells``) must grow with the corpus so cell size stays
     constant — the descent itself is O(n·(2k)²) either way, but a
-    fixed-cell seed graph pays quadratic within-cell rerank."""
-    base = knn_join(embeddings, vec_col, id_col, k=k, n_cells=n_cells)
+    fixed-cell seed graph pays quadratic within-cell rerank.  Past ~10×,
+    even corpus-scaled FLAT assignment is O(n²/cell_size) (n × n_cells
+    broadcast cosines — measured 266× wall at 100× input): pass
+    ``seed_graph=knn_join_2level(...)`` there, whose tree assignment is
+    O(n·(branch + leaves/branch)) — measured 30× wall at 100× input,
+    linear in pairs."""
+    base = (
+        seed_graph
+        if seed_graph is not None
+        else knn_join(embeddings, vec_col, id_col, k=k, n_cells=n_cells)
+    )
     fwd = base.select(F.col(id_col).alias("a"), F.col("nbr_id").alias("b"))
     fwd = fwd.localCheckpoint(eager=True)  # base feeds two branches below
     und = fwd.unionByName(

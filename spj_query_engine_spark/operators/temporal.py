@@ -1882,3 +1882,213 @@ def watermark_sweep_sql(table: str = "events") -> str:
     FROM late, (VALUES {delays}) AS d(delay_ms)
     GROUP BY event_type, d.delay_ms
     """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (e42) — revenue → most recent prior click
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_MS = 7 * 86_400_000  # 7-day attribution window
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """LAST-TOUCH revenue attribution: every purchase credits the user's
+    most recent prior click, but only within a %d-day window — the
+    marketing-analytics join (e03's as-of LOCF with a business filter and
+    a NULL bucket: purchases with no qualifying click stay unattributed
+    rather than silently dropping).
+
+    Shape: one union of the two event slices, ONE per-user ordered window
+    (last non-null click id carried forward — LOCF, no pair blowup), the
+    window cap a pure filter expression.  Output per purchase: the
+    credited click (or NULL), the click→purchase gap, the credited value.
+    At 100 TB this is exactly e03's documented scale path: partition the
+    window by (user, day-bucket) with a carry row per bucket boundary."""
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # carry the latest STRICTLY-PRIOR click forward onto every event
+    with_click = e.select(
+        "*",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_id_raw"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts_ms")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts_raw"),
+    )
+    in_window = (F.col("ts_ms") - F.col("click_ts_raw")) <= ATTR_WINDOW_MS
+    return (
+        with_click.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(in_window, F.col("click_id_raw")).alias("click_id"),
+            F.when(in_window, F.col("ts_ms") - F.col("click_ts_raw"))
+            .cast("long")
+            .alias("gap_ms"),
+            "value",
+            F.when(in_window, F.lit(1)).otherwise(0).cast("long").alias("attributed"),
+        )
+    )
+
+
+last_touch_attribution.__doc__ = last_touch_attribution.__doc__ % (
+    ATTR_WINDOW_MS // 86_400_000
+)
+
+
+def last_touch_attribution_sql(table: str = "events") -> str:
+    over = (
+        "PARTITION BY user_id ORDER BY ts_ms, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+      FROM {table} WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER ({over}) AS click_id_raw,
+             last_value(CASE WHEN event_type = 'click' THEN ts_ms END
+                        IGNORE NULLS) OVER ({over}) AS click_ts_raw
+      FROM e
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           CASE WHEN ts_ms - click_ts_raw <= {ATTR_WINDOW_MS}
+                THEN click_id_raw END AS click_id,
+           CAST(CASE WHEN ts_ms - click_ts_raw <= {ATTR_WINDOW_MS}
+                THEN ts_ms - click_ts_raw END AS BIGINT) AS gap_ms,
+           value,
+           CAST(CASE WHEN ts_ms - click_ts_raw <= {ATTR_WINDOW_MS}
+                THEN 1 ELSE 0 END AS BIGINT) AS attributed
+    FROM carried WHERE event_type = 'purchase'
+    """
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency (e43) — how long each conversion step takes
+# ---------------------------------------------------------------------------
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: tuple = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> DataFrame:
+    """FUNNEL STEP LATENCY: for users who advanced from step k to k+1
+    (e08's exact chained-conditional-min semantics), the distribution of
+    the step's transition time — e08 counts WHO converts, this measures
+    HOW LONG each hop takes (the metric that localizes where a funnel
+    stalls).  Exact p50/p95 over BIGINT millisecond gaps (e09's documented
+    approx_percentile swap applies at 100 TB).
+
+    Shape: e08's one-shuffle per-user conditional-min aggregate, then a
+    steps-bounded unpivot and a per-step rollup — nothing after the first
+    groupBy touches corpus-sized data."""
+    window_ms = window_hours * 3600 * 1000
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == steps[0], F.col("ts_ms"))).alias("t0")
+    )
+    for k in range(1, len(steps)):
+        prev = f"t{k - 1}"
+        nxt = e.filter(F.col("event_type") == steps[k]).select(
+            "user_id", F.col("ts_ms").alias(f"ts_{k}")
+        )
+        per_user = (
+            per_user.join(nxt, "user_id", "left")
+            .groupBy("user_id", *[f"t{j}" for j in range(k)])
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(f"ts_{k}") > F.col(prev))
+                        & (F.col(f"ts_{k}") - F.col("t0") <= window_ms),
+                        F.col(f"ts_{k}"),
+                    )
+                ).alias(f"t{k}")
+            )
+        )
+    gaps = per_user.select(
+        F.expr(
+            "stack(%d, %s) AS (step_no, gap_ms)"
+            % (
+                len(steps) - 1,
+                ", ".join(
+                    f"{k}L, t{k} - t{k - 1}" for k in range(1, len(steps))
+                ),
+            )
+        )
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("step_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        portable_round(F.expr("percentile(gap_ms, 0.5)"), 2).alias("p50_ms"),
+        portable_round(F.expr("percentile(gap_ms, 0.95)"), 2).alias("p95_ms"),
+        F.max("gap_ms").cast("long").alias("max_ms"),
+    )
+
+
+def funnel_latency_sql(
+    table: str = "events",
+    steps: tuple = FUNNEL_STEPS,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> str:
+    window_ms = window_hours * 3600 * 1000
+    ctes = [
+        f"e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM {table})",
+        f"""u0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = '{steps[0]}' THEN ts_ms END) AS t0
+      FROM e GROUP BY user_id
+    )""",
+    ]
+    for k in range(1, len(steps)):
+        prev_cols = ", ".join(["user_id"] + [f"t{j}" for j in range(k)])
+        ctes.append(
+            f"""u{k} AS (
+      SELECT {prev_cols},
+             min(CASE WHEN x.ts_ms > t{k - 1}
+                       AND x.ts_ms - t0 <= {window_ms}
+                      THEN x.ts_ms END) AS t{k}
+      FROM u{k - 1} LEFT JOIN (SELECT user_id, ts_ms FROM e
+                               WHERE event_type = '{steps[k]}') x
+        USING (user_id)
+      GROUP BY {prev_cols}
+    )"""
+        )
+    pairs = " UNION ALL ".join(
+        f"SELECT {k} AS step_no, t{k} - t{k - 1} AS gap_ms FROM u{len(steps) - 1}"
+        for k in range(1, len(steps))
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    gaps AS ({pairs})
+    SELECT CAST(step_no AS BIGINT) AS step_no,
+           CAST(count(*) AS BIGINT) AS n_users,
+           {portable_round_sql("quantile_cont(gap_ms, 0.5)", 2)} AS p50_ms,
+           {portable_round_sql("quantile_cont(gap_ms, 0.95)", 2)} AS p95_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_ms
+    FROM gaps WHERE gap_ms IS NOT NULL GROUP BY step_no
+    """

@@ -415,3 +415,17 @@ def g08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d24_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "g09_harmonic_centrality",
+    dedup.harmonic_centrality_sql(),
+    doc="Harmonic centrality within %d hops (exact ppm, 10^6 div d): "
+    "separates docs embedded in template families from incidental one-off "
+    "matches, well-defined on disconnected graphs - multi-source BFS as "
+    "one equi-join + min-dist aggregate per hop, frontier hub-capped at "
+    "degree %d (g05's discipline)."
+    % (dedup.HC_RADIUS, dedup.HC_HUB_CAP),
+)
+def g09_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.harmonic_centrality(_docs(spark, sf_dir))

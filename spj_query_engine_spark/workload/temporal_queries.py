@@ -408,3 +408,30 @@ def e40_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e41_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.watermark_sweep(ev)
+
+
+@register(
+    "e42_attribution",
+    temporal.last_touch_attribution_sql(),
+    doc="Last-touch revenue attribution: every purchase credits the user's "
+    "most recent prior click within a 7-day window (NULL bucket kept for "
+    "unattributed) - e03's as-of LOCF with the business filter; one "
+    "per-user ordered window, no pair blowup.",
+)
+def e42_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.last_touch_attribution(ev)
+
+
+@register(
+    "e43_funnel_latency",
+    temporal.funnel_latency_sql(),
+    doc="Funnel step latency: exact p50/p95/max transition time per funnel "
+    "hop for converting users - e08 counts WHO converts, this measures "
+    "HOW LONG each hop takes; e08's one-shuffle conditional-min chain + "
+    "a steps-bounded unpivot, approx_percentile the documented 100 TB "
+    "swap.",
+)
+def e43_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.funnel_latency(ev)

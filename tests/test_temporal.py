@@ -392,3 +392,85 @@ def test_watermark_sweep_monotone_and_exact(spark):
     drops = [got[d]["n_dropped"] for d in sorted(got)]
     assert drops == sorted(drops, reverse=True)
     assert got[0]["drop_ppm"] == 500_000  # 2 of 4
+
+
+def test_last_touch_attribution_window_and_null_bucket(spark):
+    """Purchase 10min after a click attributes to THAT click (the latest
+    prior one); a purchase 8 days after the only click falls outside the
+    7-day window (NULL bucket, attributed=0); a purchase with no prior
+    click is unattributed.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: click, click, purchase → credits the SECOND click
+        (1, 1, base + 0 * m, "click", 0.0),
+        (2, 1, base + 5 * m, "click", 0.0),
+        (3, 1, base + 15 * m, "purchase", 42.0),
+        # user 2: click then purchase 8 days later → outside the window
+        (4, 2, base, "click", 0.0),
+        (5, 2, base + 8 * day, "purchase", 10.0),
+        # user 3: purchase with no click at all
+        (6, 3, base, "purchase", 5.0),
+        # noise the type filter must drop
+        (7, 1, base + 10 * m, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["purchase_id"]: r for r in temporal.last_touch_attribution(ev).collect()}
+    assert got[3]["click_id"] == 2 and got[3]["attributed"] == 1
+    assert got[3]["gap_ms"] == 10 * 60_000
+    assert got[5]["click_id"] is None and got[5]["attributed"] == 0
+    assert got[6]["click_id"] is None and got[6]["attributed"] == 0
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(
+        temporal.last_touch_attribution(ev), con, temporal.last_touch_attribution_sql()
+    )
+    con.close()
+
+
+def test_funnel_latency_exact_gaps(spark):
+    """Two users complete view→click→purchase with known gaps; latency
+    percentiles over {10min, 30min} and {5min, 5min} must be exact, and a
+    user who never clicks contributes nothing.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, base, "view", 0.0),
+        (2, 1, base + 10 * m, "click", 0.0),
+        (3, 1, base + 40 * m, "purchase", 0.0),
+        (4, 2, base, "view", 0.0),
+        (5, 2, base + 5 * m, "click", 0.0),
+        (6, 2, base + 10 * m, "purchase", 0.0),
+        (7, 3, base, "view", 0.0),  # never converts past step 0
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["step_no"]: r for r in temporal.funnel_latency(ev).collect()}
+    assert got[1]["n_users"] == 2 and got[2]["n_users"] == 2
+    assert got[1]["p50_ms"] == 7.5 * 60_000  # median of 5min and 10min
+    assert got[1]["max_ms"] == 10 * 60_000
+    assert got[2]["max_ms"] == 30 * 60_000
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(
+        temporal.funnel_latency(ev), con, temporal.funnel_latency_sql()
+    )
+    con.close()
