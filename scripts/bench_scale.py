@@ -164,6 +164,8 @@ FAMILY = [
     "e42_attribution",
     "e43_funnel_latency",
     "g09_harmonic_centrality",
+    "s18_multiprobe_lsh",
+    "e44_incremental_rollup",
 ]
 
 

@@ -188,34 +188,23 @@ def brute_force_topk_sql(
     """
 
 
-def lsh_topk(
-    embeddings: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = TOP_K,
-    n_queries: int = N_QUERIES,
+def _sign_buckets(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Approximate top-k: candidates share ≥1 of SIGN_BANDS bucket-chunks
-    with the query (banded random-hyperplane LSH), then exact cosine + window
-    within candidates only.  This is the 100 TB path: bucket assignment is a
-    projection, candidate generation an equi-join on a few-bit key."""
+    """(vid, vec, norm, bucket) for every vector — the random-hyperplane
+    bucket assignment shared by s02 and s18.  Matrix product in aggregate
+    form: explode the vector to (vid, pos, val) rows, broadcast-join the
+    dim × SIGN_BITS plane matrix on pos, then 13 codegen'd SUM aggregates
+    per vid (12 plane dots + the squared norm).  Row count = n_vectors ×
+    dim — linear, map-side partial sums, one shuffle on vid.  The per-row
+    unrolled alternative (12 × dim literal-product chains) exceeds
+    janino's 64 KB method limit and falls back to interpreted eval with
+    multi-MiB task binaries.  Sign of a plane dot is order-insensitive in
+    practice (|dot| >> 1e-15 accumulation noise), so buckets match the
+    oracle's sequential-fold twin."""
     from spj_query_engine_spark.operators.core import spread
 
-    # Plane-matrix size: the declared dim when known, else a generous cap.
-    # Oversizing is FREE and exact — the explode emits only positions that
-    # exist in the data, so plane rows beyond the true dimensionality never
-    # join and contribute nothing; a corpus wider than the cap (no conf set)
-    # would silently ignore the tail, hence the cap is deliberately large.
     dim = dim_of(embeddings, vec_col) or MAX_PLANE_DIM
-    # Bucket assignment as a matrix product in aggregate form: explode the
-    # vector to (vid, pos, val) rows, broadcast-join the 64×12 plane matrix
-    # on pos, then 13 codegen'd SUM aggregates per vid (12 plane dots + the
-    # squared norm).  Row count = n_vectors × dim — linear, map-side partial
-    # sums, one shuffle on vid.  The per-row unrolled alternative (12 × dim
-    # literal-product chains) exceeds janino's 64 KB method limit and falls
-    # back to interpreted eval with multi-MiB task binaries.  Sign of a plane
-    # dot is order-insensitive in practice (|dot| ≫ 1e-15 accumulation
-    # noise), so buckets match the oracle's sequential-fold twin.
     spark = embeddings.sparkSession
     planes = _planes(dim)
     pl = spark.createDataFrame(
@@ -241,7 +230,28 @@ def lsh_topk(
         bucket = bucket + F.when(
             F.col(f"pd{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    with_bucket = sums.select("vid", "vec", "norm", bucket.alias("bucket"))
+    return sums.select("vid", "vec", "norm", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 of SIGN_BANDS bucket-chunks
+    with the query (banded random-hyperplane LSH), then exact cosine + window
+    within candidates only.  This is the 100 TB path: bucket assignment is a
+    projection, candidate generation an equi-join on a few-bit key."""
+    from spj_query_engine_spark.operators.core import spread
+
+    # Plane-matrix size: the declared dim when known, else a generous cap.
+    # Oversizing is FREE and exact — the explode emits only positions that
+    # exist in the data, so plane rows beyond the true dimensionality never
+    # join and contribute nothing; a corpus wider than the cap (no conf set)
+    # would silently ignore the tail, hence the cap is deliberately large.
+    with_bucket = _sign_buckets(embeddings, vec_col, id_col)
     mask = (1 << _BAND_WIDTH) - 1
     chunks = with_bucket.select(
         "vid",
@@ -2096,4 +2106,130 @@ def nn_descent_round_sql(table: str = "embeddings", k: int = KNN_K) -> str:
                                    ORDER BY cosine DESC, nbr_id ASC) AS rank
       FROM scored
     ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe LSH (s18) — flip-one-bit probes buy recall without more tables
+# ---------------------------------------------------------------------------
+
+
+def multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """MULTIPROBE LSH (Lv et al., VLDB'07): each query probes its exact
+    band chunk PLUS every one-bit flip of it — the buckets a borderline
+    plane dot would have landed in — so recall rises like adding hash
+    tables without storing any (the corpus stays indexed ONCE, in s02's
+    exact chunks; only the tiny query side fans out ×(1+band_width)).
+    The candidate set strictly contains s02's (probe 0 is the exact
+    chunk), so recall can only improve; same exact-cosine rerank.
+
+    Scale shape: identical to s02 — the corpus is a projection + equi-join
+    on a few-bit key; the probe fan-out multiplies only n_queries rows.
+    At 100 TB multiprobe is THE lever when memory caps the table count."""
+    with_bucket = _sign_buckets(embeddings, vec_col, id_col)
+    mask = (1 << _BAND_WIDTH) - 1
+    chunk_of = lambda b: (  # noqa: E731
+        F.shiftright(F.col("bucket"), b * _BAND_WIDTH).bitwiseAND(F.lit(mask))
+    )
+    corpus = with_bucket.select(
+        F.col("vid").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), chunk_of(b).alias("chunk"))
+                    for b in range(SIGN_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("cand_id", "c_vec", "c_norm", "bc.band", "bc.chunk")
+    probes = with_bucket.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            chunk_of(b)
+                            if i < 0
+                            else chunk_of(b).bitwiseXOR(F.lit(1 << i))
+                        ).alias("chunk"),
+                    )
+                    for b in range(SIGN_BANDS)
+                    for i in range(-1, _BAND_WIDTH)
+                ]
+            )
+        ).alias("bc"),
+    ).select("query_id", "q_vec", "q_norm", "bc.band", "bc.chunk")
+    cand = (
+        corpus.join(F.broadcast(probes), ["band", "chunk"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "q_norm", "cand_id", "c_vec", "c_norm")
+        .distinct()
+    )
+    sim = portable_round(
+        dot_product(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def multiprobe_lsh_topk_sql(
+    table: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    bucket = sign_bucket_sql("embedding")
+    mask = (1 << _BAND_WIDTH) - 1
+    corpus_selects = " UNION ALL ".join(
+        f"SELECT vid, vec, {b} AS band, (bucket >> {b * _BAND_WIDTH}) & {mask}"
+        " AS chunk FROM bucketed"
+        for b in range(SIGN_BANDS)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT vid, vec, {b} AS band, "
+        + (
+            f"(bucket >> {b * _BAND_WIDTH}) & {mask}"
+            if i < 0
+            else f"xor((bucket >> {b * _BAND_WIDTH}) & {mask}, {1 << i})"
+        )
+        + f" AS chunk FROM bucketed WHERE vid < {n_queries}"
+        for b in range(SIGN_BANDS)
+        for i in range(-1, _BAND_WIDTH)
+    )
+    sim = portable_round_sql(cosine_sim_sql("q_vec", "c_vec"), 6)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id AS vid, embedding AS vec, {bucket} AS bucket FROM {table}
+    ),
+    chunks AS ({corpus_selects}),
+    probes AS ({probe_selects}),
+    cand AS (
+      SELECT DISTINCT q.vid AS query_id, q.vec AS q_vec, c.vid AS cand_id,
+             c.vec AS c_vec
+      FROM chunks c JOIN probes q ON c.band = q.band AND c.chunk = q.chunk
+      WHERE c.vid != q.vid
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, {sim} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {sim} DESC, cand_id ASC) AS rank
+      FROM cand
+    )
+    SELECT query_id, cand_id, cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
     """

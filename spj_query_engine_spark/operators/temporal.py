@@ -2092,3 +2092,71 @@ def funnel_latency_sql(
            CAST(max(gap_ms) AS BIGINT) AS max_ms
     FROM gaps WHERE gap_ms IS NOT NULL GROUP BY step_no
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (e44) — merge stored partials with a delta
+# ---------------------------------------------------------------------------
+
+INC_CUTOVER_DAY = 20  # events on/after this day are "today's delta"
+
+
+def incremental_rollup(events: DataFrame) -> DataFrame:
+    """INCREMENTAL aggregate maintenance: the daily per-type rollup is
+    NOT recomputed from raw history — the stored partials (count +
+    integer-micro value sum per (day, type), computed once over the
+    pre-cutover corpus) merge with the same partials of the new delta by
+    RE-AGGREGATION: sum of sums, sum of counts.  This is the warehouse
+    pattern that makes a 100 TB daily rollup affordable (each day costs
+    one delta scan plus a partial-sized merge, never a history scan) and
+    it works precisely because sum/count are commutative monoids — the
+    same mergeability Spark itself exploits in map-side partial
+    aggregation, lifted to the job level (e39 stores mergeable HLL
+    sketches; this stores mergeable sums).
+
+    The operator computes old partials and delta partials as two
+    branches of one plan and merges them; the oracle aggregates the raw
+    table directly — hash equality IS the maintenance-invariant proof
+    (merge(rollup(old), rollup(delta)) == rollup(all)).  Value sums ride
+    integer micros so merge order can't drift a float."""
+    base = events.select(
+        "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").alias("day_no"),
+        # floor(x + 0.5): portable integer rounding (values are positive
+        # cents-scale doubles; F.round's BigDecimal path is not portable)
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "v_micros"
+        ),
+    )
+    is_delta = F.col("day_no") >= INC_CUTOVER_DAY
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day_no").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_micros").alias("sum_micros"),
+        )
+
+    stored = partials(base.filter(~is_delta))
+    delta = partials(base.filter(is_delta))
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("event_type", "day_no")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_micros").cast("long").alias("sum_micros"),
+        )
+    )
+    return merged.select("event_type", "day_no", "n_events", "sum_micros")
+
+
+def incremental_rollup_sql(table: str = "events") -> str:
+    """Oracle: the full-history rollup — equality proves the merge law."""
+    return f"""
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_micros
+    FROM {table}
+    GROUP BY 1, 2
+    """

@@ -311,3 +311,16 @@ def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.nn_descent_round(emb)
+
+
+@register(
+    "s18_multiprobe_lsh",
+    similarity.multiprobe_lsh_topk_sql(),
+    doc="Multiprobe LSH (Lv et al. VLDB'07): each query probes its exact "
+    "band chunk plus every one-bit flip - the recall of extra hash "
+    "tables without storing any; corpus indexed once, probe fan-out "
+    "multiplies only the query rows, candidate set strictly contains "
+    "s02's, same exact rerank.",
+)
+def s18_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.multiprobe_lsh_topk(_emb(spark, sf_dir))

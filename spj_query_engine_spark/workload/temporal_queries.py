@@ -435,3 +435,18 @@ def e42_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e43_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.funnel_latency(ev)
+
+
+@register(
+    "e44_incremental_rollup",
+    temporal.incremental_rollup_sql(),
+    doc="Incremental aggregate maintenance: stored per-(day, type) partials "
+    "(count + integer-micro sums) merged with the delta's partials by "
+    "re-aggregation; the oracle aggregates raw history directly, so hash "
+    "equality proves merge(rollup(old), rollup(delta)) == rollup(all) - "
+    "the mergeable-monoid pattern that makes a daily 100 TB rollup cost "
+    "one delta scan (e39's sketch form, for exact sums).",
+)
+def e44_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.incremental_rollup(ev)

@@ -791,3 +791,33 @@ def test_harmonic_centrality_path_graph(spark):
     assert got[2] == 2_000_000 + 500_000
     assert got[1] == 1_000_000 + 500_000 + 333_333
     assert got[2] == got[3] and got[1] == got[4]  # path symmetry
+
+
+def test_multiprobe_dominates_plain_lsh(spark):
+    """Multiprobe's candidate set strictly contains s02's (probe 0 is the
+    exact chunk), so per (query, rank) the multiprobe cosine can never be
+    lower; on the twin fixture recall stays 100%."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((100 + i, [float(x) for x in v * 1.001], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    plain = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in similarity.lsh_topk(df, k=1, n_queries=20).collect()
+    }
+    multi = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in similarity.multiprobe_lsh_topk(df, k=1, n_queries=20).collect()
+    }
+    for key, cos in plain.items():
+        assert key in multi and multi[key] >= cos, (
+            f"{key}: multiprobe returned a worse neighbor"
+        )
+    got = similarity.multiprobe_lsh_topk(df, k=1, n_queries=20).collect()
+    hits = sum(1 for r in got if r["cand_id"] == 100 + r["query_id"])
+    assert hits == 20

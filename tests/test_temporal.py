@@ -474,3 +474,38 @@ def test_funnel_latency_exact_gaps(spark):
         temporal.funnel_latency(ev), con, temporal.funnel_latency_sql()
     )
     con.close()
+
+
+def test_incremental_rollup_merge_law(spark):
+    """Events straddling the cutover day: the partial-merge result must
+    equal the direct full-history rollup exactly (the maintenance
+    invariant), with integer-micro sums."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    day = dt.timedelta(days=1)
+    base = dt.datetime(1970, 1, 1)  # day_no == calendar day offset
+    rows = [
+        (1, 1, base + 5 * day, "view", 1.25),     # old
+        (2, 1, base + 5 * day, "view", 2.50),     # old, same cell
+        (3, 2, base + 25 * day, "view", 4.75),    # delta
+        (4, 2, base + 25 * day, "click", 0.10),   # delta, other type
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {(r["event_type"], r["day_no"]): r for r in temporal.incremental_rollup(ev).collect()}
+    assert got[("view", 5)]["n_events"] == 2
+    assert got[("view", 5)]["sum_micros"] == 3_750_000
+    assert got[("view", 25)]["sum_micros"] == 4_750_000
+    assert got[("click", 25)]["n_events"] == 1
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(
+        temporal.incremental_rollup(ev), con, temporal.incremental_rollup_sql()
+    )
+    con.close()
