@@ -166,6 +166,7 @@ FAMILY = [
     "g09_harmonic_centrality",
     "s18_multiprobe_lsh",
     "e44_incremental_rollup",
+    "m12_active_segments",
 ]
 
 

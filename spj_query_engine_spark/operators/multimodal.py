@@ -800,3 +800,91 @@ def shot_boundaries_sql(
                 AS BIGINT) AS is_cut
     FROM lagged
     """
+
+
+# ---------------------------------------------------------------------------
+# Active-segment extraction (m12) — VAD-shaped gaps-and-islands over windows
+# ---------------------------------------------------------------------------
+
+
+def active_segments(mm: DataFrame) -> DataFrame:
+    """ACTIVE-SEGMENT extraction (the shape of voice-activity detection /
+    silence trimming): m04's overlapping energy windows, a window flagged
+    ACTIVE when its per-sample energy exceeds the payload's own average
+    (cross-multiplied — ``energy·tot_samples > tot_energy·n_samples``,
+    pure BIGINT, no ratio float), and consecutive active windows merged
+    into segments by gaps-and-islands (island id = win_no − active-rank,
+    the e29 interval trick).  Audio curation cuts on exactly these
+    segments: train on speech, drop silence/noise floors.
+
+    Shape: the Arrow-batched window stage is m04's; per-payload totals are
+    ONE aggregate window over the doc partition; islands one ordered
+    window + rollup — frames-per-doc bounded, never corpus-wide."""
+    from pyspark.sql import Window
+
+    wins = audio_windows(mm)
+    doc_w = Window.partitionBy("doc_id")
+    flagged = wins.select(
+        "doc_id",
+        "win_no",
+        "energy",
+        "n_samples",
+        (
+            F.col("energy") * F.sum("n_samples").over(doc_w)
+            > F.sum("energy").over(doc_w) * F.col("n_samples")
+        ).alias("active"),
+    ).filter(F.col("active"))
+    ordered = Window.partitionBy("doc_id").orderBy("win_no")
+    islands = flagged.withColumn(
+        "island", F.col("win_no") - F.row_number().over(ordered)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("win_no").cast("long").alias("start_win"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+        .withColumn(
+            "seg_no",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("start_win"))
+            .cast("long"),
+        )
+        .select("doc_id", "seg_no", "start_win", "n_windows", "seg_energy")
+    )
+
+
+def active_segments_sql(
+    table: str = "documents", win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> str:
+    return f"""
+    WITH wins AS MATERIALIZED ({audio_windows_sql(table, win, hop)}),
+    tot AS (
+      SELECT doc_id, sum(energy) AS tot_energy, sum(n_samples) AS tot_samples
+      FROM wins GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT w.doc_id, w.win_no, w.energy
+      FROM wins w JOIN tot t USING (doc_id)
+      WHERE w.energy * t.tot_samples > t.tot_energy * w.n_samples
+    ),
+    islands AS (
+      SELECT doc_id, win_no, energy,
+             win_no - row_number() OVER (PARTITION BY doc_id ORDER BY win_no)
+               AS island
+      FROM flagged
+    ),
+    segs AS (
+      SELECT doc_id, island,
+             CAST(min(win_no) AS BIGINT) AS start_win,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(energy) AS BIGINT) AS seg_energy
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+                AS BIGINT) AS seg_no,
+           start_win, n_windows, seg_energy
+    FROM segs
+    """

@@ -2550,3 +2550,40 @@ def q66_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
+
+
+# --- q67: null-safe equality join (<=> / IS NOT DISTINCT FROM) ---
+
+
+@register(
+    "q67_null_safe_join",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_key FROM orders
+    ),
+    dim AS (SELECT DISTINCT status_key FROM keyed)
+    SELECT COALESCE(d.status_key, '<null>') AS status_label,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM keyed k JOIN dim d ON k.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY 1
+    """,
+    doc="NULL-SAFE equality join: order rows keyed by NULLIF(status, 'P') "
+    "join a distinct-key dim under <=> semantics (Spark eqNullSafe, SQL "
+    "IS NOT DISTINCT FROM), so the NULL group SURVIVES the join - a "
+    "plain equi-join silently drops every NULL-key row (pinned by test). "
+    "The null-key group is first-class in the rollup; one broadcast join.",
+)
+def q67_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    keyed = orders.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderstatus, 'P')").alias("status_key"),
+    )
+    dim = keyed.select("status_key").distinct().withColumnRenamed(
+        "status_key", "dim_key"
+    )
+    return (
+        keyed.join(F.broadcast(dim), F.col("status_key").eqNullSafe(F.col("dim_key")))
+        .groupBy(F.coalesce(F.col("dim_key"), F.lit("<null>")).alias("status_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )

@@ -585,3 +585,17 @@ def m11_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p17_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.token_budget_pack(docs)
+
+
+@register(
+    "m12_active_segments",
+    multimodal.active_segments_sql(),
+    doc="Active-segment extraction (VAD / silence-trim shape): m04's "
+    "energy windows flagged active when per-sample energy beats the "
+    "payload's own average (cross-multiplied BIGINT, no ratio float), "
+    "consecutive actives merged by gaps-and-islands - audio curation "
+    "cuts on exactly these segments; per-doc windows only, never "
+    "corpus-wide.",
+)
+def m12_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.active_segments(_mm(spark, sf_dir))

@@ -214,3 +214,28 @@ def test_copurchase_topk_support_and_rank(spark):
     con = _duck.connect()
     con.register("lineitem", pdf)
     assert_same_result(copurchase_topk(li), con, copurchase_topk_sql())
+
+
+def test_null_safe_join_keeps_null_group(spark):
+    """q67's semantics pinned: under eqNullSafe the NULL-key rows survive
+    and form their own group; a PLAIN equi-join on the same key drops
+    every one of them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderstatus": ["P", "F", "P", "O"],
+        }
+    )
+    keyed = spark.createDataFrame(pdf).select(
+        "o_orderkey", F.expr("NULLIF(o_orderstatus, 'P')").alias("status_key")
+    )
+    dim = keyed.select("status_key").distinct().withColumnRenamed(
+        "status_key", "dim_key"
+    )
+    safe = keyed.join(dim, F.col("status_key").eqNullSafe(F.col("dim_key")))
+    plain = keyed.join(dim, F.col("status_key") == F.col("dim_key"))
+    assert safe.count() == 4  # NULL group (orders 1, 3) kept
+    assert plain.count() == 2  # NULL never equals NULL

@@ -537,3 +537,34 @@ def test_shot_boundaries_flags_planted_cut(spark):
         multimodal.shot_boundaries(mm), con, multimodal.shot_boundaries_sql()
     )
     con.close()
+
+
+def test_active_segments_islands(spark):
+    """A payload of loud/quiet/loud byte runs must produce exactly two
+    active segments with correct window spans; a uniform payload has no
+    above-average window and yields zero segments.  Oracle agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    loud, quiet = "z", " "  # 0x7a vs 0x20 → strong energy contrast
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [loud * 64 + quiet * 64 + loud * 64, "m" * 96],
+        }
+    )
+    mm = multimodal.attach_payload(spark.createDataFrame(pdf))
+    rows = multimodal.active_segments(mm).collect()
+    segs1 = sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["seg_no"]
+    )
+    assert len(segs1) == 2, segs1  # loud head and loud tail
+    assert segs1[0]["start_win"] == 0
+    assert all(r["doc_id"] != 2 for r in rows)  # uniform → nothing above avg
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(
+        multimodal.active_segments(mm), con, multimodal.active_segments_sql()
+    )
+    con.close()
