@@ -167,6 +167,9 @@ FAMILY = [
     "s18_multiprobe_lsh",
     "e44_incremental_rollup",
     "m12_active_segments",
+    "d25_neardup_weights",
+    "e45_session_funnel",
+    "p18_epoch_orders",
 ]
 
 

@@ -3147,3 +3147,64 @@ def harmonic_centrality_sql(table: str = "documents", radius: int = HC_RADIUS) -
     FROM shortest GROUP BY origin
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster weights (d25) — d24's soft dedup at MinHash granularity
+# ---------------------------------------------------------------------------
+
+
+def neardup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """NEAR-DUP cluster weights: every document weighs 1/|cluster| of its
+    MinHash near-dup cluster (d07's propagation clusters; docs outside the
+    pair graph are singletons at full weight) — d24 down-weights EXACT
+    copies, this down-weights template families and light paraphrases:
+    each near-dup equivalence class contributes total mass ≈ 1, the
+    soft alternative to d08's hard drop when paraphrase count is signal.
+
+    Shape: the pair graph + bounded propagation are d02/d07's (banded
+    equi-joins, never all-pairs); cluster sizes are one rollup of the
+    bounded cluster table; the corpus takes ONE left join on doc_id and a
+    projection — bodies never shuffle."""
+    clusters = dup_clusters(minhash_lsh_pairs(docs, text_col, id_col)).select(
+        id_col, "cluster_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    member = clusters.join(sizes, "cluster_id")
+    return (
+        docs.select(id_col)
+        .join(member, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            F.expr("1000000 div coalesce(cluster_size, 1)")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+def neardup_weights_sql(table: str = "documents") -> str:
+    clusters = dup_clusters_sql(minhash_lsh_pairs_sql(table))
+    return f"""
+    WITH clusters AS MATERIALIZED (
+      SELECT doc_id, cluster_id FROM ({clusters})
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+    ),
+    member AS (
+      SELECT c.doc_id, s.cluster_size
+      FROM clusters c JOIN sizes s USING (cluster_id)
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(m.cluster_size, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // COALESCE(m.cluster_size, 1) AS BIGINT) AS weight_ppm
+    FROM {table} t LEFT JOIN member m ON m.doc_id = t.doc_id
+    """

@@ -1319,3 +1319,87 @@ def token_budget_pack_sql(
     SELECT doc_id, quality, doc_tokens, sel_rank, cum_tokens
     FROM ranked WHERE cum_tokens - doc_tokens < budget
     """
+
+
+# ---------------------------------------------------------------------------
+# Epoch reshuffle audit (p18) — per-epoch orders, decorrelation measured
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 31
+
+
+def epoch_orders(
+    docs: DataFrame, id_col: str = "doc_id", epochs: tuple = (0, 1)
+) -> DataFrame:
+    """PER-EPOCH training order: each epoch orders the corpus by a portable
+    hash salted with the epoch number, so every epoch is a fresh
+    deterministic shuffle (same data, decorrelated order — what a training
+    loop needs between epochs) reproducible on any cluster layout.  The
+    output carries each doc's position in BOTH epochs plus the absolute
+    rank displacement, so the decorrelation is MEASURED, not assumed:
+    well-mixed epochs displace an average of ~n/3 positions (uniform
+    permutation expectation); a broken salt shows displacement 0.
+
+    Shape: one rank window per epoch over the salted hash (the honest
+    total order, range-partitioned at 100 TB exactly as p16 documents) —
+    corpus projected once, never joined to itself (positions meet via
+    conditional aggregation, not a self-join)."""
+    from pyspark.sql import Window
+
+    e0, e1 = epochs
+    stacked = docs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).alias("epoch"),
+                        _bucket_raw(F.col(id_col), EPOCH_SEED + e).alias("h"),
+                    )
+                    for e in epochs
+                ]
+            )
+        ).alias("eh"),
+    ).select(id_col, "eh.epoch", "eh.h")
+    w = Window.partitionBy("epoch").orderBy("h", id_col)
+    ranked = stacked.withColumn("pos", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.min(F.when(F.col("epoch") == e0, F.col("pos"))).alias("pos_e0"),
+        F.min(F.when(F.col("epoch") == e1, F.col("pos"))).alias("pos_e1"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("pos_e0").cast("long").alias("pos_e0"),
+        F.col("pos_e1").cast("long").alias("pos_e1"),
+        F.abs(F.col("pos_e0") - F.col("pos_e1")).cast("long").alias("displacement"),
+    )
+
+
+def epoch_orders_sql(
+    table: str = "documents", id_col: str = "doc_id", epochs: tuple = (0, 1)
+) -> str:
+    e0, e1 = epochs
+    sel = " UNION ALL ".join(
+        f"SELECT {id_col}, {e} AS epoch, "
+        f"{_bucket_raw_sql(id_col, EPOCH_SEED + e)} AS h FROM {table}"
+        for e in epochs
+    )
+    return f"""
+    WITH stacked AS ({sel}),
+    ranked AS (
+      SELECT {id_col}, epoch,
+             row_number() OVER (PARTITION BY epoch ORDER BY h, {id_col}) AS pos
+      FROM stacked
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             min(CASE WHEN epoch = {e0} THEN pos END) AS pos_e0,
+             min(CASE WHEN epoch = {e1} THEN pos END) AS pos_e1
+      FROM ranked GROUP BY {id_col}
+    )
+    SELECT {id_col},
+           CAST(pos_e0 AS BIGINT) AS pos_e0,
+           CAST(pos_e1 AS BIGINT) AS pos_e1,
+           CAST(abs(pos_e0 - pos_e1) AS BIGINT) AS displacement
+    FROM per_doc
+    """

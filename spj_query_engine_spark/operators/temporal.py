@@ -2160,3 +2160,144 @@ def incremental_rollup_sql(table: str = "events") -> str:
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped funnel (e45) — conversion within one visit
+# ---------------------------------------------------------------------------
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: tuple = FUNNEL_STEPS,
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """SESSION-scoped funnel: how many SESSIONS (e02's inactivity-gap
+    visits) contain the ordered step chain — e08 measures lifetime
+    conversion per user; this measures conversion per VISIT, the number
+    product analytics actually tracks (a user who views today and buys
+    next month converts e08's funnel but not this one).  The session
+    boundary replaces e08's fixed window cap.
+
+    Shape: ONE per-user ordered window assigns session ids (e02's
+    lag+cumsum), then e08's chained conditional-min joins run per
+    (user, session) — each pass one equi-join + one aggregate carrying a
+    row per session, never an event-row blowup."""
+    gap_ms = gap_minutes * 60 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+    ).withColumn(
+        "session_no",
+        F.sum(
+            F.when(F.lag("ts_ms").over(w).isNull(), 1)
+            .when((F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, 1)
+            .otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = base.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == steps[0], F.col("ts_ms"))).alias("t0")
+    )
+    for k in range(1, len(steps)):
+        nxt = base.filter(F.col("event_type") == steps[k]).select(
+            "user_id", "session_no", F.col("ts_ms").alias(f"ts_{k}")
+        )
+        per_sess = (
+            per_sess.join(nxt, ["user_id", "session_no"], "left")
+            .groupBy("user_id", "session_no", *[f"t{j}" for j in range(k)])
+            .agg(
+                F.min(
+                    F.when(F.col(f"ts_{k}") > F.col(f"t{k - 1}"), F.col(f"ts_{k}"))
+                ).alias(f"t{k}")
+            )
+        )
+    counts = per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        *[
+            F.sum(F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)).alias(
+                f"r{k}"
+            )
+            for k in range(len(steps))
+        ],
+    )
+    return counts.select(
+        F.expr(
+            "stack(%d, %s) AS (step_no, step, n_reached)"
+            % (
+                len(steps),
+                ", ".join(
+                    f"{k}L, '{steps[k]}', r{k}" for k in range(len(steps))
+                ),
+            )
+        ),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+    ).select(
+        "step_no",
+        "step",
+        "n_sessions",
+        F.col("n_reached").cast("long").alias("n_reached"),
+    )
+
+
+def session_funnel_sql(
+    table: str = "events",
+    steps: tuple = FUNNEL_STEPS,
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> str:
+    gap_ms = gap_minutes * 60 * 1000
+    ctes = [
+        f"""pre AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM {table}
+    )""",
+        f"""gapped AS (
+      SELECT *,
+             CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+                  WHEN ts_ms - lag(ts_ms) OVER w > {gap_ms} THEN 1
+                  ELSE 0 END AS new_s
+      FROM pre
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    )""",
+        """base AS (
+      SELECT *,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gapped
+    )""",
+        f"""u0 AS (
+      SELECT user_id, session_no,
+             min(CASE WHEN event_type = '{steps[0]}' THEN ts_ms END) AS t0
+      FROM base GROUP BY user_id, session_no
+    )""",
+    ]
+    for k in range(1, len(steps)):
+        prev_cols = ", ".join(
+            ["user_id", "session_no"] + [f"t{j}" for j in range(k)]
+        )
+        ctes.append(
+            f"""u{k} AS (
+      SELECT {prev_cols},
+             min(CASE WHEN x.ts_ms > t{k - 1} THEN x.ts_ms END) AS t{k}
+      FROM u{k - 1} LEFT JOIN (SELECT user_id, session_no, ts_ms FROM base
+                               WHERE event_type = '{steps[k]}') x
+        USING (user_id, session_no)
+      GROUP BY {prev_cols}
+    )"""
+        )
+    last = f"u{len(steps) - 1}"
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS step_no, '{steps[k]}' AS step, "
+        f"count(*) AS n_sessions, "
+        f"sum(CASE WHEN t{k} IS NOT NULL THEN 1 ELSE 0 END) AS n_reached "
+        f"FROM {last}"
+        for k in range(len(steps))
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(step_no AS BIGINT) AS step_no, step,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_reached AS BIGINT) AS n_reached
+    FROM ({rows})
+    """

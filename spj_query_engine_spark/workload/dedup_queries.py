@@ -429,3 +429,17 @@ def d24_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g09_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.harmonic_centrality(_docs(spark, sf_dir))
+
+
+@register(
+    "d25_neardup_weights",
+    dedup.neardup_weights_sql(),
+    doc="Near-dup cluster weights: 1/|MinHash cluster| ppm per doc (docs "
+    "outside the pair graph stay singletons at full weight) - d24 "
+    "down-weights exact copies, this down-weights template families and "
+    "paraphrases: each near-dup class contributes total mass ~1, the "
+    "soft alternative to d08's hard drop; banded joins + one rollup + "
+    "one corpus left join, bodies never shuffle.",
+)
+def d25_neardup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.neardup_weights(_docs(spark, sf_dir))

@@ -599,3 +599,18 @@ def p17_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m12_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.active_segments(_mm(spark, sf_dir))
+
+
+@register(
+    "p18_epoch_orders",
+    sampling.epoch_orders_sql(),
+    doc="Per-epoch training order: each epoch is a fresh deterministic "
+    "shuffle (portable hash salted by epoch), both positions + rank "
+    "displacement per doc so decorrelation is MEASURED (uniform "
+    "permutations displace ~n/3 on average; a broken salt shows 0) - "
+    "one rank window per epoch, positions meet via conditional "
+    "aggregation, no self-join.",
+)
+def p18_epoch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.epoch_orders(docs)

@@ -450,3 +450,17 @@ def e43_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e44_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.incremental_rollup(ev)
+
+
+@register(
+    "e45_session_funnel",
+    temporal.session_funnel_sql(),
+    doc="Session-scoped funnel: sessions (e02's inactivity-gap visits) "
+    "containing the ordered step chain - e08 measures lifetime "
+    "conversion, this measures conversion per VISIT; one session-id "
+    "window then e08's chained conditional-min joins per (user, "
+    "session), a row per session, never an event blowup.",
+)
+def e45_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.session_funnel(ev)

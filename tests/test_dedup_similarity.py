@@ -821,3 +821,23 @@ def test_multiprobe_dominates_plain_lsh(spark):
     got = similarity.multiprobe_lsh_topk(df, k=1, n_queries=20).collect()
     hits = sum(1 for r in got if r["cand_id"] == 100 + r["query_id"])
     assert hits == 20
+
+
+def test_neardup_weights_cluster_mass(docs):
+    """Docs 1, 2, 4 form one near-dup cluster (exact dup + paraphrase) →
+    weight 333333 each; doc 3 is a singleton at 1e6.  Oracle agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = {r["doc_id"]: r for r in dedup.neardup_weights(docs).collect()}
+    assert got[3]["cluster_size"] == 1 and got[3]["weight_ppm"] == 1_000_000
+    assert got[1]["cluster_size"] == 3
+    assert got[1]["weight_ppm"] == got[2]["weight_ppm"] == got[4]["weight_ppm"] == 333_333
+    con = _duck.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [BASE, NEAR, OTHER, BASE]}),
+    )
+    assert_same_result(dedup.neardup_weights(docs), con, dedup.neardup_weights_sql())
+    con.close()

@@ -51,6 +51,7 @@ EXPECTED_ON_EMPTY = {
     "t14_vocab_stats": 1,
     "m05_modality_lake": 1,
     "e08_funnel": 3,
+    "e45_session_funnel": 3,  # same static-step form as e08, its oracle too
     "u05_python_datasource": 10,  # table-independent synthetic source
     "d20_dedup_impact": 1,  # the FUSED global-agg row (0 pairs) survives
 }

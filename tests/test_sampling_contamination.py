@@ -311,3 +311,14 @@ def test_token_budget_pack_fills_budget_exactly(spark):
         sampling.token_budget_pack_sql(budget_pct=30),
     )
     con.close()
+
+
+def test_epoch_orders_decorrelate(docs):
+    """Each epoch's positions are a permutation of 1..n; epochs 0 and 1
+    displace on average a substantial fraction of n (uniform expectation
+    ~n/3) — a broken salt would show displacement 0 everywhere."""
+    got = sampling.epoch_orders(docs).toPandas()
+    n = len(got)
+    assert sorted(got["pos_e0"]) == list(range(1, n + 1))
+    assert sorted(got["pos_e1"]) == list(range(1, n + 1))
+    assert got["displacement"].mean() > n / 10  # decorrelated, not identity

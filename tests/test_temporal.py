@@ -509,3 +509,43 @@ def test_incremental_rollup_merge_law(spark):
         temporal.incremental_rollup(ev), con, temporal.incremental_rollup_sql()
     )
     con.close()
+
+
+def test_session_funnel_visit_scoped(spark):
+    """A user who views in one session and clicks+purchases only in a
+    LATER session converts e08's lifetime funnel but not the session
+    funnel; a same-session chain converts both.  Oracle agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    hr = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view/click/purchase inside one session
+        (1, 1, base, "view", 0.0),
+        (2, 1, base + 2 * m, "click", 0.0),
+        (3, 1, base + 4 * m, "purchase", 0.0),
+        # user 2: view, then (2h gap → new session) click + purchase
+        (4, 2, base, "view", 0.0),
+        (5, 2, base + 2 * hr, "click", 0.0),
+        (6, 2, base + 2 * hr + 1 * m, "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["step_no"]: r for r in temporal.session_funnel(ev).collect()}
+    assert got[0]["n_reached"] == 2  # two sessions contain a view
+    assert got[1]["n_reached"] == 1  # only user 1's session chains view→click
+    assert got[2]["n_reached"] == 1
+    assert got[0]["n_sessions"] == 3  # u1×1 + u2×2
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(
+        temporal.session_funnel(ev), con, temporal.session_funnel_sql()
+    )
+    con.close()
