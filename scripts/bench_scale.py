@@ -170,6 +170,7 @@ FAMILY = [
     "d25_neardup_weights",
     "e45_session_funnel",
     "p18_epoch_orders",
+    "t24_heaps_curve",
 ]
 
 

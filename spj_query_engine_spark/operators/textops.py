@@ -1592,3 +1592,101 @@ def vocab_coverage_curve_sql(table: str = "documents") -> str:
     FROM ranked, (VALUES {cuts}) AS c(cut)
     GROUP BY c.cut
     """
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law curve (t24) — vocabulary growth along the corpus
+# ---------------------------------------------------------------------------
+
+HEAPS_SWEEP = (1_000, 10_000, 100_000, 1_000_000)  # token-prefix cuts
+
+
+def heaps_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """HEAPS'-LAW curve: distinct-word count within the first N tokens of
+    the corpus (deterministic doc_id order) for each N — the vocabulary
+    GROWTH measurement that completes the tokenizer-diagnostics trio (t22
+    shows the frequency distribution, t23 the coverage of a cut, this how
+    fast new words keep arriving: V(N) ≈ K·N^β, β≈0.5 for natural text;
+    a flat curve means the corpus has exhausted its domain, a linear one
+    screams unnormalized noise/IDs).
+
+    Exactness: a token's GLOBAL position is its doc's running token total
+    plus its offset — one vocabulary-bounded per-doc count, one ordered
+    cumulative window over DOCS (not tokens), then each word's first
+    occurrence is a min over its global positions; the sweep is
+    conditional sums over the word table.  Nothing orders corpus-wide
+    token rows: the only global window runs over per-doc rows (range-sort
+    at 100 TB, p16's documented form)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(F.col("doc_id"), toks.alias("toks"))
+    counts = base.select("doc_id", F.size("toks").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "base_pos", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    ).select("doc_id", "base_pos")
+    exploded = (
+        base.join(offsets, "doc_id")
+        .select(
+            "base_pos", F.posexplode("toks").alias("off", "w")
+        )
+        .select((F.col("base_pos") + F.col("off") + 1).alias("gpos"), "w")
+    )
+    firsts = exploded.groupBy("w").agg(F.min("gpos").alias("first_pos"))
+    agg = firsts.agg(
+        F.count(F.lit(1)).alias("vocab_total"),
+        *[
+            F.sum(F.when(F.col("first_pos") <= n, 1).otherwise(0)).alias(f"v_{n}")
+            for n in HEAPS_SWEEP
+        ],
+        # count(*) over an empty word table is 0, not NULL — the filter must
+        # drop that row to match the oracle's empty cross join (t23's lesson)
+    ).filter(F.col("vocab_total") > 0)
+    return agg.select(
+        F.expr(
+            "stack(%d, %s) AS (prefix_tokens, vocab_size)"
+            % (
+                len(HEAPS_SWEEP),
+                ", ".join(f"{n}L, v_{n}" for n in HEAPS_SWEEP),
+            )
+        ),
+        F.col("vocab_total").cast("long").alias("vocab_total"),
+    ).select(
+        "prefix_tokens",
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        "vocab_total",
+    )
+
+
+def heaps_curve_sql(table: str = "documents") -> str:
+    cuts = ", ".join(f"({n})" for n in HEAPS_SWEEP)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM {table}
+    ),
+    counts AS (SELECT doc_id, len(toks) AS n_toks FROM base),
+    offsets AS (
+      SELECT doc_id,
+             COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_pos
+      FROM counts
+    ),
+    exploded AS (
+      SELECT o.base_pos + u.off + 1 AS gpos, b.toks[u.off + 1] AS w
+      FROM base b JOIN offsets o USING (doc_id),
+           unnest(range(0, len(b.toks))) AS u(off)
+    ),
+    firsts AS (SELECT w, min(gpos) AS first_pos FROM exploded GROUP BY w)
+    SELECT c.cut::BIGINT AS prefix_tokens,
+           CAST(sum(CASE WHEN first_pos <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_size,
+           CAST(count(*) AS BIGINT) AS vocab_total
+    FROM firsts, (VALUES {cuts}) AS c(cut)
+    GROUP BY c.cut
+    """

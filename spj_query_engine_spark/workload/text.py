@@ -294,3 +294,18 @@ def t22_vocab_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t23_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return textops.vocab_coverage_curve(docs)
+
+
+@register(
+    "t24_heaps_curve",
+    textops.heaps_curve_sql(),
+    doc="Heaps'-law curve: distinct words within the first N corpus tokens "
+    "for N in %s - vocabulary GROWTH, completing the tokenizer trio (t22 "
+    "frequency shape, t23 cut coverage): V(N)~K*N^0.5 for natural text, "
+    "linear growth screams unnormalized IDs.  Global positions from one "
+    "per-DOC cumulative window (never a token-row order); sweep as "
+    "conditional sums." % (textops.HEAPS_SWEEP,),
+)
+def t24_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.heaps_curve(docs)

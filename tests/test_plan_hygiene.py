@@ -93,6 +93,12 @@ JOIN_STRATEGY_EXPECTED = {
     "q04_join3_star": "BroadcastHashJoin",  # dimension tables broadcast
     "q32_shipping_priority": "BroadcastHashJoin",  # filtered dims broadcast
     "q18_topk_orders": "TakeOrderedAndProject",  # top-k, not a global sort
+    # decorrelated scalar subquery: the 25-row per-nation aggregate must
+    # broadcast, never shuffle the supplier scan
+    "q66_correlated_subquery": "BroadcastHashJoin",
+    # EqualNullSafe is a hash-join key — a nested loop here would mean the
+    # null-safe predicate fell out of the equi-key extractor
+    "q67_null_safe_join": "BroadcastHashJoin",
 }
 
 

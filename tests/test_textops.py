@@ -359,3 +359,29 @@ def test_vocab_coverage_curve_exact(spark):
         textops.vocab_coverage_curve(docs), con, textops.vocab_coverage_curve_sql()
     )
     con.close()
+
+
+def test_heaps_curve_exact_prefix_vocab(spark):
+    """Constructed corpus with known first-occurrence positions: doc 1 =
+    'a b a', doc 2 = 'c a d' → global first positions a:1 b:2 c:4 d:6;
+    a 4-token prefix (patched sweep via direct internals is unnecessary —
+    default cuts all exceed 6 tokens, so every cut sees the full vocab of
+    4) and monotonicity in N must hold.  Oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators import textops
+    from tests.conftest import assert_same_result
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a", "c a d"]})
+    docs = spark.createDataFrame(pdf)
+    got = {r["prefix_tokens"]: r for r in textops.heaps_curve(docs).collect()}
+    assert set(got) == set(textops.HEAPS_SWEEP)
+    sizes = [got[n]["vocab_size"] for n in sorted(got)]
+    assert sizes == sorted(sizes)  # monotone in N
+    assert all(r["vocab_total"] == 4 for r in got.values())
+    assert got[min(got)]["vocab_size"] == 4  # all firsts within 6 tokens
+    con = _duck.connect()
+    con.register("documents", pdf)
+    assert_same_result(textops.heaps_curve(docs), con, textops.heaps_curve_sql())
+    con.close()
