@@ -1403,3 +1403,82 @@ def epoch_orders_sql(
            CAST(abs(pos_e0 - pos_e1) AS BIGINT) AS displacement
     FROM per_doc
     """
+
+
+N_SHARDS = 8  # p19: target shard count
+
+
+def balanced_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Work-balanced shard assignment: documents ranked by token count
+    (descending, doc_id tie-break) are dealt to ``n_shards`` shards in
+    SNAKE order (0..S-1, S-1..0, ...), the classic greedy bound for
+    near-equal shard mass without an iterative bin-packer - round-robin
+    by size rank guarantees every shard's token total is within one
+    max-document of the others.  Emits the audit per shard: doc count,
+    token mass, and its ppm share of the corpus - the pre-flight check
+    before launching per-shard tokenization/training jobs that should
+    finish together (the straggler budget IS the imbalance).
+
+    The size rank is one global window (range-partitioned sort at scale,
+    p16's documented form, over per-DOC rows - never token rows); the
+    snake fold and the rollup are pure integer projections."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    from pyspark.sql import Window
+
+    sized = docs.select("doc_id", F.size(toks).alias("n_toks"))
+    w = Window.orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    period = 2 * n_shards
+    assigned = sized.withColumn("rk", F.row_number().over(w) - 1).select(
+        "doc_id",
+        "n_toks",
+        F.expr(
+            f"CASE WHEN rk % {period} < {n_shards} THEN rk % {period} "
+            f"ELSE {period - 1} - rk % {period} END"
+        ).alias("shard"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("shard_tokens"),
+    )
+    total = assigned.agg(F.sum("n_toks").alias("total_tokens")).filter(
+        F.coalesce(F.col("total_tokens"), F.lit(0)) > 0
+    )
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        F.col("shard_tokens").cast("long").alias("shard_tokens"),
+        F.expr("(shard_tokens * 1000000) div total_tokens").alias("share_ppm"),
+    )
+
+
+def balanced_shards_sql(table: str = "documents", n_shards: int = N_SHARDS) -> str:
+    period = 2 * n_shards
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_toks
+      FROM {table}
+    ),
+    assigned AS (
+      SELECT doc_id, n_toks,
+             CASE WHEN (rk % {period}) < {n_shards} THEN rk % {period}
+                  ELSE {period - 1} - (rk % {period}) END AS shard
+      FROM (SELECT *, row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rk
+            FROM sized)
+    ),
+    per_shard AS (
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+      FROM assigned GROUP BY shard
+    ),
+    total AS (
+      SELECT CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM assigned
+      HAVING sum(n_toks) > 0
+    )
+    SELECT shard::BIGINT AS shard, n_docs, shard_tokens,
+           (shard_tokens * 1000000) // total_tokens AS share_ppm
+    FROM per_shard, total
+    """

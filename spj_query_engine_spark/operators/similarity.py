@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spj_query_engine_spark.functions.hashing import portable_round, portable_round_sql
+from spj_query_engine_spark.functions.hashing import (
+    h32,
+    h32_sql,
+    portable_round,
+    portable_round_sql,
+)
 from spj_query_engine_spark.operators.dedup import cosine_sim, cosine_sim_sql, dot_product
 
 TOP_K = 5
@@ -2232,4 +2237,160 @@ def multiprobe_lsh_topk_sql(
     )
     SELECT query_id, cand_id, cosine, rank::BIGINT AS rank
     FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-similarity histogram over hash-sampled pairs (s19) and the
+# IVF cell-occupancy census (s20)
+
+HIST_BLOCKS = 32  # s19: hash-block count; sampled pairs ~ n^2 / HIST_BLOCKS
+HIST_BINS_LO = -10  # cosine decile bins [-1.0, 1.0)
+
+
+def sim_histogram(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = HIST_BLOCKS,
+) -> DataFrame:
+    """Cosine-similarity DISTRIBUTION estimate from hash-sampled pairs:
+    vectors land in ``n_blocks`` pseudo-random blocks (portable h32 of the
+    id), all within-block pairs are scored exactly, and the histogram
+    buckets cosines into deciles.  This is the threshold-picking
+    measurement behind d06/d14's near-dup cut and s10's range radius: the
+    curve shows where the dup mode separates from the background mode.
+
+    Sampling is the SCALE lever: within-block pairing scores ~n²/B pairs,
+    and choosing B ∝ n holds the sample at O(n) pairs while staying a pure
+    equi-join on the block key (uniform by construction - h32 is
+    key-uniform, so block sizes concentrate at n/B and no block
+    quadratically dominates).  Pair-identical in SQL: the oracle replays
+    h32, the same blocks, the same fold-order cosine."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (h32(F.col(id_col).cast("string")) % n_blocks).alias("blk"),
+    )
+    a = emb.select("blk", F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = emb.select("blk", F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_sim(F.col("vec_a"), F.col("vec_b"))
+    binned = pairs.select(
+        F.greatest(
+            F.lit(HIST_BINS_LO),
+            F.least(F.lit(-HIST_BINS_LO - 1), F.floor(cos * 10).cast("int")),
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = counts.agg(F.sum("n_pairs").alias("total_pairs")).filter(
+        F.coalesce(F.col("total_pairs"), F.lit(0)) > 0
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_pairs",
+        F.expr("(n_pairs * 1000000) div total_pairs").alias("share_ppm"),
+    )
+
+
+def sim_histogram_sql(table: str = "embeddings", n_blocks: int = HIST_BLOCKS) -> str:
+    blk = f"({h32_sql('CAST(vec_id AS VARCHAR)')} % {n_blocks})"
+    cos = cosine_sim_sql("vec_a", "vec_b")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id AS vid, embedding, {blk} AS blk FROM {table}
+    ),
+    pairs AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, a.vec_a, b.vec_b
+      FROM (SELECT blk, vid, embedding AS vec_a FROM emb) a
+      JOIN (SELECT blk, vid, embedding AS vec_b FROM emb) b USING (blk)
+      WHERE a.vid < b.vid
+    ),
+    binned AS (
+      SELECT greatest({HIST_BINS_LO},
+                      least({-HIST_BINS_LO - 1},
+                            CAST(floor({cos} * 10) AS INTEGER))) AS bin
+      FROM pairs
+    ),
+    counts AS (SELECT bin, count(*) AS n_pairs FROM binned GROUP BY bin),
+    total AS (
+      SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs FROM counts
+      HAVING sum(n_pairs) > 0
+    )
+    SELECT bin::BIGINT AS bin, n_pairs,
+           (n_pairs * 1000000) // total_pairs AS share_ppm
+    FROM counts, total
+    """
+
+
+def ivf_cell_census(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """IVF cell-occupancy census: how many vectors each coarse-quantizer
+    cell holds, its ppm share, and its rank by size - the OPERATIONAL
+    audit behind s03/s04/s12: probe cost and straggler risk are both set
+    by the largest cells (a cell holding 30% of the corpus means every
+    probe touching it reranks 30% of the data), and a skewed census is
+    the signal to retrain or split cells.  Uses s03's deterministic
+    seeded centroids so the oracle replays assignment exactly.
+
+    Assignment is the same broadcast map-only pass as s03 (corpus never
+    shuffles on anything but the final 16-key rollup); the census output
+    is O(n_cells) rows."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") == 1)
+        .select("vid", F.col("cid").alias("cell"))
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    total = counts.agg(F.sum("n_vecs").alias("total_vecs")).filter(
+        F.coalesce(F.col("total_vecs"), F.lit(0)) > 0
+    )
+    size_rank = Window.orderBy(F.desc("n_vecs"), F.asc("cell"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.expr("(n_vecs * 1000000) div total_vecs").alias("share_ppm"),
+        )
+        .withColumn("size_rank", F.row_number().over(size_rank).cast("long"))
+    )
+
+
+def ivf_cell_census_sql(table: str = "embeddings", n_cells: int = N_CELLS) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    counts AS (
+      SELECT cid AS cell, count(*) AS n_vecs FROM ranked WHERE rnk = 1 GROUP BY cid
+    ),
+    total AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS total_vecs FROM counts
+      HAVING sum(n_vecs) > 0
+    )
+    SELECT cell::BIGINT AS cell, n_vecs,
+           (n_vecs * 1000000) // total_vecs AS share_ppm,
+           row_number() OVER (ORDER BY n_vecs DESC, cell ASC)::BIGINT AS size_rank
+    FROM counts, total
     """

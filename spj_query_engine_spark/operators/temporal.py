@@ -2301,3 +2301,178 @@ def session_funnel_sql(
            CAST(n_reached AS BIGINT) AS n_reached
     FROM ({rows})
     """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (e46) and dyadic-weight EWMA (e47)
+
+BAR_HOURS = 24  # e46 bar width
+EWMA_SPAN = 8  # e47: dyadic window length (weights 2^7 .. 2^0)
+
+
+def ohlc_bars(events: DataFrame, hours: int = BAR_HOURS) -> DataFrame:
+    """OHLC downsampling: per (event_type, tumbling bar) the OPEN (value of
+    the earliest event), HIGH, LOW, CLOSE (latest) plus volume — the
+    canonical time-series compaction every metrics store ships (no
+    reference analog; the reference has no ordered-first/last aggregate at
+    all, ``Scan.java`` emits heap order).
+
+    Open/close are selected by ``row_number`` over (ts, event_id) — a
+    deterministic total order both engines replay — NOT ``first()``
+    (partition-order-dependent in Spark) and not ``min_by`` (ties
+    unspecified).  The two window passes share one hash partitioning of
+    (event_type, bar); high/low/volume ride the same aggregate.  Raw
+    values pass through unaveraged (bit-identical), the volume sum rides
+    DECIMAL(18,6).  At 100 TB: one shuffle on the bar key; bar count is
+    time-bounded, so the output is trivially small — the classic
+    pre-aggregation that makes dashboard queries O(bars) not O(events)."""
+    width_ms = hours * 3600 * 1000
+    base = events.select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "event_id",
+        "value",
+    ).withColumn("bar", F.expr(f"ts_ms div {width_ms}"))
+    asc = Window.partitionBy("event_type", "bar").orderBy("ts_ms", "event_id")
+    desc = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(asc)).withColumn(
+        "rn_d", F.row_number().over(desc)
+    )
+    return (
+        ranked.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("bar").cast("long").alias("bar"),
+            (F.col("bar") * width_ms).cast("long").alias("bar_start_ms"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def ohlc_bars_sql(table: str = "events", hours: int = BAR_HOURS) -> str:
+    width_ms = hours * 3600 * 1000
+    return f"""
+    WITH base AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value,
+             epoch_ms(ts) // {width_ms} AS bar
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts_ms, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+      FROM base
+    )
+    SELECT event_type, bar::BIGINT AS bar,
+           (bar * {width_ms})::BIGINT AS bar_start_ms,
+           count(*) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY event_type, bar
+    """
+
+
+def ewma_daily(events: DataFrame, span: int = EWMA_SPAN) -> DataFrame:
+    """Dyadic-weight EWMA over the per-(event_type, day) value series: the
+    smoothed value is ``floor(Σ_j 2^(span-1-j)·v_{t-j} / Σ_j 2^(span-1-j))``
+    over the last ``span`` OBSERVED days (j = age in rows), in integer
+    MICROS end to end — the halving-weight smoother is the integer-exact
+    stand-in for float EWMA (α = 1/2), so the iterative-looking smoothing
+    is hash-replayable (float EWMA recursion never is).
+
+    Shape: one rollup shuffle on (event_type, day), then ONE ordered window
+    per type carrying ``span`` lags — lag depth is a constant, not a data
+    quantity, so the window state is O(span) per key.  Weights double
+    toward the present; missing lags (series head) drop out of numerator
+    AND denominator, matching the standard EWMA warm-up correction.  Micros
+    keep daily sums ≤ ~9.2e18/1e6 ≈ 9.2e12 — fine for any real per-day
+    per-type mass; a 100 TB deployment with hotter keys moves the
+    accumulator to DECIMAL(38,0) unchanged."""
+    day_ms = 86_400_000
+    daily = (
+        events.select(
+            "event_type",
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+            "value",
+        )
+        .withColumn("day", F.expr(f"ts_ms div {day_ms}"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+            ).alias("v_micros")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+
+    def lag_j(j: int):
+        return F.lag("v_micros", j).over(w) if j else F.col("v_micros")
+
+    num = None
+    den = None
+    for j in range(span):
+        wgt = 1 << (span - 1 - j)
+        term = F.coalesce(lag_j(j) * wgt, F.lit(0).cast("long"))
+        wterm = F.when(lag_j(j).isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return (
+        daily.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "v_micros",
+            F.expr("_num div _den").cast("long").alias("ewma_micros"),
+        )
+    )
+
+
+def ewma_daily_sql(table: str = "events", span: int = EWMA_SPAN) -> str:
+    day_ms = 86_400_000
+    num = " + ".join(
+        f"COALESCE(lag(v_micros, {j}) OVER w * {1 << (span - 1 - j)}, 0)"
+        if j
+        else f"v_micros * {1 << (span - 1)}"
+        for j in range(span)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v_micros, {j}) OVER w IS NOT NULL THEN {1 << (span - 1 - j)} ELSE 0 END)"
+        if j
+        else f"{1 << (span - 1)}"
+        for j in range(span)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {day_ms} AS day,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_micros
+      FROM {table}
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day::BIGINT AS day, v_micros,
+           (({num}) // ({den}))::BIGINT AS ewma_micros
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """

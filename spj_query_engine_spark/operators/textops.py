@@ -1690,3 +1690,146 @@ def heaps_curve_sql(table: str = "documents") -> str:
     FROM firsts, (VALUES {cuts}) AS c(cut)
     GROUP BY c.cut
     """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact audit (t25) and context-length truncation loss (t26)
+
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+# UTF-8 multibyte bytes decoded as Latin-1: U+00C3 then a continuation char
+MOJIBAKE_RE = "\u00c3[\u0080-\u00bf]"
+REPLACEMENT_CH = "\ufffd"
+NONASCII_RE = r"[^\x01-\x7F]"
+TRUNC_SWEEP = (128, 512, 2048)
+
+
+def encoding_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source encoding-artifact audit: documents containing U+FFFD
+    replacement characters, C0 control characters, any non-ASCII at all,
+    and the classic mojibake signature (UTF-8 multibyte sequences decoded
+    as Latin-1: U+00C3 followed by a continuation char).  The corpus-intake
+    screen every crawl pipeline runs before tokenization - replacement
+    chars mean upstream decode loss, mojibake means a double-decode bug,
+    and both poison a tokenizer's vocabulary.
+
+    Pure regexp projections + one rollup on ``source`` (map-side combined):
+    zero Python, zero extra shuffle beyond the tiny group key.  The regex
+    classes are shared RE2/Java syntax so both engines test the identical
+    predicate; NULL text counts in n_docs but matches nothing."""
+
+    def has(pattern: str) -> Column:
+        return F.when(F.col(text_col).rlike(pattern), 1).otherwise(0)
+
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has(REPLACEMENT_CH)).alias("n_replacement"),
+        F.sum(has(CTRL_RE)).alias("n_control"),
+        F.sum(has(NONASCII_RE)).alias("n_nonascii"),
+        F.sum(has(MOJIBAKE_RE)).alias("n_mojibake"),
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_replacement",
+        "n_control",
+        "n_nonascii",
+        "n_mojibake",
+        F.expr("(n_replacement * 1000000) div n_docs").alias("replacement_ppm"),
+        F.expr("(n_mojibake * 1000000) div n_docs").alias("mojibake_ppm"),
+    )
+
+
+def encoding_audit_sql(table: str = "documents") -> str:
+    def has(pattern: str) -> str:
+        return (
+            f"sum(CASE WHEN text IS NOT NULL AND "
+            f"regexp_matches(text, '{pattern}') THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH counts AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST({has(REPLACEMENT_CH)} AS BIGINT) AS n_replacement,
+             CAST({has(CTRL_RE)} AS BIGINT) AS n_control,
+             CAST({has(NONASCII_RE)} AS BIGINT) AS n_nonascii,
+             CAST({has(MOJIBAKE_RE)} AS BIGINT) AS n_mojibake
+      FROM {table}
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_replacement, n_control, n_nonascii, n_mojibake,
+           (n_replacement * 1000000) // n_docs AS replacement_ppm,
+           (n_mojibake * 1000000) // n_docs AS mojibake_ppm
+    FROM counts
+    """
+
+
+def truncation_loss(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Context-length truncation loss: for each candidate context length L
+    in ``TRUNC_SWEEP``, how many documents exceed L whitespace tokens and
+    what share of the corpus token mass (ppm) falls beyond position L -
+    the measurement that picks a training sequence length (pairs with
+    t23's vocabulary-coverage curve; p05 then packs to the chosen L).
+
+    One corpus pass computes per-doc token counts; the sweep is
+    conditional sums in a single global aggregate - candidates never
+    multiply document rows.  All integer; the empty corpus yields zero
+    rows (total-mass filter) rather than a divide-by-NULL row."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    counts = docs.select(F.size(toks).alias("n_toks"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("n_toks") > n, 1).otherwise(0)).alias(f"over_{n}")
+            for n in TRUNC_SWEEP
+        ],
+        *[
+            F.sum(F.greatest(F.col("n_toks") - n, F.lit(0))).alias(f"lost_{n}")
+            for n in TRUNC_SWEEP
+        ],
+    ).filter(F.coalesce(F.col("total_tokens"), F.lit(0)) > 0)
+    return agg.select(
+        F.expr(
+            "stack(%d, %s) AS (ctx_len, docs_over, tokens_lost)"
+            % (
+                len(TRUNC_SWEEP),
+                ", ".join(f"{n}L, over_{n}, lost_{n}" for n in TRUNC_SWEEP),
+            )
+        ),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    ).select(
+        "ctx_len",
+        F.col("docs_over").cast("long").alias("docs_over"),
+        F.col("tokens_lost").cast("long").alias("tokens_lost"),
+        "total_tokens",
+        F.expr("(tokens_lost * 1000000) div total_tokens").alias("lost_ppm"),
+    )
+
+
+def truncation_loss_sql(table: str = "documents") -> str:
+    cuts = ", ".join(f"({n})" for n in TRUNC_SWEEP)
+    return f"""
+    WITH counts AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_toks
+      FROM {table}
+    ),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens
+      FROM counts
+    )
+    SELECT c.cut::BIGINT AS ctx_len,
+           CAST(sum(CASE WHEN n_toks > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_over,
+           CAST(sum(greatest(n_toks - c.cut, 0)) AS BIGINT) AS tokens_lost,
+           CAST(max(a.total_tokens) AS BIGINT) AS total_tokens,
+           (CAST(sum(greatest(n_toks - c.cut, 0)) AS BIGINT) * 1000000)
+             // max(a.total_tokens) AS lost_ppm
+    FROM counts, agg a, (VALUES {cuts}) AS c(cut)
+    WHERE a.total_tokens > 0
+    GROUP BY c.cut
+    """

@@ -614,3 +614,19 @@ def m12_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p18_epoch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.epoch_orders(docs)
+
+
+@register(
+    "p19_balanced_shards",
+    sampling.balanced_shards_sql(),
+    doc="Work-balanced shard assignment: docs ranked by token count dealt "
+    "to %d shards in SNAKE order (the greedy near-equal-mass bound, no "
+    "iterative bin-packer), emitting per-shard doc count, token mass "
+    "and ppm share - the pre-flight audit before per-shard "
+    "tokenization/training jobs that must finish together; one global "
+    "size-rank window over per-DOC rows + pure integer projections."
+    % sampling.N_SHARDS,
+)
+def p19_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.balanced_shards(docs)

@@ -324,3 +324,31 @@ def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s18_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_lsh_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "s19_sim_histogram",
+    similarity.sim_histogram_sql(),
+    doc="Cosine-similarity distribution from hash-sampled pairs: %d "
+    "pseudo-random blocks (portable h32), exact within-block pairs, "
+    "decile histogram + ppm shares - the threshold-picking curve behind "
+    "d06/d14's near-dup cut and s10's radius; B proportional to n holds "
+    "the sample at O(n) pairs, always a block-key equi-join, never "
+    "corpus x corpus." % similarity.HIST_BLOCKS,
+)
+def s19_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sim_histogram(_emb(spark, sf_dir))
+
+
+@register(
+    "s20_ivf_cell_census",
+    similarity.ivf_cell_census_sql(),
+    doc="IVF cell-occupancy census: vectors, ppm share and size rank per "
+    "coarse-quantizer cell (s03's seeded centroids, replayed exactly in "
+    "SQL) - the operational skew audit behind probe cost and straggler "
+    "risk (a 30%%-of-corpus cell makes every probe touching it rerank "
+    "30%% of the data; a skewed census says retrain or split); one "
+    "broadcast map-only assignment + an O(cells) rollup.",
+)
+def s20_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_cell_census(_emb(spark, sf_dir))

@@ -464,3 +464,33 @@ def e44_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e45_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.session_funnel(ev)
+
+
+@register(
+    "e46_ohlc_bars",
+    temporal.ohlc_bars_sql(),
+    doc="OHLC downsampling: per (event_type, %sh bar) open/high/low/close "
+    "+ volume - the time-series compaction that makes dashboard reads "
+    "O(bars) not O(events); open/close picked by a deterministic "
+    "row_number over (ts, event_id) (never first()/min_by, whose ties "
+    "are engine-luck), both windows share one bar-key shuffle."
+    % temporal.BAR_HOURS,
+)
+def e46_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.ohlc_bars(ev)
+
+
+@register(
+    "e47_ewma_daily",
+    temporal.ewma_daily_sql(),
+    doc="Dyadic-weight EWMA over the per-(type, day) series: "
+    "floor(sum 2^(7-j) v_(t-j) / sum 2^(7-j)) over the last %s observed "
+    "days in integer micros - the halving-weight smoother is the "
+    "hash-replayable stand-in for float EWMA (alpha=1/2, warm-up "
+    "corrected); one rollup shuffle + ONE ordered window with constant "
+    "lag depth." % temporal.EWMA_SPAN,
+)
+def e47_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.ewma_daily(ev)

@@ -309,3 +309,32 @@ def t23_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t24_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return textops.heaps_curve(docs)
+
+
+@register(
+    "t25_encoding_audit",
+    textops.encoding_audit_sql(),
+    doc="Per-source encoding-artifact audit: U+FFFD replacement chars, C0 "
+    "control chars, non-ASCII presence and the Latin-1 mojibake "
+    "signature, with ppm rates - the corpus-intake screen run before "
+    "tokenization (decode loss and double-decode bugs poison a "
+    "vocabulary); pure regexp projections + one tiny-key rollup.",
+)
+def t25_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.encoding_audit(docs)
+
+
+@register(
+    "t26_truncation_loss",
+    textops.truncation_loss_sql(),
+    doc="Context-length truncation loss: docs exceeding L tokens and the "
+    "corpus token mass (ppm) beyond position L for L in %s - the "
+    "measurement that picks a training sequence length (t23 sizes the "
+    "vocab, this sizes the context; p05 then packs to the chosen L); "
+    "one corpus pass, sweep as conditional sums."
+    % (textops.TRUNC_SWEEP,),
+)
+def t26_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.truncation_loss(docs)

@@ -841,3 +841,45 @@ def test_neardup_weights_cluster_mass(docs):
     )
     assert_same_result(dedup.neardup_weights(docs), con, dedup.neardup_weights_sql())
     con.close()
+
+
+def test_sim_histogram_buckets_and_shares(spark, emb):
+    """With one hash block (n_blocks=1) every C(5,2)=10 pair is scored:
+    the near-dup pairs land in the top decile bin (cos in [0.9, 1.0) -> 9)
+    and shares sum to ~1e6.  Oracle twin agrees at the default block
+    count too."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = similarity.sim_histogram(emb, n_blocks=1).toPandas()
+    assert got["n_pairs"].sum() == 10
+    by_bin = dict(zip(got["bin"], got["n_pairs"]))
+    assert by_bin.get(9, 0) == 2  # (0,10) and (30,40) near-identical pairs
+    assert 999_990 <= got["share_ppm"].sum() <= 1_000_000
+    con = _duck.connect()
+    con.register("embeddings", emb.toPandas())
+    assert_same_result(
+        similarity.sim_histogram(emb), con, similarity.sim_histogram_sql()
+    )
+    con.close()
+
+
+def test_ivf_cell_census_covers_corpus(spark, emb):
+    """Census counts every vector exactly once, shares sum to ~1e6, and
+    size_rank orders by occupancy.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = similarity.ivf_cell_census(emb, n_cells=2).toPandas()
+    assert got["n_vecs"].sum() == 5
+    srt = got.sort_values("size_rank")
+    assert list(srt["n_vecs"]) == sorted(got["n_vecs"], reverse=True)
+    assert 999_990 <= got["share_ppm"].sum() <= 1_000_000
+    con = _duck.connect()
+    con.register("embeddings", emb.toPandas())
+    assert_same_result(
+        similarity.ivf_cell_census(emb), con, similarity.ivf_cell_census_sql()
+    )
+    con.close()

@@ -51,6 +51,9 @@ BNLJ_OK = {
     "p14_e2e_pipeline",  # broadcast single-row quality-median cross join
     "p15_dsir_selection",  # broadcast single-row totals + quantile-cutoff cross joins
     "p17_token_budget_pack",  # broadcast single-row corpus-token-total cross join
+    "p19_balanced_shards",  # broadcast single-row corpus-token-total cross join
+    "s19_sim_histogram",  # broadcast single-row pair-total cross join
+    "s20_ivf_cell_census",  # broadcast centroid-assignment crossJoin (s03 shape)
 }
 
 

@@ -322,3 +322,27 @@ def test_epoch_orders_decorrelate(docs):
     assert sorted(got["pos_e0"]) == list(range(1, n + 1))
     assert sorted(got["pos_e1"]) == list(range(1, n + 1))
     assert got["displacement"].mean() > n / 10  # decorrelated, not identity
+
+
+def test_balanced_shards_snake_balance(spark):
+    """16 docs with sizes 16..1 dealt to 8 shards snake-order: every shard
+    gets exactly 2 docs and a token total of 17 (perfect balance for this
+    arithmetic series), and ppm shares are equal.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (i, " ".join(["w"] * (17 - i)), "web") for i in range(1, 17)
+    ]  # doc 1 has 16 tokens ... doc 16 has 1 token
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sampling.balanced_shards(docs).toPandas().sort_values("shard")
+    assert list(got["n_docs"]) == [2] * 8
+    assert list(got["shard_tokens"]) == [17] * 8
+    assert len(set(got["share_ppm"])) == 1
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        sampling.balanced_shards(docs), con, sampling.balanced_shards_sql()
+    )
+    con.close()

@@ -549,3 +549,75 @@ def test_session_funnel_visit_scoped(spark):
         temporal.session_funnel(ev), con, temporal.session_funnel_sql()
     )
     con.close()
+
+
+def test_ohlc_bars_deterministic_open_close(spark):
+    """Open/close come from the (ts, event_id) total order — a tie on ts
+    resolves to the lower event_id for open and the higher for close;
+    high/low/volume are bar-wide.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # one bar, with a ts tie at the open and at the close
+        (2, 1, base, "buy", 5.0),
+        (1, 1, base, "buy", 3.0),  # same ts, lower id → the true open
+        (3, 1, base + 10 * m, "buy", 9.0),
+        (5, 1, base + 20 * m, "buy", 1.0),
+        (4, 1, base + 20 * m, "buy", 7.0),  # same ts, id 5 wins the close
+        # a second type so grouping is exercised
+        (6, 2, base, "sell", 2.5),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in temporal.ohlc_bars(ev).collect()}
+    b = got["buy"]
+    assert b["open"] == 3.0 and b["close"] == 1.0
+    assert b["high"] == 9.0 and b["low"] == 1.0
+    assert b["n_events"] == 5 and b["volume"] == 25.0
+    assert got["sell"]["open"] == got["sell"]["close"] == 2.5
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(temporal.ohlc_bars(ev), con, temporal.ohlc_bars_sql())
+    con.close()
+
+
+def test_ewma_daily_halving_weights(spark):
+    """With daily values 1.0, 2.0, 4.0 the dyadic EWMA at day 2 is
+    floor((4·2^7 + 2·2^6 + 1·2^5)·1e6 / (2^7+2^6+2^5)) and the warm-up
+    rows normalize by only the observed weights.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, 1, base, "m", 1.0),
+        (2, 1, base + day, "m", 2.0),
+        (3, 1, base + 2 * day, "m", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = sorted(temporal.ewma_daily(ev).collect(), key=lambda r: r["day"])
+    assert [r["v_micros"] for r in got] == [1_000_000, 2_000_000, 4_000_000]
+    assert got[0]["ewma_micros"] == 1_000_000  # single observation
+    # day 1: (2·128 + 1·64)·1e6 / 192
+    assert got[1]["ewma_micros"] == (2 * 128 + 1 * 64) * 1_000_000 // 192
+    # day 2: (4·128 + 2·64 + 1·32)·1e6 / 224
+    assert got[2]["ewma_micros"] == (4 * 128 + 2 * 64 + 1 * 32) * 1_000_000 // 224
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(temporal.ewma_daily(ev), con, temporal.ewma_daily_sql())
+    con.close()

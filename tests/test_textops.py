@@ -385,3 +385,67 @@ def test_heaps_curve_exact_prefix_vocab(spark):
     con.register("documents", pdf)
     assert_same_result(textops.heaps_curve(docs), con, textops.heaps_curve_sql())
     con.close()
+
+
+def test_encoding_audit_flags_each_artifact(spark):
+    """One doc per artifact class: the replacement char, a C0 control
+    char, plain non-ASCII, the Latin-1 mojibake signature, and a clean
+    ASCII doc plus a NULL - counts land in the right columns and ppm is
+    floor-exact.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (1, "clean ascii text", "web"),
+        (2, "lost � here", "web"),
+        (3, "bell \x07 char", "web"),
+        (4, "café au lait", "web"),
+        (5, "broken Ã© double decode", "web"),
+        (6, None, "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in textops.encoding_audit(docs).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 5
+    assert web["n_replacement"] == 1
+    assert web["n_control"] == 1
+    # non-ASCII: the replacement char, cafe-with-accent and the mojibake doc
+    assert web["n_nonascii"] == 3
+    assert web["n_mojibake"] == 1
+    assert web["replacement_ppm"] == 1_000_000 // 5
+    assert got["books"]["n_docs"] == 1 and got["books"]["n_nonascii"] == 0
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(textops.encoding_audit(docs), con, textops.encoding_audit_sql())
+    con.close()
+
+
+def test_truncation_loss_exact_sweep(spark):
+    """Docs of 100, 600 and 3000 tokens against the (128, 512, 2048)
+    sweep: only the 3000-token doc exceeds every cut, and the lost token
+    mass is the exact sum of overhangs.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (1, " ".join(["a"] * 100), "web"),
+        (2, " ".join(["b"] * 600), "web"),
+        (3, " ".join(["c"] * 3000), "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["ctx_len"]: r for r in textops.truncation_loss(docs).collect()}
+    total = 100 + 600 + 3000
+    assert got[128]["docs_over"] == 2
+    assert got[128]["tokens_lost"] == (600 - 128) + (3000 - 128)
+    assert got[512]["docs_over"] == 2
+    assert got[512]["tokens_lost"] == (600 - 512) + (3000 - 512)
+    assert got[2048]["docs_over"] == 1
+    assert got[2048]["tokens_lost"] == 3000 - 2048
+    assert all(r["total_tokens"] == total for r in got.values())
+    assert got[2048]["lost_ppm"] == (3000 - 2048) * 1_000_000 // total
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(textops.truncation_loss(docs), con, textops.truncation_loss_sql())
+    con.close()
