@@ -171,6 +171,14 @@ FAMILY = [
     "e45_session_funnel",
     "p18_epoch_orders",
     "t24_heaps_curve",
+    # round-3 session-2 additions
+    "e46_ohlc_bars",
+    "e47_ewma_daily",
+    "t25_encoding_audit",
+    "t26_truncation_loss",
+    "p19_balanced_shards",
+    "s19_sim_histogram",
+    "s20_ivf_cell_census",
 ]
 
 
@@ -333,6 +341,16 @@ def _scaled_fn(name: str, sf_dir: str):
             return similarity.knn_join_2level(
                 emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
             )
+
+        return fn
+    if name == "s19_sim_histogram" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import similarity
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            # B grows with the corpus so within-block pair work stays O(n)
+            return similarity.sim_histogram(emb, n_blocks=32 * REPLICAS)
 
         return fn
     return REGISTRY[name].fn
