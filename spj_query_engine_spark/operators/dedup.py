@@ -3208,3 +3208,156 @@ def neardup_weights_sql(table: str = "documents") -> str:
            CAST(1000000 // COALESCE(m.cluster_size, 1) AS BIGINT) AS weight_ppm
     FROM {table} t LEFT JOIN member m ON m.doc_id = t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (g10) and component-size census (g11) over the
+# MinHash near-dup pair graph
+
+
+def degree_assortativity(docs: DataFrame) -> DataFrame:
+    """Degree assortativity of the near-dup pair graph: the Pearson
+    correlation of endpoint degrees over directed (symmetrized) edges -
+    THE one-number topology diagnostic for a dup graph.  Template families
+    make near-cliques (assortativity ~ +1: high-degree nodes pair with
+    high-degree nodes); hub-and-spoke boilerplate (one page quoted by
+    thousands of one-off docs) drives it negative; near-zero means
+    unstructured scatter.  Curation reads this before choosing d07 vs d09
+    cluster handling and before trusting d25's per-cluster down-weights.
+
+    All three moments (sum deg, sum deg^2, sum du*dv) are EXACT integer
+    sums over the degree-annotated edge list - one degree rollup + one
+    rank-onto-edges equi-join, O(|E|) total, the g01 anatomy without the
+    iteration.  The final correlation is one double expression over six
+    exact integers, so portable_round(4) is engine-stable.  BIGINT holds
+    to sum(deg^2) < 2^63 (~3e9 edges of degree 1e3); past that the three
+    accumulators move to DECIMAL(38,0) unchanged."""
+    return degree_assortativity_from_pairs(
+        minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    )
+
+
+def degree_assortativity_from_pairs(pairs: DataFrame) -> DataFrame:
+    """g10 on an explicit (doc_a, doc_b) pair frame."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    annotated = (
+        edges.join(deg, "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst")),
+            "dst",
+        )
+        .select(F.col("deg").alias("dx"), F.col("deg_dst").alias("dy"))
+    )
+    sums = annotated.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+    ).filter(F.col("m") > 0)
+    r = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("n_directed_edges"),
+        F.col("sx").cast("long").alias("sum_deg"),
+        F.col("sxx").cast("long").alias("sum_deg_sq"),
+        F.col("sxy").cast("long").alias("sum_deg_prod"),
+        portable_round(r, 4).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(table: str = "documents") -> str:
+    r = portable_round_sql(
+        "(m * sxy - sx * sx)::DOUBLE / (m * sxx - sx * sx)::DOUBLE", 4
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(table)})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    annotated AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM edges e JOIN deg du ON e.src = du.src
+                   JOIN deg dv ON e.dst = dv.src
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM annotated
+      HAVING count(*) > 0
+    )
+    SELECT m AS n_directed_edges, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod, {r} AS assortativity
+    FROM sums
+    """
+
+
+def component_census(docs: DataFrame) -> DataFrame:
+    """Component-size census of the near-dup graph: for every component
+    SIZE, how many components have it, how many docs they hold, and that
+    mass as ppm of all graph nodes - the shape report behind dedup
+    budgeting (a census dominated by 2-node components means pair dedup
+    suffices; a giant component means template collapse and d08's
+    canonical-survivor policy deletes a measurable corpus share, which
+    this quantifies BEFORE the deletion runs).
+
+    Composition: d09's alternating-star components (O(log^2 n) rounds,
+    the at-scale CC), one rollup to component sizes, one rollup to the
+    census - each a strict reduction, so the census costs two tiny
+    shuffles beyond the CC itself.  Oracle = true transitive connectivity
+    (recursive CTE) aggregated the same way."""
+    return component_census_from_pairs(
+        minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    )
+
+
+def component_census_from_pairs(pairs: DataFrame) -> DataFrame:
+    """g11 on an explicit (doc_a, doc_b) pair frame."""
+    comps = cc_alternating(pairs)
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    census = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components"),
+    )
+    total = comps.agg(F.count(F.lit(1)).alias("total_nodes")).filter(
+        F.col("total_nodes") > 0
+    )
+    return census.crossJoin(F.broadcast(total)).select(
+        F.col("size").cast("long").alias("size"),
+        "n_components",
+        F.expr("size * n_components").cast("long").alias("n_docs"),
+        F.expr("(size * n_components * 1000000) div total_nodes").alias("docs_ppm"),
+    )
+
+
+def component_census_sql(table: str = "documents") -> str:
+    cc = cc_alternating_sql(minhash_lsh_pairs_sql(table))
+    return f"""
+    WITH comps AS MATERIALIZED (SELECT * FROM ({cc})),
+    sizes AS (
+      SELECT cluster_id, count(*) AS size FROM comps GROUP BY cluster_id
+    ),
+    census AS (
+      SELECT size, count(*) AS n_components FROM sizes GROUP BY size
+    ),
+    total AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_nodes FROM comps
+      HAVING count(*) > 0
+    )
+    SELECT size::BIGINT AS size, n_components,
+           CAST(size * n_components AS BIGINT) AS n_docs,
+           (size * n_components * 1000000) // total_nodes AS docs_ppm
+    FROM census, total
+    """

@@ -888,3 +888,166 @@ def active_segments_sql(
            start_win, n_windows, seg_energy
     FROM segs
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash near-dup (m13)
+
+AHASH_BITS = 60  # fits a non-negative BIGINT; 4 bands x 15 bits
+AHASH_BANDS = 4
+AHASH_BAND_BITS = AHASH_BITS // AHASH_BANDS
+AHASH_MAX_HAMMING = 10
+AHASH_DF_CAP = 64  # band values shared by more docs are boilerplate
+
+
+def _ahash(payload: bytes) -> int | None:
+    """aHash (average hash) over AHASH_BITS samples of the payload: sample
+    i is the byte at floor(i*L/bits); bit i is set when the sample beats
+    the sample mean (strict, via cross-multiplication - no float)."""
+    if payload is None or len(payload) == 0:
+        return None
+    n = len(payload)
+    samples = [payload[i * n // AHASH_BITS] for i in range(AHASH_BITS)]
+    total = sum(samples)
+    h = 0
+    for i, s in enumerate(samples):
+        if AHASH_BITS * s > total:
+            h |= 1 << (AHASH_BITS - 1 - i)
+    return h
+
+
+def ahash_fingerprints(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-asset perceptual average-hash: the image-dedup fingerprint
+    (aHash: downsample to a fixed grid, threshold each cell at the mean)
+    computed over payload BYTES at the Arrow mapInPandas boundary - the
+    decode stage where a real pipeline would first rasterize with
+    PIL/libvips and hash the pixel grid (m01's documented stub posture:
+    codecs are absent here, the plumbing and banding are the real
+    design).  Unlike m02/m07's chunk-md5 (exact bytes), aHash survives
+    brightness-style monotone shifts in most cells and small local edits,
+    because each bit only compares a sample to the asset's own mean."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "ahash": pdf["payload"].map(_ahash),
+                }
+            )
+            yield out[out["ahash"].notna()]
+
+    return mm.mapInPandas(hash_batch, schema=f"{id_col} long, ahash long")
+
+
+def ahash_fingerprints_sql(table: str = "documents") -> str:
+    b = AHASH_BITS
+    return f"""
+    SELECT doc_id,
+           CAST((
+             SELECT sum(CASE WHEN {b} * ascii(substr(t.text, (u.i * strlen(t.text)) // {b} + 1, 1)) >
+                    (SELECT sum(ascii(substr(t.text, (v.i * strlen(t.text)) // {b} + 1, 1)))
+                     FROM unnest(range(0, {b})) AS v(i))
+               THEN (1::BIGINT << ({b} - 1 - u.i)) ELSE 0 END)
+             FROM unnest(range(0, {b})) AS u(i)
+           ) AS BIGINT) AS ahash
+    FROM {table} t
+    WHERE text IS NOT NULL AND strlen(text) > 0
+    """
+
+
+def ahash_pairs(
+    mm: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+    df_cap: int = AHASH_DF_CAP,
+) -> DataFrame:
+    """Perceptual near-dup pairs by banded aHash: candidates share at
+    least one exact {AHASH_BAND_BITS}-bit band (d04's SimHash banding on
+    the visual fingerprint), verified by full Hamming distance
+    (bit_count(xor)) <= ``max_hamming``.
+
+    Scale anatomy: the corpus reduces to (doc_id, 8-byte hash) at the
+    Arrow boundary - payloads never join; candidate generation is a
+    (band_no, band_value) equi-join with a DF cap dropping boilerplate
+    bands (flat assets hash to all-zeros; without the cap that band pairs
+    quadratically - m07's stop-fingerprint lever); verification is a
+    single integer instruction per candidate."""
+    fp = ahash_fingerprints(mm)
+    shift = [AHASH_BITS - AHASH_BAND_BITS * (j + 1) for j in range(AHASH_BANDS)]
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_no"),
+                        F.expr(
+                            f"(ahash div {1 << shift[j]}) % {1 << AHASH_BAND_BITS}"
+                        ).alias("band_val"),
+                    )
+                    for j in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash", F.col("b.band_no"), F.col("b.band_val"))
+    df = bands.groupBy("band_no", "band_val").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = bands.join(
+        df.filter(F.col("n_docs") <= df_cap), ["band_no", "band_val"]
+    )
+    a = kept.select(
+        "band_no", "band_val", F.col("doc_id").alias("doc_a"), F.col("ahash").alias("h_a")
+    )
+    b = kept.select(
+        "band_no", "band_val", F.col("doc_id").alias("doc_b"), F.col("ahash").alias("h_b")
+    )
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ahash_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = AHASH_MAX_HAMMING,
+    df_cap: int = AHASH_DF_CAP,
+) -> str:
+    shifts = [
+        AHASH_BITS - AHASH_BAND_BITS * (j + 1) for j in range(AHASH_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, ahash, {j} AS band_no, "
+        f"(ahash // {1 << shifts[j]}) % {1 << AHASH_BAND_BITS} AS band_val FROM fp"
+        for j in range(AHASH_BANDS)
+    )
+    return f"""
+    WITH fp AS MATERIALIZED ({ahash_fingerprints_sql(table)}),
+    bands AS ({band_rows}),
+    df AS (
+      SELECT band_no, band_val, count(*) AS n_docs
+      FROM bands GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT b.* FROM bands b
+      JOIN df USING (band_no, band_val)
+      WHERE df.n_docs <= {df_cap}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.ahash AS h_a, b.ahash AS h_b
+      FROM kept a JOIN kept b USING (band_no, band_val)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+    """

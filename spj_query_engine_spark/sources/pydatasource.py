@@ -195,3 +195,99 @@ def sink_roundtrip_rollup_sql(table: str = "documents") -> str:
     FROM {table}
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource STREAM reader (u09) — the streaming third of the
+# extension surface (u05 batch read, u08 write, this micro-batch read)
+
+
+class DetStreamDataSource(DataSource):
+    """``spark.readStream.format("detstream").option("n", N)`` — the same
+    deterministic Knuth-hash table as u05, delivered as a micro-batch
+    STREAM through Spark 4's ``SimpleDataSourceStreamReader``: offsets are
+    row positions, each batch serves ``batch`` rows, and offset-range
+    replay (``readBetweenOffsets``) makes the source exactly-once
+    restartable — the contract a real queue/CDC-feed connector
+    implements.  Bounded at ``n`` so harness runs terminate."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "detstream"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint"
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001
+        return DetStreamReader(self.options)
+
+
+class DetStreamReader:
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.n = int(options.get("n", 3000))
+        self.batch = int(options.get("batch", 700))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST, not a generator: the prefetch cache copy.copy()s the
+        # iterator between planPartitions calls, and generators don't pickle
+        return [(k, (k * KNUTH) % MOD) for k in range(start, end)]
+
+    def read(self, start):  # noqa: ANN001
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):  # noqa: ANN001
+        return self._rows(start["pos"], end["pos"])
+
+    def commit(self, end) -> None:  # noqa: ANN001
+        pass
+
+
+def register_detstream(spark) -> None:  # noqa: ANN001
+    try:
+        spark.dataSource.register(DetStreamDataSource)
+    except Exception:
+        pass
+
+
+def detstream_rollup(spark, n: int = 3000, batch: int = 700):  # noqa: ANN001
+    """u09: drive the Python stream source to completion (memory sink,
+    complete mode) and roll up by val % 10 — same aggregate anatomy as
+    u05, proving rows flow from Python micro-batches through a stateful
+    streaming aggregate.  ~ceil(n/batch) micro-batches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    register_detstream(spark)
+    stream = (
+        spark.readStream.format("detstream")
+        .option("n", n)
+        .option("batch", batch)
+        .load()
+    )
+    agg = stream.groupBy((F.col("val") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.sum("val").alias("sum_val"),
+    )
+    name = f"detstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def detstream_rollup_sql(n: int = 3000) -> str:
+    return detrange_rollup_sql(n)

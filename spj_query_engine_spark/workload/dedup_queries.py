@@ -443,3 +443,32 @@ def g09_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d25_neardup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "g10_assortativity",
+    dedup.degree_assortativity_sql(),
+    doc="Degree assortativity of the near-dup graph: Pearson correlation "
+    "of endpoint degrees from three EXACT integer moments (one degree "
+    "rollup + one degree-onto-edges equi-join, O(|E|)) - template "
+    "families read near +1, hub-and-spoke boilerplate negative; the "
+    "topology diagnostic read before trusting d07/d09 cluster policy "
+    "and d25's weights.  Only the final correlation is a (portable) "
+    "double.",
+)
+def g10_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.degree_assortativity(_docs(spark, sf_dir))
+
+
+@register(
+    "g11_component_census",
+    dedup.component_census_sql(),
+    doc="Component-size census of the near-dup graph: components, docs and "
+    "ppm corpus mass per SIZE - the shape report behind dedup budgeting "
+    "(all-2-node means pair dedup suffices; a giant component means "
+    "template collapse, quantified BEFORE d08 deletes survivors); d09's "
+    "alternating-star CC + two strict-reduction rollups.  Oracle = true "
+    "transitive connectivity (recursive CTE).",
+)
+def g11_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.component_census(_docs(spark, sf_dir))

@@ -404,6 +404,7 @@ def p11_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from spj_query_engine_spark.sources.pydatasource import detrange_rollup_sql
+from spj_query_engine_spark.sources import pydatasource
 
 
 @register(
@@ -630,3 +631,32 @@ def p18_epoch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p19_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.balanced_shards(docs)
+
+
+@register(
+    "m13_ahash_pairs",
+    multimodal.ahash_pairs_sql(),
+    doc="Perceptual average-hash near-dup pairs: %d-bit aHash per asset "
+    "(samples thresholded at the asset's own mean - survives monotone "
+    "brightness-style shifts where m07's chunk-md5 needs exact bytes) "
+    "computed at the Arrow decode boundary, banded %d x %d-bit candidate "
+    "join with a boilerplate-band DF cap, verified by one "
+    "bit_count(xor) per candidate; payloads never join."
+    % (multimodal.AHASH_BITS, multimodal.AHASH_BANDS, multimodal.AHASH_BAND_BITS),
+)
+def m13_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.ahash_pairs(_mm(spark, sf_dir))
+
+
+@register(
+    "u09_stream_python_source",
+    pydatasource.detstream_rollup_sql(),
+    doc="Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader): "
+    "row-position offsets, bounded micro-batches, offset-range replay for "
+    "exactly-once restart - the queue/CDC connector contract; the same "
+    "deterministic table as u05 arrives across ~5 micro-batches and a "
+    "stateful complete-mode aggregate must converge to the batch answer.",
+    bench=False,  # micro-batch fixed cost, not engine throughput
+)
+def u09_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pydatasource.detstream_rollup(spark)

@@ -883,3 +883,99 @@ def test_ivf_cell_census_covers_corpus(spark, emb):
         similarity.ivf_cell_census(emb), con, similarity.ivf_cell_census_sql()
     )
     con.close()
+
+
+def test_degree_assortativity_star_vs_path(spark):
+    """A 3-spoke star is maximally disassortative: every edge joins the
+    degree-3 hub to a degree-1 leaf, so the exact moments give r = -1.
+    Adding a detached edge (both endpoints degree 1) pulls r toward 0."""
+    import pandas as pd
+
+    star = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (1, 3), (1, 4)], columns=["doc_a", "doc_b"]).astype(
+            "int64"
+        )
+    )
+    got = dedup.degree_assortativity_from_pairs(star).collect()[0]
+    assert got["n_directed_edges"] == 6
+    # 6 directed edges, each hub(3)-leaf(1): sx=12, sxx=30, sxy=6*3=18
+    # r = (6*18 - 144) / (6*30 - 144) = -36/36 = -1
+    assert got["sum_deg"] == 12
+    assert got["sum_deg_sq"] == 30
+    assert got["sum_deg_prod"] == 18
+    assert got["assortativity"] == -1.0
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (1, 3), (1, 4), (10, 11)], columns=["doc_a", "doc_b"]
+        ).astype("int64")
+    )
+    r2 = dedup.degree_assortativity_from_pairs(mixed).collect()[0]["assortativity"]
+    assert -1.0 < r2 < 0.0
+
+
+def test_component_census_sizes_and_ppm(spark):
+    """A 3-node path, a 2-node edge and another 2-node edge census as one
+    size-3 component and two size-2 components over 7 graph nodes."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], columns=["doc_a", "doc_b"]
+        ).astype("int64")
+    )
+    got = {r["size"]: r for r in dedup.component_census_from_pairs(pairs).collect()}
+    assert got[3]["n_components"] == 1 and got[3]["n_docs"] == 3
+    assert got[2]["n_components"] == 2 and got[2]["n_docs"] == 4
+    assert got[3]["docs_ppm"] == 3 * 1_000_000 // 7
+    assert got[2]["docs_ppm"] == 4 * 1_000_000 // 7
+
+
+def test_ahash_shifts_and_bands(spark):
+    """aHash is invariant to adding a constant to every byte in a way that
+    preserves the above-mean pattern (monotone shift), while chunk-md5
+    (m07) would differ on every byte; banded pairing finds the planted
+    near-identical pair and the Hamming verify rejects a far pair."""
+    from spj_query_engine_spark.operators import multimodal as mm
+
+    base = "abcdefgh" * 30  # 240 bytes, strong byte pattern
+    shifted = "bcdefghi" * 30  # every byte +1: same above-mean pattern
+    noise = "".join(chr(97 + (i * 7) % 26) for i in range(240))
+    docs = spark.createDataFrame(
+        [(1, base, "w"), (2, shifted, "w"), (3, noise, "w")],
+        "doc_id long, text string, source string",
+    )
+    wrapped = mm.attach_payload(docs)
+    fps = {r["doc_id"]: r["ahash"] for r in mm.ahash_fingerprints(wrapped).collect()}
+    assert fps[1] == fps[2]  # monotone shift preserves the aHash exactly
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in mm.ahash_pairs(wrapped).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_ahash_oracle_parity(spark):
+    """The SQL twin replays the Python-side aHash bit-for-bit on ASCII
+    payloads (the m01 posture: text bytes stand in for decoded pixels)."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.operators import multimodal as mm
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (1, "abcdefgh" * 30, "w"),
+        (2, "bcdefghi" * 30, "w"),
+        (3, "zzz zzz aaa bbb ccc ddd eee fff" * 9, "w"),
+        (4, None, "w"),
+        (5, "", "w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        mm.ahash_fingerprints(mm.attach_payload(docs)),
+        con,
+        mm.ahash_fingerprints_sql(),
+    )
+    assert_same_result(
+        mm.ahash_pairs(mm.attach_payload(docs)), con, mm.ahash_pairs_sql()
+    )
+    con.close()

@@ -53,6 +53,7 @@ EXPECTED_ON_EMPTY = {
     "e08_funnel": 3,
     "e45_session_funnel": 3,  # same static-step form as e08, its oracle too
     "u05_python_datasource": 10,  # table-independent synthetic source
+    "u09_stream_python_source": 10,  # table-independent synthetic stream
     "d20_dedup_impact": 1,  # the FUSED global-agg row (0 pairs) survives
 }
 

@@ -54,6 +54,7 @@ BNLJ_OK = {
     "p19_balanced_shards",  # broadcast single-row corpus-token-total cross join
     "s19_sim_histogram",  # broadcast single-row pair-total cross join
     "s20_ivf_cell_census",  # broadcast centroid-assignment crossJoin (s03 shape)
+    "g11_component_census",  # broadcast single-row graph-node-total cross join
 }
 
 

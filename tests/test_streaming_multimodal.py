@@ -568,3 +568,30 @@ def test_active_segments_islands(spark):
         multimodal.active_segments(mm), con, multimodal.active_segments_sql()
     )
     con.close()
+
+
+def test_detstream_matches_batch_rollup(spark):
+    """The streaming Python source (u09) delivered across micro-batches
+    converges to exactly the batch table's rollup (u05 anatomy), and the
+    micro-batch boundary really exercised >1 batch."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.sources import pydatasource
+    from tests.conftest import assert_same_result
+
+    got = pydatasource.detstream_rollup(spark, n=3000, batch=700)
+    con = _duck.connect()
+    assert_same_result(got, con, pydatasource.detstream_rollup_sql(n=3000))
+    con.close()
+    # ceil(3000/700) = 5 read() calls: the offset walk is real
+    reader = pydatasource.DetStreamReader({"n": 3000, "batch": 700})
+    off = reader.initialOffset()
+    steps = 0
+    while off["pos"] < 3000:
+        rows, off = reader.read(off)
+        steps += 1
+    assert steps == 5
+    # offset-range replay returns the identical slice (exactly-once restart)
+    replay = list(reader.readBetweenOffsets({"pos": 700}, {"pos": 1400}))
+    fresh = reader._rows(700, 1400)
+    assert replay == fresh
