@@ -179,6 +179,9 @@ FAMILY = [
     "p19_balanced_shards",
     "s19_sim_histogram",
     "s20_ivf_cell_census",
+    "g10_assortativity",
+    "g11_component_census",
+    "m13_ahash_pairs",
 ]
 
 
