@@ -3361,3 +3361,65 @@ def component_census_sql(table: str = "documents") -> str:
            (size * n_components * 1000000) // total_nodes AS docs_ppm
     FROM census, total
     """
+
+
+def shingle_df_histogram(docs: DataFrame) -> DataFrame:
+    """Shingle document-frequency histogram: distinct shingles and posting
+    mass per floor(log2 DF) bucket, plus each bucket's share (ppm) of ALL
+    postings and whether the bucket survives the ``NGRAM_MAX_DF`` stop cap
+    - the TUNING MEASUREMENT behind the cap that every inverted-index
+    operator here keys on (d05/d10/d17/d19/m07's skew lever): candidate
+    pairs grow as sum(DF^2), so the curve's high-DF tail IS the join cost,
+    and the dropped_ppm column says what recall the cap trades for it.
+    (s19 plays this role for the cosine threshold; this is the
+    lexical-index twin.)
+
+    One corpus pass to the inverted index, one vocabulary rollup to DFs,
+    one O(vocab) rollup to the histogram - the bucket is the integer
+    bit-length of DF (t22's device), so no float log can misplace a
+    power-of-two boundary."""
+    inv = shingle_index(docs)
+    dfs = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    bucketed = dfs.select(
+        (F.length(F.bin(F.col("df"))) - 1).alias("log2_df"),
+        "df",
+    )
+    hist = bucketed.groupBy("log2_df").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("postings"),
+        F.max(F.when(F.col("df") > NGRAM_MAX_DF, 1).otherwise(0)).alias("any_capped"),
+    )
+    total = hist.agg(F.sum("postings").alias("total_postings")).filter(
+        F.coalesce(F.col("total_postings"), F.lit(0)) > 0
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("log2_df").cast("long").alias("log2_df"),
+        "n_shingles",
+        F.col("postings").cast("long").alias("postings"),
+        F.expr("(postings * 1000000) div total_postings").alias("postings_ppm"),
+        F.col("any_capped").cast("long").alias("any_capped"),
+    )
+
+
+def shingle_df_histogram_sql(table: str = "documents") -> str:
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM shset),
+    dfs AS (SELECT g, count(*) AS df FROM inv GROUP BY g),
+    hist AS (
+      SELECT length(bin(df)) - 1 AS log2_df,
+             count(*) AS n_shingles,
+             CAST(sum(df) AS BIGINT) AS postings,
+             CAST(max(CASE WHEN df > {NGRAM_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS any_capped
+      FROM dfs GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(sum(postings) AS BIGINT) AS total_postings FROM hist
+      HAVING sum(postings) > 0
+    )
+    SELECT log2_df::BIGINT AS log2_df, n_shingles, postings,
+           (postings * 1000000) // total_postings AS postings_ppm, any_capped
+    FROM hist, total
+    """

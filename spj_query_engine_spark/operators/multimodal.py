@@ -1051,3 +1051,63 @@ def ahash_pairs_sql(
     FROM cand
     WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal alignment audit (m14)
+
+
+def pair_alignment(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal alignment audit: FULL OUTER join of the text corpus and
+    the embedding store on id, classified into paired / text-only /
+    embedding-only with ppm shares - the pre-flight integrity check
+    before any contrastive or retrieval training run (every CLIP-style
+    pair loader assumes alignment; this measures it instead).  m05
+    inventories each modality lake separately; this is the join between
+    them, and a nonzero text-only share is exactly the re-embedding
+    backlog.
+
+    Scale anatomy: both sides reduce to ID-ONLY frames before the join -
+    payload bytes and float vectors never shuffle; the outer join keys on
+    the id and the classification is a null-pattern projection folded to
+    a 3-row rollup."""
+    d = docs.select(F.col("doc_id").alias("d_id"))
+    e = embeddings.select(F.col("vec_id").alias("v_id"))
+    joined = d.join(e, F.col("d_id") == F.col("v_id"), "full_outer")
+    classified = joined.select(
+        F.when(F.col("d_id").isNotNull() & F.col("v_id").isNotNull(), "paired")
+        .when(F.col("d_id").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+        .alias("category")
+    )
+    counts = classified.groupBy("category").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total_rows")).filter(
+        F.coalesce(F.col("total_rows"), F.lit(0)) > 0
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "category",
+        "n_rows",
+        F.expr("(n_rows * 1000000) div total_rows").alias("share_ppm"),
+    )
+
+
+def pair_alignment_sql(
+    doc_table: str = "documents", emb_table: str = "embeddings"
+) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id AS d_id FROM {doc_table}),
+    e AS (SELECT vec_id AS v_id FROM {emb_table}),
+    classified AS (
+      SELECT CASE WHEN d_id IS NOT NULL AND v_id IS NOT NULL THEN 'paired'
+                  WHEN d_id IS NOT NULL THEN 'text_only'
+                  ELSE 'embedding_only' END AS category
+      FROM d FULL OUTER JOIN e ON d_id = v_id
+    ),
+    counts AS (SELECT category, count(*) AS n_rows FROM classified GROUP BY category),
+    total AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM counts
+      HAVING sum(n_rows) > 0
+    )
+    SELECT category, n_rows, (n_rows * 1000000) // total_rows AS share_ppm
+    FROM counts, total
+    """

@@ -2394,3 +2394,89 @@ def ivf_cell_census_sql(table: str = "embeddings", n_cells: int = N_CELLS) -> st
            row_number() OVER (ORDER BY n_vecs DESC, cell ASC)::BIGINT AS size_rank
     FROM counts, total
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-count sweep (s21)
+
+PROBE_SWEEP = (1, 2, 4)
+
+
+def ivf_probe_sweep(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Recall@k of the IVF index (s03) for every probe count in
+    ``PROBE_SWEEP`` - the latency/recall TUNING CURVE behind the one knob
+    an IVF deployment exposes (s11 grades the LSH index at its fixed
+    config; this sweeps nprobe so the operator answers "how many cells
+    must I probe for 95%?").  Mean recall is an exact rational (total
+    hits x 1e6 div (queries x k) - no float averaging).
+
+    Scale: each sweep point re-derives candidates from the SAME
+    assignment anatomy (broadcast centroid pass, cell equi-join); the
+    exact side runs once.  All result sets are n_queries x k rows, so
+    every comparison join is broadcast-size regardless of corpus."""
+    exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "cand_id"
+    )
+    parts = []
+    for p in PROBE_SWEEP:
+        approx = ivf_topk(embeddings, k=k, n_queries=n_queries, n_probe=p).select(
+            F.lit(p).alias("n_probe"), "query_id", "cand_id"
+        )
+        parts.append(approx)
+    approx_all = parts[0]
+    for part in parts[1:]:
+        approx_all = approx_all.unionByName(part)
+    hits = exact.join(approx_all, ["query_id", "cand_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    denom = exact.agg(F.count(F.lit(1)).alias("n_exact")).filter(
+        F.col("n_exact") > 0
+    )
+    sweep = embeddings.sparkSession.createDataFrame(
+        [(p,) for p in PROBE_SWEEP], "n_probe int"
+    )
+    return (
+        sweep.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.expr("(coalesce(n_hits, 0) * 1000000) div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+def ivf_probe_sweep_sql(
+    table: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    approx_parts = " UNION ALL ".join(
+        f"SELECT {p} AS n_probe, query_id, cand_id FROM "
+        f"({ivf_topk_sql(table, k, n_queries, n_probe=p)})"
+        for p in PROBE_SWEEP
+    )
+    sweep = ", ".join(f"({p})" for p in PROBE_SWEEP)
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT query_id, cand_id FROM ({brute_force_topk_sql(table, k, n_queries)})
+    ),
+    approx AS ({approx_parts}),
+    hits AS (
+      SELECT a.n_probe, count(*) AS n_hits
+      FROM exact e JOIN approx a USING (query_id, cand_id)
+      GROUP BY a.n_probe
+    ),
+    denom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact
+      HAVING count(*) > 0
+    )
+    SELECT s.p::BIGINT AS n_probe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           d.n_exact,
+           (COALESCE(h.n_hits, 0) * 1000000) // d.n_exact AS recall_ppm
+    FROM (VALUES {sweep}) AS s(p)
+    LEFT JOIN hits h ON h.n_probe = s.p
+    CROSS JOIN denom d
+    """

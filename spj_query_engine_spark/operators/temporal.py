@@ -2476,3 +2476,88 @@ def ewma_daily_sql(table: str = "events", span: int = EWMA_SPAN) -> str:
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Seasonality fingerprint: per event_type, the (day-of-week,
+    hour-of-day) activity grid - events, exact decimal value mass, the
+    cell's ppm share of its type, and a flag on each type's single peak
+    cell (deterministic tie-break on the earlier slot).  The profile that
+    schedules off-peak maintenance, sizes streaming capacity by hour, and
+    exposes bot traffic (organic types breathe with the day; a flat or
+    single-spike grid screams automation).
+
+    One rollup on (type, dow, hour) - at most 7 x 24 rows per type, so
+    the window pass that marks peaks runs on a trivially small frame;
+    event rows are touched exactly once.  Day-of-week derives from the
+    epoch day (day 0 = Thursday) by pure integer arithmetic, immune to
+    engine locale/WEEKDAY-origin disagreements."""
+    day_ms = 86_400_000
+    hour_ms = 3_600_000
+    base = events.select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+        "value",
+    ).select(
+        "event_type",
+        # epoch day 0 = 1970-01-01 = Thursday = ISO weekday 4; (+3) % 7
+        # relabels so 0 = Monday
+        F.expr(f"((ts_ms div {day_ms}) + 3) % 7").alias("dow"),
+        F.expr(f"(ts_ms div {hour_ms}) % 24").alias("hour"),
+        "value",
+    )
+    grid = base.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    per_type = Window.partitionBy("event_type")
+    peak = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("dow"), F.asc("hour")
+    )
+    return grid.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        "sum_value",
+        F.expr("n_events * 1000000").alias("_scaled"),
+        F.sum("n_events").over(per_type).alias("_type_total"),
+        F.row_number().over(peak).alias("_rk"),
+    ).select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.expr("_scaled div _type_total").alias("share_ppm"),
+        F.when(F.col("_rk") == 1, 1).otherwise(0).cast("long").alias("is_peak"),
+    )
+
+
+def seasonality_profile_sql(table: str = "events") -> str:
+    day_ms = 86_400_000
+    hour_ms = 3_600_000
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             ((epoch_ms(ts) // {day_ms}) + 3) % 7 AS dow,
+             (epoch_ms(ts) // {hour_ms}) % 24 AS hour,
+             value
+      FROM {table}
+    ),
+    grid AS (
+      SELECT event_type, dow, hour,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM base GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow::BIGINT AS dow, hour::BIGINT AS hour, n_events,
+           sum_value,
+           CAST((n_events * 1000000) //
+                (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT)
+             AS share_ppm,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_events DESC, dow ASC, hour ASC) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM grid
+    """

@@ -472,3 +472,17 @@ def g10_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g11_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.component_census(_docs(spark, sf_dir))
+
+
+@register(
+    "d26_shingle_df_histogram",
+    dedup.shingle_df_histogram_sql(),
+    doc="Shingle document-frequency histogram: shingles, posting mass and "
+    "ppm share per floor(log2 DF) bucket plus the stop-cap flag - the "
+    "tuning measurement behind NGRAM_MAX_DF, the skew lever every "
+    "inverted-index join here keys on (candidate pairs grow as "
+    "sum(DF^2), so the high-DF tail IS the join cost); bit-length "
+    "bucketing, no float log.",
+)
+def d26_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_df_histogram(_docs(spark, sf_dir))

@@ -660,3 +660,18 @@ def m13_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u09_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pydatasource.detstream_rollup(spark)
+
+
+@register(
+    "m14_pair_alignment",
+    multimodal.pair_alignment_sql(),
+    doc="Cross-modal alignment audit: FULL OUTER join of the text corpus "
+    "and the embedding store on id -> paired / text-only / "
+    "embedding-only with ppm shares - the pre-flight integrity check "
+    "every contrastive pair loader silently assumes (text-only share = "
+    "the re-embedding backlog); both sides reduce to ID-ONLY frames, "
+    "payloads and vectors never shuffle.",
+)
+def m14_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    return multimodal.pair_alignment(t["documents"], t["embeddings"])

@@ -352,3 +352,17 @@ def s19_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s20_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cell_census(_emb(spark, sf_dir))
+
+
+@register(
+    "s21_ivf_probe_sweep",
+    similarity.ivf_probe_sweep_sql(),
+    doc="IVF probe-count sweep: recall@k vs the exact top-k for nprobe in "
+    "%s - the latency/recall tuning curve behind the one knob an IVF "
+    "deployment exposes (answers 'how many cells for 95%%?'); exact side "
+    "runs once, every comparison join is (queries x k)-row "
+    "broadcast-size regardless of corpus, mean recall is an exact "
+    "rational in ppm." % (similarity.PROBE_SWEEP,),
+)
+def s21_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_probe_sweep(_emb(spark, sf_dir))

@@ -494,3 +494,18 @@ def e46_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e47_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.ewma_daily(ev)
+
+
+@register(
+    "e48_seasonality_profile",
+    temporal.seasonality_profile_sql(),
+    doc="Seasonality fingerprint: per event_type the (day-of-week, "
+    "hour-of-day) grid - events, decimal value mass, ppm share, peak "
+    "cell flag - the profile that schedules off-peak maintenance and "
+    "exposes bot traffic; one rollup on (type, dow, hour) then windows "
+    "over a <=168-cell frame, dow from pure epoch-day arithmetic "
+    "(locale-immune).",
+)
+def e48_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.seasonality_profile(ev)

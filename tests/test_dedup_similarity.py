@@ -979,3 +979,55 @@ def test_ahash_oracle_parity(spark):
         mm.ahash_pairs(mm.attach_payload(docs)), con, mm.ahash_pairs_sql()
     )
     con.close()
+
+
+def test_ivf_probe_sweep_monotone_recall(spark, emb):
+    """Recall@k is monotone in nprobe by construction (probing more cells
+    only adds candidates) and hits the exact result when every cell is
+    probed.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = (
+        similarity.ivf_probe_sweep(emb, k=2, n_queries=3)
+        .toPandas()
+        .sort_values("n_probe")
+    )
+    recalls = list(got["recall_ppm"])
+    assert recalls == sorted(recalls)
+    assert got["n_exact"].iloc[0] > 0
+    assert (got["n_exact"] == got["n_exact"].iloc[0]).all()
+    con = _duck.connect()
+    con.register("embeddings", emb.toPandas())
+    assert_same_result(
+        similarity.ivf_probe_sweep(emb), con, similarity.ivf_probe_sweep_sql()
+    )
+    con.close()
+
+
+def test_shingle_df_histogram_mass_conservation(spark):
+    """Histogram posting mass sums to the full inverted-index size, the
+    ppm shares sum to ~1e6, and a shingle repeated across many docs lands
+    in the capped bucket.  Oracle twin agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from tests.conftest import assert_same_result
+
+    common = "alpha beta gamma delta epsilon"  # shared 5-gram block
+    rows = [(i, common + f" unique{i} tail{i} end{i} pad{i}", "w") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = dedup.shingle_df_histogram(docs).toPandas()
+    inv_size = dedup.shingle_index(docs).count()
+    assert got["postings"].sum() == inv_size
+    assert 999_900 <= got["postings_ppm"].sum() <= 1_000_000
+    # the shared shingle has DF=30 > NGRAM_MAX_DF=20 → its log2 bucket is capped
+    capped = got[got["any_capped"] == 1]
+    assert len(capped) >= 1 and capped["log2_df"].max() >= 4
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        dedup.shingle_df_histogram(docs), con, dedup.shingle_df_histogram_sql()
+    )
+    con.close()

@@ -55,6 +55,9 @@ BNLJ_OK = {
     "s19_sim_histogram",  # broadcast single-row pair-total cross join
     "s20_ivf_cell_census",  # broadcast centroid-assignment crossJoin (s03 shape)
     "g11_component_census",  # broadcast single-row graph-node-total cross join
+    "s21_ivf_probe_sweep",  # composes s01/s03 whitelisted broadcast joins + scalar denom
+    "m14_pair_alignment",  # broadcast single-row id-slot-total cross join
+    "d26_shingle_df_histogram",  # broadcast single-row posting-total cross join
 }
 
 

@@ -595,3 +595,32 @@ def test_detstream_matches_batch_rollup(spark):
     replay = list(reader.readBetweenOffsets({"pos": 700}, {"pos": 1400}))
     fresh = reader._rows(700, 1400)
     assert replay == fresh
+
+
+def test_pair_alignment_categories(spark):
+    """Docs {1,2,3} and vectors {2,3,4}: one text-only, one
+    embedding-only, two paired — shares over 4 id-slots.  Oracle twin
+    agrees."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.operators import multimodal as mm
+    from tests.conftest import assert_same_result
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w"), (2, "b", "w"), (3, "c", "w")],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0), (4, [1.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["category"]: r for r in mm.pair_alignment(docs, emb).collect()}
+    assert got["paired"]["n_rows"] == 2
+    assert got["text_only"]["n_rows"] == 1
+    assert got["embedding_only"]["n_rows"] == 1
+    assert got["paired"]["share_ppm"] == 2 * 1_000_000 // 4
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    con.register("embeddings", emb.toPandas())
+    assert_same_result(mm.pair_alignment(docs, emb), con, mm.pair_alignment_sql())
+    con.close()

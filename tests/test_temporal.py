@@ -621,3 +621,43 @@ def test_ewma_daily_halving_weights(spark):
     con.register("events", ev.toPandas())
     assert_same_result(temporal.ewma_daily(ev), con, temporal.ewma_daily_sql())
     con.close()
+
+
+def test_seasonality_profile_grid_and_peak(spark):
+    """Known timestamps: 1970-01-01 is a Thursday (dow=3 with Monday=0);
+    the busiest cell gets is_peak=1 with the earlier-slot tie-break, and
+    per-type shares sum to ~1e6.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    thu_9 = dt.datetime(1970, 1, 1, 9, 0)  # Thursday 09:00 UTC
+    fri_14 = dt.datetime(1970, 1, 2, 14, 0)  # Friday 14:00
+    rows = [
+        (1, 1, thu_9, "click", 1.0),
+        (2, 1, thu_9 + dt.timedelta(minutes=5), "click", 2.0),
+        (3, 1, fri_14, "click", 4.0),
+        (4, 2, fri_14, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r["event_type"], r["dow"], r["hour"]): r
+        for r in temporal.seasonality_profile(ev).collect()
+    }
+    thu = got[("click", 3, 9)]
+    assert thu["n_events"] == 2 and thu["is_peak"] == 1
+    assert thu["share_ppm"] == 2 * 1_000_000 // 3
+    fri = got[("click", 4, 14)]
+    assert fri["n_events"] == 1 and fri["is_peak"] == 0
+    assert got[("view", 4, 14)]["is_peak"] == 1
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(
+        temporal.seasonality_profile(ev), con, temporal.seasonality_profile_sql()
+    )
+    con.close()
