@@ -182,6 +182,10 @@ FAMILY = [
     "g10_assortativity",
     "g11_component_census",
     "m13_ahash_pairs",
+    "s21_ivf_probe_sweep",
+    "d26_shingle_df_histogram",
+    "e48_seasonality_profile",
+    "m14_pair_alignment",
 ]
 
 

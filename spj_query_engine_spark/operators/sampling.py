@@ -1482,3 +1482,86 @@ def balanced_shards_sql(table: str = "documents", n_shards: int = N_SHARDS) -> s
            (shard_tokens * 1000000) // total_tokens AS share_ppm
     FROM per_shard, total
     """
+
+
+QUALITY_BANDS = (0.25, 0.5, 0.75)  # p20 band edges over the t02 score
+
+
+def source_quality_mix(docs: DataFrame) -> DataFrame:
+    """Source x quality-band mix: docs and token mass per (source, t02
+    quality band), with each band's ppm share WITHIN its source - the
+    matrix that turns t02's per-doc score into a mixture decision (p03
+    weights whole sources; this shows which sources earn their weight
+    with high-quality mass and which pad it with junk; the per-source
+    profile IS the input to reweighting or per-source thresholds).
+
+    Band edges compare against the 4dp floor-rounded score, which both
+    engines compute bit-identically (portable_round), so no boundary doc
+    can band-flip between engines.  One codegen'd scoring projection +
+    one rollup on (source, band) + a window over the tiny band frame."""
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.operators.textops import quality_score
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select("doc_id", "source", F.size(toks).alias("n_toks"))
+    scored = quality_score(docs).select("doc_id", "quality")
+    lo, mid, hi = QUALITY_BANDS
+    banded = base.join(scored, "doc_id").select(
+        "source",
+        "n_toks",
+        F.when(F.col("quality") < lo, "q0_low")
+        .when(F.col("quality") < mid, "q1_mid_low")
+        .when(F.col("quality") < hi, "q2_mid_high")
+        .otherwise("q3_high")
+        .alias("band"),
+    )
+    grid = banded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens"),
+    )
+    per_src = Window.partitionBy("source")
+    return grid.select(
+        "source",
+        "band",
+        "n_docs",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.expr("n_docs * 1000000").alias("_scaled"),
+        F.sum("n_docs").over(per_src).alias("_src_total"),
+    ).select(
+        "source",
+        "band",
+        "n_docs",
+        "tokens",
+        F.expr("_scaled div _src_total").alias("share_ppm"),
+    )
+
+
+def source_quality_mix_sql(table: str = "documents") -> str:
+    from spj_query_engine_spark.operators.textops import quality_score_sql
+
+    lo, mid, hi = QUALITY_BANDS
+    return f"""
+    WITH scored AS ({quality_score_sql(table)}),
+    base AS (
+      SELECT d.source,
+             len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                             x -> x <> '')) AS n_toks,
+             CASE WHEN s.quality < {lo} THEN 'q0_low'
+                  WHEN s.quality < {mid} THEN 'q1_mid_low'
+                  WHEN s.quality < {hi} THEN 'q2_mid_high'
+                  ELSE 'q3_high' END AS band
+      FROM {table} d JOIN scored s USING (doc_id)
+    ),
+    grid AS (
+      SELECT source, band, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tokens
+      FROM base GROUP BY 1, 2
+    )
+    SELECT source, band, n_docs, tokens,
+           CAST((n_docs * 1000000) //
+                (sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
+    FROM grid
+    """

@@ -2480,3 +2480,96 @@ def ivf_probe_sweep_sql(
     LEFT JOIN hits h ON h.n_probe = s.p
     CROSS JOIN denom d
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift monitor (s22)
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """Embedding-distribution drift: the corpus split into two cohorts
+    (deterministic id parity - in production, the previous snapshot vs
+    the new batch), each assigned to the SAME fixed coarse-quantizer
+    cells, compared cell-by-cell in occupancy ppm - the drift monitor
+    that tells an ANN deployment its index geometry went stale (cell
+    shares moved => the quantizer no longer fits; s20 shows one
+    snapshot's skew, this shows the MOVEMENT).  The per-cell
+    |delta| column sums to twice the total-variation distance.
+
+    Same broadcast map-only assignment as s03 (shared across BOTH
+    cohorts in one pass - cohort is just a grouping column), one
+    O(cells) rollup; exact integers to the final ppm floors."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % 2).alias("cohort"),
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vid", "cohort", "cid",
+            cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "cohort", F.col("cid").alias("cell"))
+    )
+    grid = cells.groupBy("cell").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    totals = grid.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    ).filter((F.col("tot_a") > 0) & (F.col("tot_b") > 0))
+    return grid.crossJoin(F.broadcast(totals)).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("(n_a * 1000000) div tot_a").alias("share_a_ppm"),
+        F.expr("(n_b * 1000000) div tot_b").alias("share_b_ppm"),
+        F.expr(
+            "abs((n_a * 1000000) div tot_a - (n_b * 1000000) div tot_b)"
+        ).alias("abs_delta_ppm"),
+    )
+
+
+def embedding_drift_sql(table: str = "embeddings", n_cells: int = N_CELLS) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, b.vec_id % 2 AS cohort, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    cells AS (SELECT vid, cohort, cid AS cell FROM ranked WHERE rnk = 1),
+    grid AS (
+      SELECT cell,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM cells GROUP BY cell
+    ),
+    totals AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+      FROM grid
+      HAVING sum(n_a) > 0 AND sum(n_b) > 0
+    )
+    SELECT cell::BIGINT AS cell, n_a, n_b,
+           (n_a * 1000000) // tot_a AS share_a_ppm,
+           (n_b * 1000000) // tot_b AS share_b_ppm,
+           abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+             AS abs_delta_ppm
+    FROM grid, totals
+    """

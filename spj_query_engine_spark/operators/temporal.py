@@ -2561,3 +2561,96 @@ def seasonality_profile_sql(table: str = "events") -> str:
                 THEN 1 ELSE 0 END AS BIGINT) AS is_peak
     FROM grid
     """
+
+
+CUSUM_THRESHOLD_PCT = 10  # e49: flag when |deviation mass| exceeds 10% of total
+
+
+def cusum_shifts(events: DataFrame) -> DataFrame:
+    """CUSUM mean-shift detection on the per-(event_type, day) series: the
+    cumulative deviation of daily mass from the type's flat-mean
+    expectation, flagged where it exceeds ``CUSUM_THRESHOLD_PCT``%% of the
+    type's total - the classic change-point screen (Page 1954) that
+    catches level shifts daily-anomaly z-scores miss (e34 flags single
+    outlier DAYS; a regime change moves every day a little, and only the
+    cumulative sum sees it).
+
+    INTEGER-EXACT trick: with n days and total mass T, the deviation at
+    day i is cum_i - i*T/n; scaling by n gives ``n*cum_i - i*T`` - pure
+    BIGINT micros, no division ever happens, and the flag compares
+    against ``n*T/100*PCT`` in the same scaled units.  One rollup shuffle
+    + one per-type ordered window (day count per type is time-bounded).
+    Scaled values hold to n_days*T < 2^63: ~10^5 days x 10^14 micros -
+    beyond any per-type daily series; hotter than that moves the two
+    accumulators to DECIMAL(38,0)."""
+    day_ms = 86_400_000
+    daily = (
+        events.select(
+            "event_type",
+            F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
+            "value",
+        )
+        .withColumn("day", F.expr(f"ts_ms div {day_ms}"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+            ).alias("v_micros")
+        )
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("day")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(per_type))
+        .withColumn("total", F.sum("v_micros").over(per_type))
+        .withColumn("i", F.row_number().over(ordered))
+        .withColumn("cum", F.sum("v_micros").over(cum))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "v_micros",
+            F.expr("n_days * cum - i * total").alias("cusum_scaled"),
+            F.when(
+                F.expr(
+                    f"abs(n_days * cum - i * total) > "
+                    f"(n_days * total div 100) * {CUSUM_THRESHOLD_PCT}"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("shift_flag"),
+        )
+    )
+
+
+def cusum_shifts_sql(table: str = "events") -> str:
+    day_ms = 86_400_000
+    return f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {day_ms} AS day,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_micros
+      FROM {table}
+      GROUP BY 1, 2
+    ),
+    annotated AS (
+      SELECT event_type, day, v_micros,
+             count(*) OVER (PARTITION BY event_type) AS n_days,
+             CAST(sum(v_micros) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             CAST(sum(v_micros) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM daily
+    )
+    SELECT event_type, day::BIGINT AS day, v_micros,
+           CAST(n_days * cum - i * total AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN abs(n_days * cum - i * total) >
+                          (n_days * total // 100) * {CUSUM_THRESHOLD_PCT}
+                THEN 1 ELSE 0 END AS BIGINT) AS shift_flag
+    FROM annotated
+    """

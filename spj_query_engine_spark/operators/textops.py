@@ -1833,3 +1833,121 @@ def truncation_loss_sql(table: str = "documents") -> str:
     WHERE a.total_tokens > 0
     GROUP BY c.cut
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyphrases by corpus lift (t27)
+
+KEYPHRASE_K = 3
+KEYPHRASE_MIN_SUPPORT = 3
+
+
+def doc_keyphrases(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = KEYPHRASE_K
+) -> DataFrame:
+    """Per-document keyphrases: each doc's top-``k`` bigrams ranked by the
+    CORPUS lift table (t21's integer PMI ranking, per-doc instead of
+    corpus-global) - the cheap extractive tagger behind search facets and
+    data-card topic summaries: a bigram is a good doc keyphrase when it
+    is statistically bound corpus-wide AND present in the doc.  Support
+    filter >= %d keeps one-off typos out of the phrase vocabulary.
+
+    Shape: the lift table is vocabulary-bounded (t21's two rollups + one
+    scalar total); doc bigrams re-join it on the bigram key (one
+    corpus-key shuffle) and the top-k window partitions per doc - no
+    corpus-global ordering anywhere.  DISTINCT doc-bigrams before the
+    join: a phrase repeated in one doc ranks once.""" % KEYPHRASE_MIN_SUPPORT
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").alias("n_total")).filter(F.col("n_total") > 0)
+    doc_bg = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .distinct()
+    )
+    bgc = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_docs_bg"))
+    lift = (
+        bgc.filter(F.col("n_docs_bg") >= KEYPHRASE_MIN_SUPPORT)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.expr("(n_docs_bg * n_total * 1000000) div (n_w1 * n_w2)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        doc_bg.join(lift, ["w1", "w2"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "lift_ppm",
+        )
+    )
+
+
+def doc_keyphrases_sql(table: str = "documents", k: int = KEYPHRASE_K) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    uni AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    total AS (
+      SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni HAVING sum(n_w) > 0
+    ),
+    doc_bg AS (
+      SELECT DISTINCT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM base, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bgc AS (
+      SELECT w1, w2, count(*) AS n_docs_bg FROM doc_bg GROUP BY w1, w2
+      HAVING count(*) >= {KEYPHRASE_MIN_SUPPORT}
+    ),
+    lift AS (
+      SELECT b.w1, b.w2,
+             (b.n_docs_bg * t.n_total * 1000000) // (u1.n_w * u2.n_w) AS lift_ppm
+      FROM bgc b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN total t
+    )
+    SELECT doc_id, rank::BIGINT AS rank, w1 || ' ' || w2 AS phrase, lift_ppm
+    FROM (
+      SELECT d.doc_id, l.w1, l.w2, l.lift_ppm,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY l.lift_ppm DESC, l.w1, l.w2) AS rank
+      FROM doc_bg d JOIN lift l USING (w1, w2)
+    )
+    WHERE rank <= {k}
+    """

@@ -675,3 +675,18 @@ def u09_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m14_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
     return multimodal.pair_alignment(t["documents"], t["embeddings"])
+
+
+@register(
+    "p20_source_quality_mix",
+    sampling.source_quality_mix_sql(),
+    doc="Source x quality-band mix: docs and token mass per (source, t02 "
+    "quality band) with ppm shares WITHIN each source - turns the "
+    "per-doc score into a mixture decision (which sources earn their "
+    "p03 weight with high-quality mass); band edges compare the 4dp "
+    "floor-rounded score both engines compute bit-identically, so no "
+    "boundary doc can band-flip.",
+)
+def p20_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.source_quality_mix(docs)

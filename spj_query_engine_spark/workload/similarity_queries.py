@@ -366,3 +366,17 @@ def s20_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s21_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_sweep(_emb(spark, sf_dir))
+
+
+@register(
+    "s22_embedding_drift",
+    similarity.embedding_drift_sql(),
+    doc="Embedding-distribution drift: two cohorts (deterministic id "
+    "parity; in production, old snapshot vs new batch) assigned to the "
+    "SAME fixed quantizer cells in one pass, compared in occupancy ppm "
+    "per cell with |delta| (sums to 2x total variation) - the monitor "
+    "that says the ANN index geometry went stale (s20 shows one "
+    "snapshot's skew, this shows the MOVEMENT); O(cells) output.",
+)
+def s22_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_drift(_emb(spark, sf_dir))

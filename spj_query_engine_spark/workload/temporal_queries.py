@@ -509,3 +509,18 @@ def e47_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e48_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.seasonality_profile(ev)
+
+
+@register(
+    "e49_cusum_shifts",
+    temporal.cusum_shifts_sql(),
+    doc="CUSUM mean-shift detection per (event_type, day): cumulative "
+    "deviation from the flat-mean expectation, scaled by n_days so the "
+    "statistic is PURE BIGINT (n*cum_i - i*total, no division), flagged "
+    "past %d%% of total mass - catches regime changes e34's per-day "
+    "z-scores miss; one rollup + one per-type ordered window."
+    % temporal.CUSUM_THRESHOLD_PCT,
+)
+def e49_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.cusum_shifts(ev)

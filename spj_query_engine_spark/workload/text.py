@@ -338,3 +338,18 @@ def t25_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t26_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return textops.truncation_loss(docs)
+
+
+@register(
+    "t27_doc_keyphrases",
+    textops.doc_keyphrases_sql(),
+    doc="Per-document keyphrases: top-%d bigrams by the CORPUS lift table "
+    "(t21's integer PMI, applied per doc) - the extractive tagger behind "
+    "search facets and data-card topics; lift table is "
+    "vocabulary-bounded, doc bigrams re-join it on the bigram key, "
+    "top-k window partitions per doc (no corpus-global order)."
+    % textops.KEYPHRASE_K,
+)
+def t27_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.doc_keyphrases(docs)

@@ -1031,3 +1031,38 @@ def test_shingle_df_histogram_mass_conservation(spark):
         dedup.shingle_df_histogram(docs), con, dedup.shingle_df_histogram_sql()
     )
     con.close()
+
+
+def test_embedding_drift_split_and_shares(spark, emb):
+    """Cohorts split by id parity (ids 0..40 step 10 → all even → cohort
+    totals guard fires only when both cohorts exist); with a mixed-id
+    corpus the per-cohort shares each sum to ~1e6 and counts cover the
+    corpus.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.9, 0.1, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 0.9, 0.1], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.embedding_drift(df, n_cells=2).toPandas()
+    assert got["n_a"].sum() == 3 and got["n_b"].sum() == 3
+    assert 999_990 <= got["share_a_ppm"].sum() <= 1_000_000
+    assert 999_990 <= got["share_b_ppm"].sum() <= 1_000_000
+    assert (
+        got["abs_delta_ppm"] == (got["share_a_ppm"] - got["share_b_ppm"]).abs()
+    ).all()
+    con = _duck.connect()
+    con.register("embeddings", df.toPandas())
+    assert_same_result(
+        similarity.embedding_drift(df, n_cells=2),
+        con,
+        similarity.embedding_drift_sql(n_cells=2),
+    )
+    con.close()

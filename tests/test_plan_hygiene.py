@@ -58,6 +58,8 @@ BNLJ_OK = {
     "s21_ivf_probe_sweep",  # composes s01/s03 whitelisted broadcast joins + scalar denom
     "m14_pair_alignment",  # broadcast single-row id-slot-total cross join
     "d26_shingle_df_histogram",  # broadcast single-row posting-total cross join
+    "t27_doc_keyphrases",  # broadcast single-row corpus-total cross join (t21 shape)
+    "s22_embedding_drift",  # broadcast centroid-assignment crossJoin (s03 shape)
 }
 
 

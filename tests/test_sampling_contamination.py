@@ -346,3 +346,37 @@ def test_balanced_shards_snake_balance(spark):
         sampling.balanced_shards(docs), con, sampling.balanced_shards_sql()
     )
     con.close()
+
+
+def test_source_quality_mix_bands_and_shares(spark):
+    """Each source's band shares sum to ~1e6, doc counts cover the corpus,
+    and a deliberately junky doc (no stopwords, no punctuation, short)
+    bands strictly below a clean prose doc.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.operators import sampling as smp
+    from tests.conftest import assert_same_result
+
+    clean = (
+        "the quick brown fox and the lazy dog are in the house with a friend. "
+        * 8
+    )
+    junk = "zxqj kvw pqr"
+    docs = spark.createDataFrame(
+        [(1, clean, "web"), (2, junk, "web"), (3, clean, "books")],
+        "doc_id long, text string, source string",
+    )
+    got = smp.source_quality_mix(docs).toPandas()
+    assert got["n_docs"].sum() == 3
+    for src, grp in got.groupby("source"):
+        assert 999_990 <= grp["share_ppm"].sum() <= 1_000_000
+    web = got[got["source"] == "web"].set_index("band")
+    assert len(web) == 2  # clean and junk land in different bands
+    bands = sorted(web.index)
+    assert bands[0] < bands[-1]
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        smp.source_quality_mix(docs), con, smp.source_quality_mix_sql()
+    )
+    con.close()

@@ -661,3 +661,42 @@ def test_seasonality_profile_grid_and_peak(spark):
         temporal.seasonality_profile(ev), con, temporal.seasonality_profile_sql()
     )
     con.close()
+
+
+def test_cusum_shifts_detects_level_change(spark):
+    """Six days at 1.0 then six days at 9.0: the cusum trough at the
+    regime boundary exceeds the 10% threshold (flagged), while a flat
+    series never flags.  Oracle twin agrees."""
+    import datetime as dt
+
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    for i in range(12):
+        eid += 1
+        rows.append((eid, 1, base + i * day, "shifty", 1.0 if i < 6 else 9.0))
+    for i in range(12):
+        eid += 1
+        rows.append((eid, 1, base + i * day, "flat", 5.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = temporal.cusum_shifts(ev).toPandas()
+    shifty = got[got["event_type"] == "shifty"].sort_values("day")
+    flat = got[got["event_type"] == "flat"]
+    # total = 60e6 micros over 12 days; at day 6 (i=6): cum=6e6,
+    # scaled dev = 12*6e6 - 6*60e6 = -288e6; threshold = 12*60e6/10 = 72e6
+    assert shifty.iloc[5]["cusum_scaled"] == 12 * 6_000_000 - 6 * 60_000_000
+    assert shifty.iloc[5]["shift_flag"] == 1
+    assert flat["shift_flag"].sum() == 0
+    assert (flat["cusum_scaled"] == 0).all()
+    con = _duck.connect()
+    con.register("events", ev.toPandas())
+    assert_same_result(temporal.cusum_shifts(ev), con, temporal.cusum_shifts_sql())
+    con.close()

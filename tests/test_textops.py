@@ -449,3 +449,28 @@ def test_truncation_loss_exact_sweep(spark):
     con.register("documents", docs.toPandas())
     assert_same_result(textops.truncation_loss(docs), con, textops.truncation_loss_sql())
     con.close()
+
+
+def test_doc_keyphrases_rank_by_lift(spark):
+    """A bigram that always co-occurs ("neural network", 5 docs) outranks
+    a loosely bound one built from very common words; sub-support
+    bigrams never appear.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = []
+    for i in range(5):
+        rows.append((i, f"neural network the cat the dog filler{i} the end", "w"))
+    rows.append((10, "the cat the dog walks alone", "w"))
+    rows.append((11, "one off pair here", "w"))  # support 1 → excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = textops.doc_keyphrases(docs).toPandas()
+    top_by_doc = got[got["rank"] == 1].set_index("doc_id")["phrase"].to_dict()
+    assert top_by_doc[0] == "neural network"
+    assert "one off" not in set(got["phrase"])
+    assert got.groupby("doc_id")["rank"].max().max() <= textops.KEYPHRASE_K
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(textops.doc_keyphrases(docs), con, textops.doc_keyphrases_sql())
+    con.close()
