@@ -186,6 +186,10 @@ FAMILY = [
     "d26_shingle_df_histogram",
     "e48_seasonality_profile",
     "m14_pair_alignment",
+    "t27_doc_keyphrases",
+    "e49_cusum_shifts",
+    "s22_embedding_drift",
+    "p20_source_quality_mix",
 ]
 
 

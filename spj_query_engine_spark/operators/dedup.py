@@ -3423,3 +3423,102 @@ def shingle_df_histogram_sql(table: str = "documents") -> str:
            (postings * 1000000) // total_postings AS postings_ppm, any_capped
     FROM hist, total
     """
+
+
+def span_coverage(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span COVERAGE: how many of a doc's token
+    positions sit inside some span shared verbatim with another doc, as
+    count + ppm of the doc - d19 reports per-PAIR span lengths, this
+    answers the per-DOC curation question ("is this doc 5%% quoted or 95%%
+    boilerplate?") that decides drop-vs-keep and feeds span-level
+    EXCISION (Lee et al. 2022 cut spans, not docs).
+
+    Anatomy: d19's positional window index (overlapping SPAN_K-grams,
+    stop-gram DF cap, hash self-join) - but coverage needs no island
+    detection: a seed at position p covers [p, p+K), so covered mass is
+    the DISTINCT union of seed extents on BOTH sides of each pair, one
+    explode of K offsets + one distinct + one per-doc rollup.  Bounded by
+    matching seeds (duplicated windows), never corpus^2; docs with zero
+    shared spans are reported at 0 via the left join."""
+    from pyspark.sql import Window as W
+
+    from spj_query_engine_spark.operators.core import spread
+
+    words = F.split(F.col(text_col), r"\s+")
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SPAN_K)]
+    grams = tok.select(
+        "doc_id", "pos", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
+    ).filter(F.col("tail").isNotNull())
+    idx = grams.select("doc_id", "pos", h32(F.col("gram")).alias("g"))
+    ok = (
+        idx.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= SPAN_MAX_DF)
+        .select("g")
+    )
+    idx = idx.join(ok, "g")
+    a, b = idx.alias("a"), idx.alias("b")
+    seeds = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("pos"))
+    covered = (
+        seeds.distinct()
+        .select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("cp")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(words, lambda x: x != F.lit(""))).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    return sizes.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.expr(
+            "(coalesce(covered_tokens, 0) * 1000000) div n_toks"
+        ).alias("coverage_ppm"),
+    )
+
+
+def span_coverage_sql(table: str = "documents") -> str:
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(SPAN_K))
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(range(len(w) - {SPAN_K - 1}), i -> {gram})) AS gram,
+                     unnest(range(len(w) - {SPAN_K - 1})) AS pos
+              FROM words),
+    idx0 AS (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
+    ok AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= {SPAN_MAX_DF}),
+    idx AS (SELECT idx0.doc_id, idx0.pos, idx0.g FROM idx0 JOIN ok USING (g)),
+    seeds AS (SELECT DISTINCT a.doc_id, a.pos
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id != b.doc_id),
+    covered AS (
+      SELECT doc_id, count(*) AS covered_tokens FROM (
+        SELECT DISTINCT doc_id, pos + u.i AS cp
+        FROM seeds, unnest(range(0, {SPAN_K})) AS u(i)
+      ) GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT doc_id,
+             len(list_filter(w, x -> x <> '')) AS n_toks
+      FROM words
+    )
+    SELECT s.doc_id, CAST(s.n_toks AS BIGINT) AS n_toks,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           (COALESCE(c.covered_tokens, 0) * 1000000) // s.n_toks AS coverage_ppm
+    FROM sizes s LEFT JOIN covered c ON c.doc_id = s.doc_id
+    WHERE s.n_toks > 0
+    """

@@ -2573,3 +2573,94 @@ def embedding_drift_sql(table: str = "embeddings", n_cells: int = N_CELLS) -> st
              AS abs_delta_ppm
     FROM grid, totals
     """
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantization error audit (s23)
+
+
+def sq_error_audit(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-DIMENSION scalar-quantization error audit for the s13 SQ8
+    index: each dimension's min/max (the codebook), the mean and max
+    absolute reconstruction error after round-trip quantization, and the
+    theoretical step size - the measurement that says which dimensions
+    the 8-bit codebook serves badly (heavy-tailed dims blow the error
+    budget; the fix is per-dim clipping or more bits, and this table
+    points at exactly which dims).  Mean error ~ step/4 for uniform data;
+    a dim whose mean error is far above its step/4 is non-uniform.
+
+    Same two-pass anatomy as s13 (tiny per-dim stats aggregate broadcast
+    back, quantization a pure projection); the error sums ride
+    DECIMAL(28,12) so accumulation order cannot drift the mean, and the
+    audit output is O(dim) rows."""
+    parts = embeddings.select(
+        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select("vid", "d", F.col("x").cast("double").alias("x"))
+    stats = parts.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    lvl = F.when(
+        F.col("hi") > F.col("lo"),
+        portable_round(
+            (F.col("x") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * F.lit(float(SQ_LEVELS)),
+            0,
+        ),
+    ).otherwise(F.lit(0.0))
+    deq = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo") + lvl * (F.col("hi") - F.col("lo")) / F.lit(float(SQ_LEVELS)),
+    ).otherwise(F.col("lo"))
+    err = F.abs(F.col("x") - deq)
+    audit = parts.join(F.broadcast(stats), "d").groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(err.cast("decimal(28,12)")).cast("double").alias("_err_sum"),
+        F.max(err).alias("max_abs_err"),
+    )
+    return audit.select(
+        F.col("d").cast("long").alias("d"),
+        "n_values",
+        portable_round(F.col("lo"), 6).alias("lo"),
+        portable_round(F.col("hi"), 6).alias("hi"),
+        portable_round(
+            (F.col("hi") - F.col("lo")) / F.lit(float(SQ_LEVELS)), 6
+        ).alias("step"),
+        portable_round(
+            F.col("_err_sum") / F.col("n_values").cast("double"), 6
+        ).alias("mean_abs_err"),
+        portable_round(F.col("max_abs_err"), 6).alias("max_abs_err"),
+    )
+
+
+def sq_error_audit_sql(table: str = "embeddings") -> str:
+    lvl = portable_round_sql(f"(x - lo) / (hi - lo) * {float(SQ_LEVELS)}", 0)
+    deq = f"CASE WHEN hi > lo THEN lo + {lvl} * (hi - lo) / {float(SQ_LEVELS)} ELSE lo END"
+    return f"""
+    WITH parts AS (
+      SELECT vec_id AS vid, u.i AS d, embedding[u.i + 1]::DOUBLE AS x
+      FROM {table}, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM parts GROUP BY d),
+    joined AS (
+      SELECT p.vid, p.d, p.x, s.lo, s.hi, abs(p.x - ({deq})) AS err
+      FROM parts p JOIN stats s USING (d)
+    ),
+    audit AS (
+      SELECT d, count(*) AS n_values, min(lo) AS lo, min(hi) AS hi,
+             CAST(sum(CAST(err AS DECIMAL(28,12))) AS DOUBLE) AS err_sum,
+             max(err) AS max_abs_err
+      FROM joined GROUP BY d
+    )
+    SELECT d::BIGINT AS d, n_values,
+           {portable_round_sql("lo", 6)} AS lo,
+           {portable_round_sql("hi", 6)} AS hi,
+           {portable_round_sql(f"(hi - lo) / {float(SQ_LEVELS)}", 6)} AS step,
+           {portable_round_sql("err_sum / n_values::DOUBLE", 6)} AS mean_abs_err,
+           {portable_round_sql("max_abs_err", 6)} AS max_abs_err
+    FROM audit
+    """

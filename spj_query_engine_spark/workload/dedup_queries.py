@@ -486,3 +486,17 @@ def g11_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d26_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_df_histogram(_docs(spark, sf_dir))
+
+
+@register(
+    "d27_span_coverage",
+    dedup.span_coverage_sql(),
+    doc="Per-doc duplicated-span coverage: tokens inside verbatim spans "
+    "shared with ANY other doc, count + ppm of the doc - d19 reports "
+    "per-pair span lengths, this answers the per-DOC drop-vs-keep "
+    "question and feeds span-level excision (Lee et al. 2022); d19's "
+    "positional window index + seed-extent union (no island pass), "
+    "bounded by duplicated windows, never corpus^2.",
+)
+def d27_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_coverage(_docs(spark, sf_dir))

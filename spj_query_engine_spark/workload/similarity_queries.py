@@ -380,3 +380,17 @@ def s21_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s22_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_drift(_emb(spark, sf_dir))
+
+
+@register(
+    "s23_sq_error_audit",
+    similarity.sq_error_audit_sql(),
+    doc="Per-dimension SQ8 quantization-error audit: codebook min/max, "
+    "step, mean and max absolute reconstruction error (sums ride "
+    "DECIMAL so accumulation order cannot drift) - points at exactly "
+    "which dimensions the 8-bit codebook serves badly (mean far above "
+    "step/4 = non-uniform dim; fix = clipping or more bits); s13's "
+    "two-pass anatomy, O(dim) output.",
+)
+def s23_sq_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq_error_audit(_emb(spark, sf_dir))

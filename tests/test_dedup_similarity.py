@@ -1066,3 +1066,51 @@ def test_embedding_drift_split_and_shares(spark, emb):
         similarity.embedding_drift_sql(n_cells=2),
     )
     con.close()
+
+
+def test_span_coverage_planted_quote(spark):
+    """A 12-token block shared verbatim by two docs covers exactly those
+    positions in each (ppm floor-exact); an unrelated doc reports 0.
+    Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    block = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (1, block + " " + " ".join(f"a{i}" for i in range(8)), "w"),  # 20 toks
+        (2, " ".join(f"b{i}" for i in range(4)) + " " + block, "w"),  # 16 toks
+        (3, " ".join(f"c{i}" for i in range(15)), "w"),  # no overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in dedup.span_coverage(docs).collect()}
+    assert got[1]["covered_tokens"] == 12
+    assert got[1]["coverage_ppm"] == 12 * 1_000_000 // 20
+    assert got[2]["covered_tokens"] == 12
+    assert got[3]["covered_tokens"] == 0 and got[3]["coverage_ppm"] == 0
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(dedup.span_coverage(docs), con, dedup.span_coverage_sql())
+    con.close()
+
+
+def test_sq_error_audit_bounds(spark, emb):
+    """Reconstruction error never exceeds one quantization step (round-to-
+    nearest level), degenerate dims (hi == lo) report zero error, and the
+    audit covers every dimension once.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    got = similarity.sq_error_audit(emb).toPandas()
+    assert len(got) == 4  # fixture dim
+    assert (got["n_values"] == 5).all()
+    assert (got["max_abs_err"] <= got["step"] + 1e-9).all()
+    degenerate = got[got["hi"] == got["lo"]]
+    assert (degenerate["max_abs_err"] == 0).all()
+    con = _duck.connect()
+    con.register("embeddings", emb.toPandas())
+    assert_same_result(
+        similarity.sq_error_audit(emb), con, similarity.sq_error_audit_sql()
+    )
+    con.close()
