@@ -190,6 +190,8 @@ FAMILY = [
     "e49_cusum_shifts",
     "s22_embedding_drift",
     "p20_source_quality_mix",
+    "d27_span_coverage",
+    "s23_sq_error_audit",
 ]
 
 

@@ -2664,3 +2664,89 @@ def sq_error_audit_sql(table: str = "embeddings") -> str:
            {portable_round_sql("max_abs_err", 6)} AS max_abs_err
     FROM audit
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF cell label-purity (s24)
+
+
+def cell_purity(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """Quantizer-quality audit against ground-truth labels: per IVF cell,
+    the majority label, its purity (ppm of the cell) and the label
+    entropy proxy (distinct labels present) - the external-validity
+    check completing the quantizer trilogy (s20 occupancy skew, s22
+    drift, this semantic coherence): low purity says the cells cut
+    across semantic clusters, so probing by cell retrieves mixed
+    neighborhoods no matter the nprobe.
+
+    Same one-pass broadcast assignment as s03; purity is one rollup on
+    (cell, label) + a per-cell window over at most |labels| rows."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("lbl"),
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vid", "lbl", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "lbl", F.col("cid").alias("cell"))
+    )
+    grid = cells.groupBy("cell", "lbl").agg(F.count(F.lit(1)).alias("n"))
+    per_cell = Window.partitionBy("cell")
+    maj = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("lbl"))
+    return (
+        grid.withColumn("cell_n", F.sum("n").over(per_cell))
+        .withColumn("n_labels", F.count(F.lit(1)).over(per_cell))
+        .withColumn("rk", F.row_number().over(maj))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("cell_n").cast("long").alias("n_vecs"),
+            F.col("lbl").cast("long").alias("majority_label"),
+            F.expr("(n * 1000000) div cell_n").alias("purity_ppm"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+        )
+    )
+
+
+def cell_purity_sql(table: str = "embeddings", n_cells: int = N_CELLS) -> str:
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+    ),
+    ranked AS (
+      SELECT b.vec_id AS vid, b.label AS lbl, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN cent c
+    ),
+    cells AS (SELECT vid, lbl, cid AS cell FROM ranked WHERE rnk = 1),
+    grid AS (SELECT cell, lbl, count(*) AS n FROM cells GROUP BY 1, 2),
+    annotated AS (
+      SELECT cell, lbl, n,
+             CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_n,
+             count(*) OVER (PARTITION BY cell) AS n_labels,
+             row_number() OVER (PARTITION BY cell ORDER BY n DESC, lbl ASC) AS rk
+      FROM grid
+    )
+    SELECT cell::BIGINT AS cell, cell_n AS n_vecs,
+           lbl::BIGINT AS majority_label,
+           (n * 1000000) // cell_n AS purity_ppm,
+           n_labels::BIGINT AS n_labels
+    FROM annotated WHERE rk = 1
+    """

@@ -1951,3 +1951,96 @@ def doc_keyphrases_sql(table: str = "documents", k: int = KEYPHRASE_K) -> str:
     )
     WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source lexical divergence (t28)
+
+
+def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source lexical divergence: the total-variation distance (ppm)
+    between each source's unigram distribution and the corpus-wide one,
+    plus vocabulary size and coverage - the mixture-diversity measurement
+    behind source weighting (two sources at TV ~ 0 are redundant; a
+    source at high TV is the one bringing new text, and dropping it
+    changes the model).  TV = sum |p_src - p_corpus| / 2 runs entirely on
+    ppm FLOORS of exact counts, so the statistic value-replays where a
+    float KL/JS (logs) never would.
+
+    One token explode -> (source, word) rollup; corpus totals derive from
+    the same table (no second pass); the TV sum is a vocabulary-bounded
+    rollup joined per source.  A word absent from a source contributes
+    its corpus ppm - the full-outer semantics fall out of summing
+    |p_s - p_c| over the UNION vocabulary: present words join, absent
+    words add p_c, handled by summing p_c over joined words and
+    complementing against 1e6."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    occ = docs.select("source", F.explode(toks).alias("w"))
+    src_w = occ.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_sw"))
+    src_tot = src_w.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    corp_w = src_w.groupBy("w").agg(F.sum("n_sw").alias("n_cw"))
+    corp_tot = corp_w.agg(F.sum("n_cw").alias("n_c")).filter(F.col("n_c") > 0)
+    joined = (
+        src_w.join(src_tot, "source")
+        .join(corp_w, "w")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source",
+            F.expr("(n_sw * 1000000) div n_s").alias("p_s"),
+            F.expr("(n_cw * 1000000) div n_c").alias("p_c"),
+        )
+    )
+    # TV*2 = sum over union vocab of |p_s - p_c|
+    #      = sum over source vocab |p_s - p_c| + sum over absent words p_c
+    # and sum over absent words p_c = (1e6-ish) - sum over present words p_c
+    per_src = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_used"),
+        F.sum(F.expr("abs(p_s - p_c)")).alias("present_abs"),
+        F.sum("p_c").alias("present_pc"),
+    )
+    return per_src.select(
+        "source",
+        "vocab_used",
+        F.expr(
+            "(present_abs + (1000000 - least(present_pc, 1000000))) div 2"
+        ).cast("long").alias("tv_ppm"),
+        F.expr("least(present_pc, 1000000)").cast("long").alias("coverage_ppm"),
+    )
+
+
+def source_divergence_sql(table: str = "documents") -> str:
+    return f"""
+    WITH occ AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS w
+      FROM {table}
+    ),
+    src_w AS (SELECT source, w, count(*) AS n_sw FROM occ GROUP BY 1, 2),
+    src_tot AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s FROM src_w GROUP BY 1),
+    corp_w AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_cw FROM src_w GROUP BY 1),
+    corp_tot AS (
+      SELECT CAST(sum(n_cw) AS BIGINT) AS n_c FROM corp_w HAVING sum(n_cw) > 0
+    ),
+    joined AS (
+      SELECT s.source,
+             (s.n_sw * 1000000) // t.n_s AS p_s,
+             (c.n_cw * 1000000) // ct.n_c AS p_c
+      FROM src_w s
+      JOIN src_tot t USING (source)
+      JOIN corp_w c USING (w)
+      CROSS JOIN corp_tot ct
+    ),
+    per_src AS (
+      SELECT source, count(*) AS vocab_used,
+             CAST(sum(abs(p_s - p_c)) AS BIGINT) AS present_abs,
+             CAST(sum(p_c) AS BIGINT) AS present_pc
+      FROM joined GROUP BY source
+    )
+    SELECT source, vocab_used,
+           CAST((present_abs + (1000000 - least(present_pc, 1000000))) // 2
+                AS BIGINT) AS tv_ppm,
+           CAST(least(present_pc, 1000000) AS BIGINT) AS coverage_ppm
+    FROM per_src
+    """

@@ -394,3 +394,17 @@ def s22_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s23_sq_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_error_audit(_emb(spark, sf_dir))
+
+
+@register(
+    "s24_cell_purity",
+    similarity.cell_purity_sql(),
+    doc="IVF cell label-purity: per cell the majority ground-truth label, "
+    "its ppm purity and labels present - the external-validity check "
+    "completing the quantizer trilogy (s20 occupancy, s22 drift, this "
+    "semantic coherence): low purity = cells cut across semantic "
+    "clusters, so probes retrieve mixed neighborhoods at any nprobe; "
+    "one broadcast assignment + a (cell, label) rollup.",
+)
+def s24_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cell_purity(_emb(spark, sf_dir))

@@ -353,3 +353,18 @@ def t26_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t27_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return textops.doc_keyphrases(docs)
+
+
+@register(
+    "t28_source_divergence",
+    textops.source_divergence_sql(),
+    doc="Per-source lexical divergence: total-variation distance (ppm) "
+    "between each source's unigram distribution and the corpus-wide one "
+    "plus vocab coverage - the mixture-diversity measurement behind "
+    "source weighting (TV ~ 0 sources are redundant; high-TV sources "
+    "bring the new text); runs entirely on ppm floors of exact counts "
+    "where float KL/JS (logs) never value-replays.",
+)
+def t28_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return textops.source_divergence(docs)

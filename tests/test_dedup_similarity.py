@@ -1114,3 +1114,34 @@ def test_sq_error_audit_bounds(spark, emb):
         similarity.sq_error_audit(emb), con, similarity.sq_error_audit_sql()
     )
     con.close()
+
+
+def test_cell_purity_majority_and_coverage(spark):
+    """Labels aligned with geometry give pure cells; vector counts cover
+    the corpus and purity is the floor-exact majority share.  Oracle twin
+    agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.0, 1.0, 0.0, 0.0], 8),
+        (2, [0.95, 0.05, 0.0, 0.0], 7),
+        (3, [0.9, 0.1, 0.0, 0.0], 7),
+        (4, [0.05, 0.95, 0.0, 0.0], 8),
+        (5, [0.1, 0.9, 0.0, 0.0], 7),  # impurity in cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["cell"]: r for r in similarity.cell_purity(df, n_cells=2).collect()}
+    assert sum(r["n_vecs"] for r in got.values()) == 6
+    assert got[0]["majority_label"] == 7 and got[0]["purity_ppm"] == 1_000_000
+    assert got[1]["majority_label"] == 8
+    assert got[1]["purity_ppm"] == 2 * 1_000_000 // 3
+    assert got[1]["n_labels"] == 2
+    con = _duck.connect()
+    con.register("embeddings", df.toPandas())
+    assert_same_result(
+        similarity.cell_purity(df, n_cells=2), con, similarity.cell_purity_sql(n_cells=2)
+    )
+    con.close()

@@ -60,6 +60,8 @@ BNLJ_OK = {
     "d26_shingle_df_histogram",  # broadcast single-row posting-total cross join
     "t27_doc_keyphrases",  # broadcast single-row corpus-total cross join (t21 shape)
     "s22_embedding_drift",  # broadcast centroid-assignment crossJoin (s03 shape)
+    "t28_source_divergence",  # broadcast single-row corpus-total cross join
+    "s24_cell_purity",  # broadcast centroid-assignment crossJoin (s03 shape)
 }
 
 

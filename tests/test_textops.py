@@ -474,3 +474,32 @@ def test_doc_keyphrases_rank_by_lift(spark):
     con.register("documents", docs.toPandas())
     assert_same_result(textops.doc_keyphrases(docs), con, textops.doc_keyphrases_sql())
     con.close()
+
+
+def test_source_divergence_redundant_vs_distinct(spark):
+    """Two sources with identical text diverge ~0 from the corpus; a
+    lexically disjoint source shows high TV and its coverage equals its
+    own corpus share.  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    same = "alpha beta gamma delta " * 5
+    rows = [
+        (1, same, "web"),
+        (2, same, "mirror"),
+        (3, "zeta eta theta iota kappa " * 4, "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in textops.source_divergence(docs).collect()}
+    # web and mirror each see exactly the words the corpus majority has
+    assert got["web"]["tv_ppm"] == got["mirror"]["tv_ppm"]
+    assert got["books"]["tv_ppm"] > got["web"]["tv_ppm"]
+    # disjoint source: TV = 1 - own_share (its words) /2*2 → sizable
+    assert got["books"]["tv_ppm"] > 400_000
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        textops.source_divergence(docs), con, textops.source_divergence_sql()
+    )
+    con.close()
