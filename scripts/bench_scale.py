@@ -192,6 +192,8 @@ FAMILY = [
     "p20_source_quality_mix",
     "d27_span_coverage",
     "s23_sq_error_audit",
+    "t28_source_divergence",
+    "s24_cell_purity",
 ]
 
 
