@@ -3450,12 +3450,14 @@ def span_coverage(
     EXCISION (Lee et al. 2022 cut spans, not docs).
 
     Anatomy: d19's positional window index (overlapping SPAN_K-grams,
-    stop-gram DF cap, hash self-join) - but coverage needs no island
-    detection: a seed at position p covers [p, p+K), so covered mass is
-    the DISTINCT union of seed extents on BOTH sides of each pair, one
+    stop-gram DF cap) - but coverage needs no PAIRS at all: a position is
+    covered iff its gram occurs in >= 2 distinct docs, which is a per-gram
+    ``min(doc) != max(doc)`` aggregate - so the d19 hash self-join (O(c^2)
+    rows per gram, the 15x-at-100x hotspot) collapses to one gram-keyed
+    groupBy.  A seed at position p covers [p, p+K): covered mass is one
     explode of K offsets + one distinct + one per-doc rollup.  Bounded by
-    matching seeds (duplicated windows), never corpus^2; docs with zero
-    shared spans are reported at 0 via the left join."""
+    corpus token count, never corpus^2; docs with zero shared spans are
+    reported at 0 via the left join."""
     from pyspark.sql import Window as W
 
     from spj_query_engine_spark.operators.core import spread
@@ -3470,19 +3472,23 @@ def span_coverage(
         "doc_id", "pos", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
     ).filter(F.col("tail").isNotNull())
     idx = grams.select("doc_id", "pos", h32(F.col("gram")).alias("g"))
-    ok = (
+    # gram is "shared" iff it survives the DF cap AND spans >= 2 docs;
+    # min != max is the cheap multi-doc test (no countDistinct shuffle)
+    shared = (
         idx.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= SPAN_MAX_DF)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("d_lo"),
+            F.max("doc_id").alias("d_hi"),
+        )
+        .filter((F.col("c") <= SPAN_MAX_DF) & (F.col("d_lo") != F.col("d_hi")))
         .select("g")
     )
-    idx = idx.join(ok, "g")
-    a, b = idx.alias("a"), idx.alias("b")
-    seeds = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("pos"))
+    # idx has one row per (doc, pos), so the join preserves uniqueness —
+    # every position of a shared gram is a seed (some OTHER doc has it)
+    seeds = idx.join(shared, "g").select("doc_id", "pos")
     covered = (
-        seeds.distinct()
+        seeds
         .select(
             "doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("cp")
         )
@@ -3514,11 +3520,10 @@ def span_coverage_sql(table: str = "documents") -> str:
                      unnest(list_transform(range(len(w) - {SPAN_K - 1}), i -> {gram})) AS gram,
                      unnest(range(len(w) - {SPAN_K - 1})) AS pos
               FROM words),
-    idx0 AS (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
-    ok AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= {SPAN_MAX_DF}),
-    idx AS (SELECT idx0.doc_id, idx0.pos, idx0.g FROM idx0 JOIN ok USING (g)),
-    seeds AS (SELECT DISTINCT a.doc_id, a.pos
-              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id != b.doc_id),
+    idx0 AS MATERIALIZED (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
+    shared AS (SELECT g FROM idx0 GROUP BY g
+               HAVING count(*) <= {SPAN_MAX_DF} AND min(doc_id) != max(doc_id)),
+    seeds AS (SELECT idx0.doc_id, idx0.pos FROM idx0 JOIN shared USING (g)),
     covered AS (
       SELECT doc_id, count(*) AS covered_tokens FROM (
         SELECT DISTINCT doc_id, pos + u.i AS cp

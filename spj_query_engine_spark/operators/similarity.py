@@ -566,6 +566,69 @@ KNN_K = 3  # neighbors kept per vector
 KNN_CELLS = 16  # default cell count (conf `spj.knn.cells` scales it)
 
 
+def _ivf_rerank(
+    emb: DataFrame, probes: DataFrame, homes: DataFrame,
+    id_col: str, k: int, cell: str,
+) -> DataFrame:
+    """CELL-keyed exact rerank shared by s06/s09: attach vectors to the
+    probe and home rows (corpus-sized, one vector each) and equi-join on
+    the cell id, so scored pairs stream from the join straight into the
+    cosine projection — the pair-sized intermediate is never shuffled
+    with vectors attached.  The naive cand→q→m form ships q_vec through
+    EVERY candidate row (n·probe·cell_size rows × vec ≈ 22 GB at 100×);
+    here the shuffled volume is the two vector-bearing inputs (≈ 0.25 GB)
+    plus the narrow (qid, nbr, cosine) window input.  (qid, mid) pairs
+    are unique by construction — each mid has exactly ONE home cell and
+    probes carry one row per (vid, cell) — so no distinct is needed.
+
+    Norms are precomputed ONCE per vector (s01's pattern) so the pair loop
+    runs a single dot-product fold instead of three — sqrt(x·x) is the
+    identical IEEE op either side of the join, so the rounded cosine is
+    bit-identical to the inline form (and to the oracle twin)."""
+    emb_n = emb.withColumn(
+        "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
+    )
+    qv = probes.join(
+        emb_n.select(
+            F.col("vid").alias("qid"),
+            F.col("vec").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        ),
+        "qid",
+    )
+    mv = homes.join(
+        emb_n.select(
+            F.col("vid").alias("mid"),
+            F.col("vec").alias("m_vec"),
+            F.col("nrm").alias("m_nrm"),
+        ),
+        "mid",
+    )
+    sim = portable_round(
+        dot_product(F.col("q_vec"), F.col("m_vec"))
+        / (F.col("q_nrm") * F.col("m_nrm")),
+        6,
+    )
+    return (
+        qv.join(mv, cell)
+        .filter(F.col("qid") != F.col("mid"))
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("mid").alias("nbr_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("cosine"), F.asc("nbr_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_join(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -595,13 +658,27 @@ def knn_join(
     emb = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    cent = emb.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    # one norm per vector/centroid instead of two extra folds per scored
+    # row — sqrt(x·x) is the same IEEE op, so ranks are bit-identical
+    emb_n = emb.withColumn(
+        "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
+    )
+    cent = emb_n.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
     )
     aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
     ranked = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        emb_n.crossJoin(F.broadcast(cent))
+        .select(
+            "vid",
+            "cid",
+            (
+                dot_product(F.col("vec"), F.col("c_vec"))
+                / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("sim"),
+        )
         .withColumn("rnk", F.row_number().over(aw))
     )
     homes = ranked.filter(F.col("rnk") == 1).select(
@@ -610,28 +687,7 @@ def knn_join(
     probes = ranked.filter(F.col("rnk") <= n_probe).select(
         F.col("vid").alias("qid"), "cid"
     )
-    cand = (
-        probes.join(homes, "cid")
-        .filter(F.col("qid") != F.col("mid"))
-        .select("qid", "mid")
-        .distinct()
-    )
-    q = emb.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
-    m = emb.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
-    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("mid"))
-    return (
-        cand.join(q, "qid")
-        .join(m, "mid")
-        .select(
-            F.col("qid").alias(id_col), F.col("mid").alias("nbr_id"),
-            sim.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
-        ))
-        .filter(F.col("rank") <= k)
-    )
+    return _ivf_rerank(emb, probes, homes, id_col, k, "cid")
 
 
 def knn_join_sql(
@@ -998,70 +1054,99 @@ def knn_join_2level(
     base = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    c1 = base.filter(F.col("vid") < branch).select(
-        F.col("vid").alias("c1"), F.col("vec").alias("c1_vec")
+    # one norm per vector/centroid instead of two extra folds per scored
+    # row — sqrt(x·x) is the same IEEE op, so ranks are bit-identical
+    base_n = base.withColumn(
+        "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
     )
-    leaf = base.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("leaf"), F.col("vec").alias("leaf_vec")
+    c1 = base_n.filter(F.col("vid") < branch).select(
+        F.col("vid").alias("c1"),
+        F.col("vec").alias("c1_vec"),
+        F.col("nrm").alias("c1_nrm"),
     )
-    lw = Window.partitionBy("leaf").orderBy(F.desc("lsim"), F.asc("c1"))
+    leaf = base_n.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("leaf"),
+        F.col("vec").alias("leaf_vec"),
+        F.col("nrm").alias("leaf_nrm"),
+    )
+    # argmax assignments are MAP-SIDE-COMBINABLE max_by aggregates, not
+    # row_number windows: the crossJoin leaves each vid's `branch` rows in
+    # one partition, so partial aggregation collapses n×branch rows to n
+    # BEFORE the shuffle — a window would sort-shuffle the full n×branch
+    # set (with vectors attached) per level.  Tie order matches the old
+    # window exactly: max over (sim, -id) == (DESC sim, ASC id).
     leaf_parent = (
         leaf.crossJoin(F.broadcast(c1))
         .select(
-            "leaf", "leaf_vec", "c1",
-            cosine_sim(F.col("leaf_vec"), F.col("c1_vec")).alias("lsim"),
+            "leaf", "leaf_vec", "leaf_nrm", "c1",
+            (
+                dot_product(F.col("leaf_vec"), F.col("c1_vec"))
+                / (F.col("leaf_nrm") * F.col("c1_nrm"))
+            ).alias("lsim"),
         )
-        .withColumn("rnk", F.row_number().over(lw))
-        .filter(F.col("rnk") == 1)
-        .select("leaf", "leaf_vec", "c1")
+        .groupBy("leaf")
+        .agg(
+            F.max_by("c1", F.struct(F.col("lsim"), -F.col("c1"))).alias("c1"),
+            F.first("leaf_vec").alias("leaf_vec"),
+            F.first("leaf_nrm").alias("leaf_nrm"),
+        )
+        .select("leaf", "leaf_vec", "leaf_nrm", "c1")
     )
-    vw = Window.partitionBy("vid").orderBy(F.desc("vsim"), F.asc("c1"))
     v_l1 = (
-        base.crossJoin(F.broadcast(c1))
+        base_n.crossJoin(F.broadcast(c1))
         .select(
-            "vid", "vec", "c1",
-            cosine_sim(F.col("vec"), F.col("c1_vec")).alias("vsim"),
+            "vid", "vec", "nrm", "c1",
+            (
+                dot_product(F.col("vec"), F.col("c1_vec"))
+                / (F.col("nrm") * F.col("c1_nrm"))
+            ).alias("vsim"),
         )
-        .withColumn("rnk", F.row_number().over(vw))
-        .filter(F.col("rnk") == 1)
-        .select("vid", "vec", "c1")
+        .groupBy("vid")
+        .agg(
+            F.max_by("c1", F.struct(F.col("vsim"), -F.col("c1"))).alias("c1"),
+            F.first("vec").alias("vec"),
+            F.first("nrm").alias("nrm"),
+        )
     )
-    aw = Window.partitionBy("vid").orderBy(F.desc("asim"), F.asc("leaf"))
-    ranked = (
+    # leaf-level top-n_probe: collect the ≤ n_cells/branch candidate leaves
+    # per vid (narrow structs, no vectors), sort, slice — ascending sort on
+    # (-asim, leaf) == (DESC asim, ASC leaf), rnk = position + 1
+    topp = (
         v_l1.join(F.broadcast(leaf_parent), "c1")
         .select(
             "vid", "leaf",
-            cosine_sim(F.col("vec"), F.col("leaf_vec")).alias("asim"),
+            (
+                dot_product(F.col("vec"), F.col("leaf_vec"))
+                / (F.col("nrm") * F.col("leaf_nrm"))
+            ).alias("asim"),
         )
-        .withColumn("rnk", F.row_number().over(aw))
+        .groupBy("vid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("asim")).alias("na"),
+                            F.col("leaf").alias("leaf"),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("tops")
+        )
+        .select("vid", F.posexplode("tops"))
+        .select(
+            "vid",
+            F.col("col.leaf").alias("leaf"),
+            (F.col("pos") + 1).alias("rnk"),
+        )
     )
-    homes = ranked.filter(F.col("rnk") == 1).select(
+    homes = topp.filter(F.col("rnk") == 1).select(
         F.col("vid").alias("mid"), "leaf"
     )
-    probes = ranked.filter(F.col("rnk") <= n_probe).select(
-        F.col("vid").alias("qid"), "leaf"
-    )
-    cand = (
-        probes.join(homes, "leaf")
-        .filter(F.col("qid") != F.col("mid"))
-        .select("qid", "mid")
-        .distinct()
-    )
-    q = base.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
-    m = base.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
-    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
-    return (
-        cand.join(q, "qid")
-        .join(m, "mid")
-        .select(
-            F.col("qid").alias(id_col), F.col("mid").alias("nbr_id"),
-            sim.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
-        ))
-        .filter(F.col("rank") <= k)
-    )
+    probes = topp.select(F.col("vid").alias("qid"), "leaf")
+    return _ivf_rerank(base, probes, homes, id_col, k, "leaf")
 
 
 def knn_join_2level_sql(
@@ -2068,9 +2153,25 @@ def nn_descent_round(
     emb = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    q = emb.select(F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
-    m = emb.select(F.col("vid").alias("mid"), F.col("vec").alias("m_vec"))
-    sim = portable_round(cosine_sim(F.col("q_vec"), F.col("m_vec")), 6)
+    # norms once per vector, not twice per candidate pair (bit-identical)
+    emb_n = emb.withColumn(
+        "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
+    )
+    q = emb_n.select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    m = emb_n.select(
+        F.col("vid").alias("mid"),
+        F.col("vec").alias("m_vec"),
+        F.col("nrm").alias("m_nrm"),
+    )
+    sim = portable_round(
+        dot_product(F.col("q_vec"), F.col("m_vec"))
+        / (F.col("q_nrm") * F.col("m_nrm")),
+        6,
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         cand.join(q, "qid")

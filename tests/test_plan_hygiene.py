@@ -62,6 +62,7 @@ BNLJ_OK = {
     "s22_embedding_drift",  # broadcast centroid-assignment crossJoin (s03 shape)
     "t28_source_divergence",  # broadcast single-row corpus-total cross join
     "s24_cell_purity",  # broadcast centroid-assignment crossJoin (s03 shape)
+    "g10_assortativity",  # broadcast single-row sxy-moment cross join
 }
 
 
