@@ -778,16 +778,39 @@ def embedding_near_dup(
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
     cent = base.filter(F.col("id") < n_cells).select(
-        F.col("id").alias("cid"), F.col("v").alias("c_vec")
+        F.col("id").alias("cid"),
+        F.col("v").alias("c_vec"),
+        F.col("norm").alias("c_nrm"),
     )
-    assign_sim = cosine_sim(F.col("v"), F.col("c_vec"))
-    aw = Window.partitionBy("id").orderBy(F.desc("asim"), F.asc("cid"))
+    # assignment reuses the hoisted norms (one fold per n×C row, not three)
+    # and replaces the row_number window — which would sort-shuffle n×C rows
+    # with vectors attached — by a map-side-combinable top-n_assign
+    # aggregate: ascending sort on (-asim, cid) == (DESC asim, ASC cid)
+    assign_sim = dot(F.col("v"), F.col("c_vec")) / (
+        F.col("norm") * F.col("c_nrm")
+    )
     blocked = (
         base.crossJoin(F.broadcast(cent))
         .select("id", "v", "norm", "cid", assign_sim.alias("asim"))
-        .withColumn("rnk", F.row_number().over(aw))
-        .filter(F.col("rnk") <= n_assign)
-        .select(F.col("cid").alias("blk"), "id", "v", "norm")
+        .groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("asim")).alias("na"),
+                            F.col("cid").alias("cid"),
+                        )
+                    )
+                ),
+                1,
+                n_assign,
+            ).alias("tops"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+        .select("id", "v", "norm", F.explode("tops").alias("t"))
+        .select(F.col("t.cid").alias("blk"), "id", "v", "norm")
     )
     a = blocked.select(
         F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
@@ -827,7 +850,8 @@ def embedding_near_dup_2level(
     The flat variant (:func:`embedding_near_dup`) assigns each vector by
     crossJoin against ALL ``n_cells`` centroids: with the documented
     guidance n_cells ∝ n (constant cell size), assignment cost is
-    n × n_cells = O(n²/cell_size) — measured 282× wall at 100× input.
+    n × n_cells = O(n²/cell_size) — measured 109× wall at 100× input
+    even with norms hoisted (282× before the hoist).
     Here centroids form a two-level tree (IMI/hierarchical-k-means shape,
     public methodology): ``branch`` level-1 centroids partition the
     ``n_cells`` leaf centroids, a vector finds its nearest level-1 cell
@@ -858,46 +882,82 @@ def embedding_near_dup_2level(
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
     c1 = base.filter(F.col("id") < branch).select(
-        F.col("id").alias("c1"), F.col("v").alias("c1_vec")
+        F.col("id").alias("c1"),
+        F.col("v").alias("c1_vec"),
+        F.col("norm").alias("c1_nrm"),
     )
     leaf = base.filter(F.col("id") < n_cells).select(
-        F.col("id").alias("leaf"), F.col("v").alias("leaf_vec")
+        F.col("id").alias("leaf"),
+        F.col("v").alias("leaf_vec"),
+        F.col("norm").alias("leaf_nrm"),
     )
-    # each leaf centroid's level-1 parent
-    lw = Window.partitionBy("leaf").orderBy(F.desc("lsim"), F.asc("c1"))
+    # argmax assignments are map-side-combinable max_by aggregates (not
+    # row_number windows over vector-bearing rows); hoisted norms leave one
+    # dot fold per scored row.  max over (sim, -id) == (DESC sim, ASC id),
+    # so ranks are bit-identical to the oracle's window form.
     leaf_parent = (
         leaf.crossJoin(F.broadcast(c1))
         .select(
-            "leaf", "leaf_vec", "c1",
-            cosine_sim(F.col("leaf_vec"), F.col("c1_vec")).alias("lsim"),
+            "leaf", "leaf_vec", "leaf_nrm", "c1",
+            (
+                dot(F.col("leaf_vec"), F.col("c1_vec"))
+                / (F.col("leaf_nrm") * F.col("c1_nrm"))
+            ).alias("lsim"),
         )
-        .withColumn("rnk", F.row_number().over(lw))
-        .filter(F.col("rnk") == 1)
-        .select("leaf", "leaf_vec", "c1")
+        .groupBy("leaf")
+        .agg(
+            F.max_by("c1", F.struct(F.col("lsim"), -F.col("c1"))).alias("c1"),
+            F.first("leaf_vec").alias("leaf_vec"),
+            F.first("leaf_nrm").alias("leaf_nrm"),
+        )
     )
     # each vector's level-1 cell (n × branch pairs)
-    vw = Window.partitionBy("id").orderBy(F.desc("vsim"), F.asc("c1"))
     v_l1 = (
         base.crossJoin(F.broadcast(c1))
         .select(
             "id", "v", "norm", "c1",
-            cosine_sim(F.col("v"), F.col("c1_vec")).alias("vsim"),
+            (
+                dot(F.col("v"), F.col("c1_vec"))
+                / (F.col("norm") * F.col("c1_nrm"))
+            ).alias("vsim"),
         )
-        .withColumn("rnk", F.row_number().over(vw))
-        .filter(F.col("rnk") == 1)
-        .select("id", "v", "norm", "c1")
+        .groupBy("id")
+        .agg(
+            F.max_by("c1", F.struct(F.col("vsim"), -F.col("c1"))).alias("c1"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
     )
-    # nearest n_assign leaves WITHIN the vector's level-1 cell
-    aw = Window.partitionBy("id").orderBy(F.desc("asim"), F.asc("leaf"))
+    # nearest n_assign leaves WITHIN the vector's level-1 cell — top-n via
+    # ascending sort on (-asim, leaf) == (DESC asim, ASC leaf)
     blocked = (
         v_l1.join(F.broadcast(leaf_parent), "c1")
         .select(
             "id", "v", "norm", "leaf",
-            cosine_sim(F.col("v"), F.col("leaf_vec")).alias("asim"),
+            (
+                dot(F.col("v"), F.col("leaf_vec"))
+                / (F.col("norm") * F.col("leaf_nrm"))
+            ).alias("asim"),
         )
-        .withColumn("rnk", F.row_number().over(aw))
-        .filter(F.col("rnk") <= n_assign)
-        .select(F.col("leaf").alias("blk"), "id", "v", "norm")
+        .groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("asim")).alias("na"),
+                            F.col("leaf").alias("leaf"),
+                        )
+                    )
+                ),
+                1,
+                n_assign,
+            ).alias("tops"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+        .select("id", "v", "norm", F.explode("tops").alias("t"))
+        .select(F.col("t.leaf").alias("blk"), "id", "v", "norm")
     )
     a = blocked.select(
         F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),

@@ -2128,7 +2128,7 @@ def nn_descent_round(
     even corpus-scaled FLAT assignment is O(n²/cell_size) (n × n_cells
     broadcast cosines — measured 266× wall at 100× input): pass
     ``seed_graph=knn_join_2level(...)`` there, whose tree assignment is
-    O(n·(branch + leaves/branch)) — measured 30× wall at 100× input,
+    O(n·(branch + leaves/branch)) — measured 25× wall at 100× input,
     linear in pairs."""
     base = (
         seed_graph

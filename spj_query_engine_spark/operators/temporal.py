@@ -1667,6 +1667,48 @@ def active_users_sql(table: str = "events", window_days: int = WAU_DAYS) -> str:
 LATE_BUDGET_MS = 300_000  # the candidate watermark delay under audit: 5 min
 
 
+def _lateness_scan(events: DataFrame, chunk_span: int = 65536) -> DataFrame:
+    """(event_type, late_ms) for every event: running max of event time over
+    arrival order (event_id) within the type, minus the event's own time —
+    as a TWO-LEVEL parallel prefix scan.  A plain per-type window serializes
+    each type into ONE task (measured 22x wall at 100x input with a handful
+    of types); here level 1 scans within (type, event_id-range chunk) —
+    thousands of independent tasks — and level 2 prefix-maxes the tiny
+    per-chunk-max table and broadcasts it back:
+    lateness_i = max(in-chunk running max, max of all PRIOR chunks) - ts_i."""
+    ts_ms = F.unix_millis(F.col("ts").cast(T.TimestampType()))
+    e = events.select(
+        "event_type",
+        "event_id",
+        ts_ms.alias("ts_ms"),
+        F.expr(f"event_id div {chunk_span}").alias("chunk"),
+    )
+    wc = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inchunk = e.withColumn("run_max", F.max("ts_ms").over(wc))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = (
+        e.groupBy("event_type", "chunk")
+        .agg(F.max("ts_ms").alias("cmax"))
+        .withColumn("pmax", F.max("cmax").over(wp))
+        .select("event_type", "chunk", "pmax")
+    )
+    # greatest() skips the NULL pmax of each type's first chunk
+    return inchunk.join(F.broadcast(prior), ["event_type", "chunk"]).select(
+        "event_type",
+        (F.greatest(F.col("run_max"), F.col("pmax")) - F.col("ts_ms")).alias(
+            "late_ms"
+        ),
+    )
+
+
 def out_of_orderness(events: DataFrame) -> DataFrame:
     """Per-type OUT-OF-ORDERNESS audit: how late events actually arrive,
     measured against the max event-time already seen in arrival order —
@@ -1679,27 +1721,13 @@ def out_of_orderness(events: DataFrame) -> DataFrame:
     streaming job would have DROPPED — ``frac_beyond_budget`` is therefore
     the exact data-loss rate the current ``LATE_BUDGET_MS`` buys.
 
-    Shape: ONE window pass per event_type partition (same anatomy as
-    sessionize's per-user pass), then a type-bounded rollup.  The exact
-    p95 is percentile over BIGINT lateness (e09's documented
-    approx_percentile swap applies at 100 TB); everything else is integer
-    max/count, so the hash can never drift.  At cluster scale the audit
-    runs per (type, ingest shard) — add the shard id to the partition key;
-    the shape is unchanged."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    base = events.select(
-        "event_type",
-        "event_id",
-        F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
-    )
-    late = base.select(
-        "event_type",
-        (F.max("ts_ms").over(w) - F.col("ts_ms")).alias("late_ms"),
-    )
+    Shape: the running max is the shared two-level prefix scan
+    (``_lateness_scan`` — chunked in-chunk windows + a broadcast prior-chunk
+    prefix max, thousands of tasks instead of one per type), then a
+    type-bounded rollup.  The exact p95 is percentile over BIGINT lateness
+    (e09's documented approx_percentile swap applies at 100 TB); everything
+    else is integer max/count, so the hash can never drift."""
+    late = _lateness_scan(events)
     frac = F.sum(
         F.when(F.col("late_ms") > LATE_BUDGET_MS, 1).otherwise(0)
     ).cast("double") / F.count(F.lit(1)).cast("double")
@@ -1818,47 +1846,12 @@ def watermark_sweep(events: DataFrame) -> DataFrame:
     on a per-key watermark.  drop_ppm is integer (n_dropped·10⁶ div n),
     so the hash can never drift.
 
-    Shape: the running max is a TWO-LEVEL parallel prefix scan — a plain
-    per-type window serializes each event type into ONE task (measured
-    22x wall at 100x input with a handful of types).  Level 1 scans
-    within (type, event_id-range chunk) — thousands of independent
-    tasks; level 2 prefix-maxes the tiny per-chunk-max table and
-    broadcasts it back, so lateness_i = max(in-chunk running max,
-    max of all PRIOR chunks).  The sweep is then a conditional-sum
-    ROLLUP — the candidate array never multiplies the event rows (no
-    explode), so sweeping 5 or 50 delays costs the same shuffle."""
-    chunk_span = 65536
-    ts_ms = F.unix_millis(F.col("ts").cast(T.TimestampType()))
-    e = events.select(
-        "event_type",
-        "event_id",
-        ts_ms.alias("ts_ms"),
-        F.expr(f"event_id div {chunk_span}").alias("chunk"),
-    )
-    wc = (
-        Window.partitionBy("event_type", "chunk")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    inchunk = e.withColumn("run_max", F.max("ts_ms").over(wc))
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = (
-        e.groupBy("event_type", "chunk")
-        .agg(F.max("ts_ms").alias("cmax"))
-        .withColumn("pmax", F.max("cmax").over(wp))
-        .select("event_type", "chunk", "pmax")
-    )
-    # greatest() skips the NULL pmax of each type's first chunk
-    late = inchunk.join(F.broadcast(prior), ["event_type", "chunk"]).select(
-        "event_type",
-        (F.greatest(F.col("run_max"), F.col("pmax")) - F.col("ts_ms")).alias(
-            "late_ms"
-        ),
-    )
+    Shape: the running max is the shared two-level prefix scan
+    (``_lateness_scan`` — chunked in-chunk windows + a broadcast
+    prior-chunk prefix max), then the sweep is a conditional-sum ROLLUP —
+    the candidate array never multiplies the event rows (no explode), so
+    sweeping 5 or 50 delays costs the same shuffle."""
+    late = _lateness_scan(events)
     per_type = late.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         *[

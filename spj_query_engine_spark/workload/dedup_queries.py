@@ -153,8 +153,8 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-dup with TWO-LEVEL quantizer assignment (branch=%s "
     "over %s leaves): n x (branch + leaves/branch) assignment cost instead "
     "of the flat n x leaves - the fix for the flat variant's quadratic "
-    "assignment when cell count scales with the corpus (measured 282x -> "
-    "~linear at 100x)." % (dedup.NEARDUP_BRANCH, dedup.NEARDUP_CELLS),
+    "assignment when cell count scales with the corpus (measured 109x -> "
+    "17x wall at 100x input)." % (dedup.NEARDUP_BRANCH, dedup.NEARDUP_CELLS),
 )
 def d12_near_dup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
