@@ -560,8 +560,12 @@ def ngram_jaccard_pairs(
     if inv is None:
         inv = shingle_index(docs, text_col, id_col).persist()
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # df = 1 shingles (the bulk of the index) can never intersect — dropping
+    # them from the self-join input changes nothing downstream (set sizes
+    # come from the UNFILTERED index above) and removes the corpus-sized
+    # shuffle of unique shingles
     df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= NGRAM_MAX_DF
+        (F.col("df") <= NGRAM_MAX_DF) & (F.col("df") >= 2)
     )
     inv = inv.join(df_ok.select("g"), "g")
     a, b = inv.alias("a"), inv.alias("b")
@@ -588,9 +592,10 @@ def ngram_jaccard_pairs_sql(table: str = "documents") -> str:
     return f"""
     WITH words AS ({_words_cte(table)}),
     shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
-    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
-    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
-    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    inv0 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g
+              HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
+    inv AS MATERIALIZED (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
                FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
@@ -631,10 +636,12 @@ def contamination(
     """
     inv_all = shingle_index(docs, text_col, id_col)
     sizes = inv_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # a df = 1 shingle cannot appear in BOTH splits — drop it from the join
+    # input (overlap sizes still come from the unfiltered index)
     df_ok = (
         inv_all.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .filter((F.col("df") <= NGRAM_MAX_DF) & (F.col("df") >= 2))
     )
     inv = inv_all.join(df_ok.select("g"), "g")
     is_eval = (F.col(id_col) % EVAL_MOD) == 0
@@ -665,9 +672,10 @@ def contamination_sql(table: str = "documents") -> str:
     WITH words AS ({_words_cte(table)}),
     shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shset),
-    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
-    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
-    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    inv0 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g
+              HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
+    inv AS MATERIALIZED (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
     common AS (
       SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_common
       FROM inv t JOIN inv e ON t.g = e.g
@@ -1999,8 +2007,10 @@ def containment_pairs(
     if inv is None:
         inv = shingle_index(docs, text_col, id_col).persist()
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # df = 1 shingles can never co-occur — same semantics-free join-input
+    # cut as d05 (inner sizes come from the unfiltered index)
     df_ok = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= NGRAM_MAX_DF
+        (F.col("df") <= NGRAM_MAX_DF) & (F.col("df") >= 2)
     )
     inv = inv.join(df_ok.select("g"), "g")
     a, b = inv.alias("a"), inv.alias("b")
@@ -2031,9 +2041,10 @@ def containment_pairs_sql(table: str = "documents") -> str:
     return f"""
     WITH words AS ({_words_cte(table)}),
     shset AS (SELECT doc_id, {_shingle_hashes_sql()} AS sh FROM words),
-    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shset),
-    df_ok AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
-    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
+    inv0 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM shset),
+    df_ok AS (SELECT g FROM inv0 GROUP BY g
+              HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
+    inv AS MATERIALIZED (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN df_ok USING (g)),
     common AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS n_common
                FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id != b.doc_id
                GROUP BY 1, 2)
@@ -2191,10 +2202,23 @@ def span_dup_pairs(
         "doc_id", "pos", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
     ).filter(F.col("tail").isNotNull())
     idx = grams.select("doc_id", "pos", h32(F.col("gram")).alias("g"))
+    # the self-join can only emit a seed from a gram that occurs >= 2 times
+    # AND in >= 2 distinct docs (the join needs doc_a < doc_b) — filtering
+    # those up front shrinks the join input from the whole positional index
+    # (corpus-sized, overwhelmingly unique grams) to just the duplicated
+    # windows; output is identical, measured 44x -> ~5x wall at 100x input
     ok = (
         idx.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= SPAN_MAX_DF)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("d_lo"),
+            F.max("doc_id").alias("d_hi"),
+        )
+        .filter(
+            (F.col("c") <= SPAN_MAX_DF)
+            & (F.col("c") >= 2)
+            & (F.col("d_lo") != F.col("d_hi"))
+        )
         .select("g")
     )
     idx = idx.join(ok, "g")
@@ -2232,9 +2256,12 @@ def span_dup_pairs_sql(table: str = "documents") -> str:
                      unnest(list_transform(range(len(w) - {SPAN_K - 1}), i -> {gram})) AS gram,
                      unnest(range(len(w) - {SPAN_K - 1})) AS pos
               FROM words),
-    idx0 AS (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
-    ok AS (SELECT g FROM idx0 GROUP BY g HAVING count(*) <= {SPAN_MAX_DF}),
-    idx AS (SELECT idx0.doc_id, idx0.pos, idx0.g FROM idx0 JOIN ok USING (g)),
+    idx0 AS MATERIALIZED (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
+    ok AS (SELECT g FROM idx0 GROUP BY g
+           HAVING count(*) BETWEEN 2 AND {SPAN_MAX_DF}
+              AND min(doc_id) != max(doc_id)),
+    idx AS MATERIALIZED (
+      SELECT idx0.doc_id, idx0.pos, idx0.g FROM idx0 JOIN ok USING (g)),
     seeds AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
                      b.pos - a.pos AS d
               FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
