@@ -697,12 +697,14 @@ def contamination_sql(table: str = "documents") -> str:
 def dot_product(x: Column, y: Column, dim: int | None = None) -> Column:
     """Dot product in double precision with LEFT-TO-RIGHT accumulation.
 
-    ``dim=None`` → array-fold form (works for any length, but Spark runs
-    array lambdas interpreted).  ``dim=k`` → unrolled ``0.0 + x₁y₁ + … +
-    xₖyₖ`` which whole-stage codegen compiles to straight-line JVM code
-    (~10× faster) — and since a left-associated Add chain accumulates in the
-    exact order of the fold, both forms (and the DuckDB ``list_reduce``
-    oracle) are bit-identical."""
+    ``dim=None`` → array-fold form (``aggregate(zip_with(...))``).
+    ``dim=k`` → unrolled ``0.0 + x₁y₁ + … + xₖyₖ`` element_at chain.
+    Measured head-to-head (4M 64-dim pairs, local[32]): the FOLD wins ~9×
+    (1.4 s vs 13 s) — per-element ``element_at`` calls dominate the
+    unrolled codegen, so the fold is the default and the unrolled form
+    exists only for oracle-replay experiments.  A left-associated Add
+    chain accumulates in the exact order of the fold, so both forms (and
+    the DuckDB ``list_reduce`` oracle) are bit-identical."""
     if dim is None:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),

@@ -1047,7 +1047,14 @@ def knn_join_2level(
 
     Boundary note: as in d12, neighbors straddling a level-1 boundary are
     reachable only through a shared probed leaf — the standard
-    hierarchical trade, bounded by the leaf-level multi-probe."""
+    hierarchical trade, bounded by the leaf-level multi-probe.
+
+    Measured anatomy at 100× (200k vectors, 1600 leaves, probe 2): level-1
+    + leaf assignment ≈ 12 s, cell-keyed candidate join ≈ 14 s, and the
+    remaining ~80 s is scoring + per-vector top-k over the ~126M candidate
+    pairs the pinned (probe, cell-size) config implies — i.e. the exact
+    rerank is PAIR-BOUND, not shuffle-bound; cutting wall further means
+    cutting candidates (coarser probes / smaller cells), not plan work."""
     from spj_query_engine_spark.operators.core import spread
     from spj_query_engine_spark.operators.dedup import cosine_sim
 
