@@ -194,6 +194,7 @@ FAMILY = [
     "s23_sq_error_audit",
     "t28_source_divergence",
     "s24_cell_purity",
+    "d14_embedding_dedup",
 ]
 
 
@@ -316,6 +317,18 @@ def _scaled_fn(name: str, sf_dir: str):
             emb = load_tables(spark, d, ("embeddings",))["embeddings"]
             leaves = 16 * REPLICAS
             return dedup.embedding_near_dup_2level(
+                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
+            )
+
+        return fn
+    if name == "d14_embedding_dedup" and sf_dir == SCALED:
+        from spj_query_engine_spark.catalog import load_tables
+        from spj_query_engine_spark.operators import dedup
+
+        def fn(spark, d):
+            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
+            leaves = 16 * REPLICAS
+            return dedup.apply_embedding_dedup(
                 emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
             )
 

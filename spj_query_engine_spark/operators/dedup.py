@@ -1374,7 +1374,11 @@ def chunk_dedup_stats_sql(
 
 
 def apply_embedding_dedup(
-    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+    branch: int = NEARDUP_BRANCH,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup end product (d14): survivors after
     dropping every non-canonical member of the cosine near-duplicate
@@ -1383,9 +1387,9 @@ def apply_embedding_dedup(
     The embedding twin of :func:`apply_dedup` (which walks MinHash text
     clusters): both anti-join an id-only loser frame, so at 100 TB the
     final pass shuffles longs, never vectors."""
-    pairs = embedding_near_dup_2level(embeddings, vec_col, id_col).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    pairs = embedding_near_dup_2level(
+        embeddings, vec_col, id_col, n_cells=n_cells, branch=branch
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     losers = (
         dup_clusters(pairs)
         .filter(~F.col("is_canonical"))
