@@ -734,3 +734,92 @@ def test_random_docs_bpe_apply(spark, doc_lens, vocab):
         for d, toks in expected.items()
     }
     assert got == want
+
+
+@given(
+    n_types=st.integers(min_value=1, max_value=4),
+    n_events=st.integers(min_value=1, max_value=200),
+    chunk_span=st.sampled_from([1, 3, 8, 64]),
+)
+@settings(**_SETTINGS)
+def test_lateness_scan_matches_plain_window(spark, n_types, n_events, chunk_span):
+    """The two-level parallel prefix scan (chunked running max + broadcast
+    prior-chunk prefix max) must equal the plain one-window-per-type form on
+    ANY stream — tiny chunk_span values force many chunk boundaries, the
+    exact place a prefix-scan bug would hide."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from spj_query_engine_spark.operators.temporal import _lateness_scan
+
+    rows = []
+    for i in range(n_events):
+        # non-monotone event times with repeats; sparse non-contiguous ids
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            seconds=((i * 104729) % 997) - 400
+        )
+        rows.append((i * 3 + (i % 2), f"t{(i * 31) % n_types}", ts))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["event_type"], r["late_ms"])
+        for r in _lateness_scan(sdf, chunk_span=chunk_span).collect()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    plain = sdf.select(
+        "event_type", (F.max(ts_ms).over(w) - ts_ms).alias("late_ms")
+    )
+    want = sorted((r["event_type"], r["late_ms"]) for r in plain.collect())
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(**_SETTINGS)
+def test_knn_join_single_cell_equals_bruteforce(spark, seed):
+    """With one cell and one probe every vector is candidate to every other,
+    so the cell-keyed rerank (similarity._ivf_rerank) must reproduce the
+    exact all-pairs top-k — the equivalence that pins the rerank's join
+    shape, norm hoisting and tie order to brute-force ground truth."""
+    import pandas as pd
+
+    from spj_query_engine_spark.operators.similarity import knn_join
+
+    n, dim, k = 30, 8, 3
+    rows = []
+    for i in range(n):
+        vec = [float(((i * 7919 + j * 104729 + seed) % 97) - 48) for j in range(dim)]
+        if all(v == 0.0 for v in vec):
+            vec[0] = 1.0
+        rows.append((i, vec))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in knn_join(sdf, k=k, n_cells=1, n_probe=1).collect()
+    }
+
+    import math
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+
+    vecs = dict(rows)
+    for i in range(n):
+        scored = sorted(
+            ((cos(vecs[i], vecs[j]), j) for j in range(n) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rk, (c, j) in enumerate(scored, start=1):
+            nbr, got_c = got[(i, rk)]
+            assert nbr == j and abs(got_c - c) < 1e-9, (i, rk, (j, c), (nbr, got_c))
