@@ -195,6 +195,7 @@ FAMILY = [
     "t28_source_divergence",
     "s24_cell_purity",
     "d14_embedding_dedup",
+    "p21_rendezvous_shards",
 ]
 
 

@@ -1565,3 +1565,112 @@ def source_quality_mix_sql(table: str = "documents") -> str:
                 (sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
     FROM grid
     """
+
+
+RDV_SHARDS = 8  # p21: shard count BEFORE the reshard (the after-world adds one)
+
+
+def rendezvous_shards(
+    docs: DataFrame, id_col: str = "doc_id", n_shards: int = RDV_SHARDS
+) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) shard assignment and its reshard
+    audit (Thaler & Ravishankar 1998): every doc scores each shard with a
+    portable integer hash of (doc_id, shard) and lands on the argmax.
+    Unlike mod-N hashing — where adding one shard reassigns ~all docs —
+    HRW moves ONLY the docs whose new argmax IS the added shard
+    (~1/(n+1) of the corpus), the property that makes resharding a 100 TB
+    corpus an incremental copy instead of a full rewrite.  p19 balances
+    token MASS with a global sort; this is the stateless membership
+    function used when assignment must be computable from the key alone
+    (routing, cache placement, incremental reshard).
+
+    Output per BEFORE-shard: doc count, docs that move when shard
+    ``n_shards`` is added, and the moved share in ppm — the reshard cost
+    estimate read before the migration.  Every moved doc's destination is
+    the new shard by construction (asserted in tests).
+
+    Scale shape: explode n+1 integer scores per doc (pure projection, no
+    text or payload), one map-side-combinable max_by per world, one
+    rollup.  Nothing corpus-sized shuffles except the per-doc argmax rows
+    (narrow longs); the hash is md5-derived so the DuckDB oracle replays
+    every assignment bit-for-bit."""
+    scored = docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards))).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        h32(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("@"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("wt"),
+    )
+    # max over (wt, -shard) == (wt DESC, shard ASC) — deterministic on ties
+    before = (
+        scored.filter(F.col("shard") < n_shards)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("shard", F.struct(F.col("wt"), -F.col("shard"))).alias(
+                "shard_before"
+            )
+        )
+    )
+    after = scored.groupBy("doc_id").agg(
+        F.max_by("shard", F.struct(F.col("wt"), -F.col("shard"))).alias(
+            "shard_after"
+        )
+    )
+    moved = (F.col("shard_before") != F.col("shard_after")).cast("long")
+    return (
+        before.join(after, "doc_id")
+        .groupBy(F.col("shard_before").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(moved).alias("n_moved"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved",
+            F.expr("(n_moved * 1000000) div n_docs").alias("moved_ppm"),
+        )
+    )
+
+
+def rendezvous_shards_sql(
+    table: str = "documents", n_shards: int = RDV_SHARDS
+) -> str:
+    wt = h32_sql("(doc_id::VARCHAR || '@' || shard::VARCHAR)")
+    return f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id, shard, {wt} AS wt
+      FROM {table}, unnest(range({n_shards + 1})) AS u(shard)
+    ),
+    before AS (
+      SELECT doc_id, shard AS shard_before FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, shard ASC) AS rk
+        FROM scored WHERE shard < {n_shards}
+      ) WHERE rk = 1
+    ),
+    after AS (
+      SELECT doc_id, shard AS shard_after FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, shard ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT CAST(shard_before AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_before != shard_after THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST((sum(CASE WHEN shard_before != shard_after THEN 1 ELSE 0 END)
+            * 1000000) // count(*) AS BIGINT) AS moved_ppm
+    FROM before JOIN after USING (doc_id)
+    GROUP BY shard_before
+    """

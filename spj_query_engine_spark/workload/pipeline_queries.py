@@ -690,3 +690,17 @@ def m14_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p20_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.source_quality_mix(docs)
+
+
+@register(
+    "p21_rendezvous_shards",
+    sampling.rendezvous_shards_sql(),
+    doc="Rendezvous (highest-random-weight) shard assignment + reshard "
+    "audit: each doc lands on the argmax of %s portable integer "
+    "(doc, shard) hashes; adding a shard moves ONLY docs whose new argmax "
+    "IS the new shard (~1/(n+1) of the corpus, vs ~all under mod-N) - "
+    "per-shard doc count, movers, moved ppm." % sampling.RDV_SHARDS,
+)
+def p21_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.rendezvous_shards(docs)

@@ -380,3 +380,52 @@ def test_source_quality_mix_bands_and_shares(spark):
         smp.source_quality_mix(docs), con, smp.source_quality_mix_sql()
     )
     con.close()
+
+
+def test_rendezvous_shards_movers_go_to_new_shard_only(spark):
+    """HRW invariants on a 400-doc corpus: (1) every shard 0..n-1 appears,
+    (2) a doc moves under the n+1-shard world IFF its argmax over ALL n+1
+    scores is the NEW shard — so total movers == docs whose global argmax
+    is shard n, (3) moved share is far below the ~100% a mod-N reshard
+    would cause (binomial bound around 1/(n+1)).  Oracle twin agrees."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+    from spj_query_engine_spark.functions.hashing import h32
+    from tests.conftest import assert_same_result
+
+    n = sampling.RDV_SHARDS
+    rows = [(i, "x", "web") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sampling.rendezvous_shards(docs).toPandas()
+    assert sorted(got["shard"]) == list(range(n))
+    assert int(got["n_docs"].sum()) == 400
+
+    # independent mover truth: argmax over all n+1 shards == the new shard
+    scored = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n))).alias("shard")
+    ).select(
+        "doc_id",
+        "shard",
+        h32(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("@"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("wt"),
+    )
+    winner = scored.groupBy("doc_id").agg(
+        F.max_by("shard", F.struct(F.col("wt"), -F.col("shard"))).alias("w")
+    )
+    n_to_new = winner.filter(F.col("w") == n).count()
+    assert int(got["n_moved"].sum()) == n_to_new
+    # ~1/(n+1) of 400 ≈ 44; allow a wide deterministic band
+    assert 10 <= n_to_new <= 110
+
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(
+        sampling.rendezvous_shards(docs), con, sampling.rendezvous_shards_sql()
+    )
+    con.close()
