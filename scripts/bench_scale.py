@@ -196,6 +196,7 @@ FAMILY = [
     "s24_cell_purity",
     "d14_embedding_dedup",
     "p21_rendezvous_shards",
+    "t29_pii_redact",
 ]
 
 

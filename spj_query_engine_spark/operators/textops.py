@@ -267,6 +267,65 @@ def pii_flags_sql(table: str = "documents") -> str:
     """
 
 
+#: replacement tokens per PII class — no ``$`` or ``\`` so Java and RE2
+#: replacement semantics cannot diverge
+PII_PLACEHOLDERS = {
+    "n_emails": "<EMAIL>",
+    "n_phones": "<PHONE>",
+    "n_ssns": "<SSN>",
+    "n_ipv4s": "<IP>",
+}
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII REDACTION — the transform t05 only measures: replace every match
+    of the portable PII patterns with a typed placeholder, in the FIXED
+    class order of ``PII_PATTERNS`` (email → phone → SSN → IPv4), and emit
+    the audit row a redaction job logs per document: matches redacted,
+    char counts before/after, and the md5 of the redacted text (the
+    payload a downstream exact-dedup keys on).  Per-class counts are taken
+    on the ORIGINAL text in both engines, so overlap between classes (an
+    address swallowed by an earlier replacement) can never make the twins
+    disagree.
+
+    Pure codegen regexp projections, zero shuffle — at 100 TB this fuses
+    into the scan exactly like t06's normalization; the d15 pattern
+    (measure-op next to transform-op) applied to PII."""
+    total = None
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        total = c if total is None else total + c
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_PLACEHOLDERS[name])
+    return docs.select(
+        F.col(id_col),
+        total.alias("n_redactions"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
+        F.length(red).cast("long").alias("n_chars_after"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{PII_PLACEHOLDERS[name]}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({total} AS BIGINT) AS n_redactions,
+           CAST(len(text) AS BIGINT) AS n_chars_before,
+           CAST(len({red}) AS BIGINT) AS n_chars_after,
+           md5({red}) AS redacted_md5
+    FROM {table}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Text normalization
 # ---------------------------------------------------------------------------

@@ -368,3 +368,15 @@ def t27_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t28_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return textops.source_divergence(docs)
+
+
+@register(
+    "t29_pii_redact",
+    textops.pii_redact_sql(),
+    doc="PII redaction transform (the step t05 only measures): typed "
+    "placeholders replace every email/phone/SSN/IPv4 match in fixed class "
+    "order; emits per-doc redaction count, char delta and redacted-text "
+    "md5 - pure codegen regexp projections, zero shuffle.",
+)
+def t29_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.pii_redact(_docs(spark, sf_dir))

@@ -503,3 +503,48 @@ def test_source_divergence_redundant_vs_distinct(spark):
         textops.source_divergence(docs), con, textops.source_divergence_sql()
     )
     con.close()
+
+
+def test_pii_redact_planted_and_oracle(spark):
+    """Planted PII: placeholders land, counts match the plant, char deltas
+    are exact, the clean doc round-trips unchanged, and overlap between
+    classes (email local part shaped like an IP) counts per-class on the
+    ORIGINAL text in both engines.  Oracle twin agrees."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact bob@example.com or alice@test.org today",
+                "call 555-123-4567 about ssn 078-05-1120 at 10.0.0.1",
+                "1.2.3.4@mail.com hides an ip-shaped local part",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r.asDict() for r in textops.pii_redact(df).collect()}
+    assert rows[1]["n_redactions"] == 2
+    assert rows[2]["n_redactions"] == 3
+    # email replaced first consumes the ip-shaped local part, but the
+    # per-class counts are on the original text: email + ipv4 = 2
+    assert rows[3]["n_redactions"] == 2
+    assert rows[4]["n_redactions"] == 0
+    assert rows[4]["n_chars_before"] == rows[4]["n_chars_after"]
+    import hashlib
+
+    assert rows[4]["redacted_md5"] == hashlib.md5(
+        b"nothing sensitive here"
+    ).hexdigest()
+    # redacted doc 1 is exactly the placeholder form
+    red1 = "contact <EMAIL> or <EMAIL> today"
+    assert rows[1]["n_chars_after"] == len(red1)
+    assert rows[1]["redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    assert_same_result(textops.pii_redact(df), con, textops.pii_redact_sql())
+    con.close()
+
+
+def test_pii_redact_no_shuffle(docs_df):
+    plan = textops.pii_redact(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
