@@ -1774,17 +1774,34 @@ def encoding_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Pure regexp projections + one rollup on ``source`` (map-side combined):
     zero Python, zero extra shuffle beyond the tiny group key.  The regex
     classes are shared RE2/Java syntax so both engines test the identical
-    predicate; NULL text counts in n_docs but matches nothing."""
+    predicate; NULL text counts in n_docs but matches nothing.  U+FFFD and
+    the mojibake signature are non-ASCII by definition, so those two scans
+    are short-circuited behind the cheap non-ASCII test — a clean-ASCII
+    doc (the bulk of a healthy corpus) pays two regex passes, not four."""
 
     def has(pattern: str) -> Column:
         return F.when(F.col(text_col).rlike(pattern), 1).otherwise(0)
 
-    counts = docs.groupBy("source").agg(
+    na = has(NONASCII_RE)
+    base = docs.select(
+        "source",
+        na.alias("na"),
+        F.col(text_col).alias("_t"),
+    )
+
+    def gated(pattern: str) -> Column:
+        return F.when(
+            (F.col("na") == 1) & F.col("_t").rlike(pattern), 1
+        ).otherwise(0)
+
+    counts = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(has(REPLACEMENT_CH)).alias("n_replacement"),
-        F.sum(has(CTRL_RE)).alias("n_control"),
-        F.sum(has(NONASCII_RE)).alias("n_nonascii"),
-        F.sum(has(MOJIBAKE_RE)).alias("n_mojibake"),
+        F.sum(gated(REPLACEMENT_CH)).alias("n_replacement"),
+        F.sum(
+            F.when(F.col("_t").rlike(CTRL_RE), 1).otherwise(0)
+        ).alias("n_control"),
+        F.sum(F.col("na")).alias("n_nonascii"),
+        F.sum(gated(MOJIBAKE_RE)).alias("n_mojibake"),
     )
     return counts.select(
         "source",
