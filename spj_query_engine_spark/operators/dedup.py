@@ -717,6 +717,17 @@ def dot_product(x: Column, y: Column, dim: int | None = None) -> Column:
     return out
 
 
+def neg_desc_key(col: Column) -> Column:
+    """NaN-safe descending sort key for ascending ``array_sort``.
+
+    Plain ``-col`` leaves NaN as NaN, which ascending-sorts LAST — but both
+    the ``row_number(DESC)`` window this rewrite replaced and the DuckDB
+    ``ORDER BY DESC`` oracle rank NaN FIRST (NaN > everything).  Mapping NaN
+    to +inf before negating restores NaN-first ordering for degenerate
+    (zero-norm) vectors, so engine and oracle agree on every input."""
+    return -F.when(F.isnan(col), F.lit(float("inf"))).otherwise(col)
+
+
 def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity with the same evaluation order as the oracle twin —
     results are bit-identical."""
@@ -808,7 +819,7 @@ def embedding_near_dup(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            (-F.col("asim")).alias("na"),
+                            neg_desc_key(F.col("asim")).alias("na"),
                             F.col("cid").alias("cid"),
                         )
                     )
@@ -955,7 +966,7 @@ def embedding_near_dup_2level(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            (-F.col("asim")).alias("na"),
+                            neg_desc_key(F.col("asim")).alias("na"),
                             F.col("leaf").alias("leaf"),
                         )
                     )

@@ -38,7 +38,12 @@ from spj_query_engine_spark.functions.hashing import (
     portable_round,
     portable_round_sql,
 )
-from spj_query_engine_spark.operators.dedup import cosine_sim, cosine_sim_sql, dot_product
+from spj_query_engine_spark.operators.dedup import (
+    cosine_sim,
+    cosine_sim_sql,
+    dot_product,
+    neg_desc_key,
+)
 
 TOP_K = 5
 N_QUERIES = 5  # first N vec_ids serve as the query set
@@ -1133,7 +1138,7 @@ def knn_join_2level(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            (-F.col("asim")).alias("na"),
+                            neg_desc_key(F.col("asim")).alias("na"),
                             F.col("leaf").alias("leaf"),
                         )
                     )

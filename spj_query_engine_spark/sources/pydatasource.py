@@ -130,16 +130,41 @@ class JsonlSinkWriter(DataSourceWriter):
         import os
         import uuid
 
+        from pyspark import TaskContext
+
+        # Task-DETERMINISTIC final name keyed on partition id, written via a
+        # task-attempt-unique temp file + atomic os.replace: a retried or
+        # speculated attempt converges on the same file instead of leaving a
+        # duplicate part that would double-count rows in the read-back; a
+        # failed attempt leaves only a *.tmp the read-back never sees (and
+        # abort() sweeps).
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
-        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
         n = 0
-        with open(fn, "w") as f:
+        with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
         if n == 0:
-            os.remove(fn)  # spark.read.json chokes on 0-byte files
+            os.remove(tmp)  # spark.read.json chokes on 0-byte files
+        else:
+            os.replace(tmp, final)
         return WriterCommitMessage()
+
+    def abort(self, messages) -> None:  # noqa: ANN001
+        """Driver-side failure hook: sweep any in-flight temp files so an
+        aborted write leaves the target directory clean."""
+        import glob
+        import os
+
+        for fn in glob.glob(os.path.join(self.path, "*.tmp")):
+            try:
+                os.remove(fn)
+            except OSError:
+                pass
 
 
 def register_jsonlsink(spark) -> None:  # noqa: ANN001
@@ -155,35 +180,51 @@ def sink_roundtrip_rollup(spark, docs):  # noqa: ANN001
     built-in json reader, and roll up per shard — byte-for-byte roundtrip
     proof whose output is independent of task layout (the rollup ignores
     which task wrote which file).  The oracle computes the same rollup
-    straight from the table."""
+    straight from the table.
+
+    The roundtrip is MATERIALIZED here (write, read-back, 8-row rollup,
+    collect) so the scratch directory can be deleted before returning; a
+    lazy read-back would pin the temp dir for the caller's lifetime and
+    leak one ``spj_u08_*`` dir per invocation.  The returned frame is the
+    8-row local relation; the distributed work already happened."""
+    import shutil
     import tempfile
 
     register_jsonlsink(spark)
     from pyspark.sql import functions as F
 
     out = tempfile.mkdtemp(prefix="spj_u08_")
-    (
-        docs.select(
-            "doc_id", F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"), "n_chars"
+    try:
+        (
+            docs.select(
+                "doc_id", F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"), "n_chars"
+            )
+            .repartition(8, "shard")
+            .write.format("jsonlsink")
+            .option("path", out)
+            .mode("append")
+            .save()
         )
-        .repartition(8, "shard")
-        .write.format("jsonlsink")
-        .option("path", out)
-        .mode("append")
-        .save()
-    )
-    # explicit schema: zero input rows leave no files behind (the writer
-    # deletes empties) and inference would fail on the bare directory
-    back = spark.read.schema("doc_id long, shard long, n_chars long").json(out)
-    return (
-        back.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
+        # explicit schema: zero input rows leave no files behind (the writer
+        # deletes empties) and inference would fail on the bare directory
+        back = spark.read.schema("doc_id long, shard long, n_chars long").json(out)
+        rollup = (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .select(
+                F.col("shard").cast("long").alias("shard"),
+                "n_docs", "total_chars", "id_sum",
+            )
         )
-        .select(F.col("shard").cast("long").alias("shard"), "n_docs", "total_chars", "id_sum")
-    )
+        rows = rollup.collect()  # ≤ 8 rows — the shard count, not the data
+        schema = rollup.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def sink_roundtrip_rollup_sql(table: str = "documents") -> str:
