@@ -130,14 +130,22 @@ def sessionize_sql(table: str = "events", gap_minutes: int = SESSION_GAP_MIN) ->
 
 
 def asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
-    """AS-OF join: for each event, the latest order of the same customer at
-    or before the event time (inner flavor: unmatched events drop).
+    """AS-OF join, join+window REFERENCE formulation (oracle replay only).
 
-    Composition: equi-join on the entity key, time filter, then top-1 per
-    event via a window ordered (o_orderdate DESC, o_orderkey DESC) — the
-    explicit tie-break DuckDB's native ASOF JOIN leaves unspecified, which is
-    why the oracle uses the same window formulation.  Shuffles: one hash join
-    on user_id/custkey + one window exchange on event_id."""
+    For each event, the latest order of the same customer at or before the
+    event time (inner flavor: unmatched events drop).  Equi-join on the
+    entity key, time filter, then top-1 per event via a window ordered
+    (o_orderdate DESC, o_orderkey DESC) — the explicit tie-break DuckDB's
+    native ASOF JOIN leaves unspecified, which is why the oracle uses this
+    same window formulation.
+
+    SCALE WARNING: this shape materializes events x per-customer order
+    history before pruning — O(events_u * k) intermediate rows per customer
+    with k orders, the classic as-of blowup on deep histories.  It exists
+    so tests can prove the production shape equivalent to the textbook
+    definition; the registered e03 entry and any real pipeline use
+    :func:`asof_join_locf` (union + one shuffle + running
+    ``last(ignorenulls)``, O(events + orders) rows end to end)."""
     e = events.select(
         "event_id",
         "user_id",

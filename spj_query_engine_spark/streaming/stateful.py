@@ -352,3 +352,86 @@ def tws_running_totals_sql(table: str = "events") -> str:
     FROM {table}
     GROUP BY user_id
     """
+
+
+TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def _totals_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """``applyInPandasWithState`` twin of the TWS RunningTotals processor:
+    identical fold (integer cents, portable floor rounding), identical
+    post-batch snapshot emission."""
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100 + 0.5).apply(math.floor).sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_cents": [cents]})
+
+
+def run_apws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``applyInPandasWithState`` — the exact
+    semantics of :func:`run_tws_running_totals` on the older stateful API
+    (single opaque state tuple instead of typed ValueState handles).  Same
+    monotone-count argument: the max-count snapshot per user after finite
+    replay is the final state = the batch rollup the oracle computes."""
+    name = f"apws_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=TOTALS_OUTPUT,
+            stateStructType=TOTALS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snaps = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )
+
+
+def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry e32: run the running-totals state machine on the BEST
+    stateful API the runtime supports — ``transformWithStateInPandas``
+    (typed state handles, timers, TTL; Spark 4's successor API) where its
+    ``google.protobuf`` state-server dependency is importable, else the
+    ``applyInPandasWithState`` twin with bit-identical output.  Both paths
+    fold integer cents in event order and reduce finite replay to the same
+    batch rollup, so one DuckDB oracle verifies whichever ran."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return run_tws_running_totals(spark, sf_dir)
+    except ImportError:
+        return run_apws_running_totals(spark, sf_dir)

@@ -524,3 +524,25 @@ def e48_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e49_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.cusum_shifts(ev)
+
+
+from spj_query_engine_spark.streaming.stateful import tws_running_totals_sql
+
+
+@register(
+    "e32_tws_running_totals",
+    tws_running_totals_sql(),
+    doc="Per-user running totals on Spark 4's transformWithStateInPandas "
+    "(typed ValueState handles - the successor to applyInPandasWithState's "
+    "opaque tuple), with RUNTIME API SELECTION: where the TWS state-server "
+    "protocol's google.protobuf dependency is absent the identical state "
+    "machine runs on applyInPandasWithState instead; both fold integer "
+    "cents in event order, emit post-batch snapshots, and reduce finite "
+    "replay (max-count snapshot per user) to the batch rollup the oracle "
+    "computes.",
+    bench=False,  # dominated by the micro-batch replay loop, not throughput
+)
+def e32_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.stateful import run_running_totals_auto
+
+    return run_running_totals_auto(spark, sf_dir)

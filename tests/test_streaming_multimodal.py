@@ -624,3 +624,29 @@ def test_pair_alignment_categories(spark):
     con.register("embeddings", emb.toPandas())
     assert_same_result(mm.pair_alignment(docs, emb), con, mm.pair_alignment_sql())
     con.close()
+
+
+def test_apws_running_totals_equals_batch(spark):
+    """The applyInPandasWithState fallback path of e32 must equal the batch
+    rollup on finite replay — the same contract the TWS path carries where
+    protobuf exists, so runtime API selection can never change the answer."""
+    import os
+
+    import duckdb
+
+    from spj_query_engine_spark.streaming.stateful import (
+        run_apws_running_totals,
+        tws_running_totals_sql,
+    )
+
+    got = run_apws_running_totals(spark, SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % os.path.join(SF_DIR, "events.parquet")
+    )
+    try:
+        errs = compare_frames(got.toPandas(), con.execute(tws_running_totals_sql()).df())
+        assert not errs, errs
+    finally:
+        con.close()
