@@ -505,6 +505,189 @@ def ivf_topk_trained(
     )
 
 
+KMEANS_ROUNDS = 2  # Lloyd rounds of the REPLAYABLE trained quantizer (s04)
+
+
+def kmeans_centroids_replayable(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = N_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """Deterministic, ORACLE-REPLAYABLE spherical k-means for the coarse
+    quantizer: seed centroids are the first ``n_cells`` vectors, then
+    ``rounds`` Lloyd iterations of (assign to max-cosine cell, recompute the
+    cell centroid).
+
+    Why this is hash-replayable when MLlib's fit is not: the one
+    non-replayable float op in Lloyd's update is the MEAN (division plus
+    order-dependent double summation).  Cosine assignment is SCALE-
+    INVARIANT, so the division never needs to happen — the "centroid" kept
+    here is the per-cell elementwise SUM, accumulated in DECIMAL(38,18)
+    (order-independent, bit-identical in DuckDB) and cast back to double.
+    cos(v, Σx) == cos(v, Σx/n) exactly, so assignments — and therefore the
+    final cells — match the textbook spherical k-means while every
+    intermediate is integer/decimal-exact.  Empty cells keep their previous
+    centroid (both engines COALESCE).
+
+    Scale anatomy per round: one broadcast n×C assignment (map-side
+    ``max_by`` argmax, no vector-bearing shuffle) + one posexplode to
+    (cell, dim) partial sums — map-side-combinable, shuffle volume C×dim
+    rows.  The fit costs ``rounds`` corpus scans, which is what k-means
+    training IS; C and rounds are knobs, never the corpus squared."""
+    from spj_query_engine_spark.operators.core import spread
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < n_cells).select(
+        F.col("vid").cast("int").alias("cid"),
+        F.col("vec").cast("array<double>").alias("c_vec"),
+    )
+    for _ in range(rounds):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vid", "vec", "cid",
+                cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"),
+            )
+            .groupBy("vid")
+            .agg(
+                F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+                F.first("vec").alias("vec"),
+            )
+        )
+        sums = (
+            assigned.select(
+                "cid",
+                F.posexplode(F.col("vec").cast("array<double>")),
+            )
+            .select("cid", F.col("pos").alias("d"), F.col("col").alias("x"))
+            .groupBy("cid", "d")
+            .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("s"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
+            .select(
+                "cid",
+                F.transform(F.col("ds"), lambda t: t["s"].cast("double")).alias(
+                    "new_vec"
+                ),
+            )
+        )
+        cent = (
+            cent.join(sums, "cid", "left")
+            .select("cid", F.coalesce("new_vec", "c_vec").alias("c_vec"))
+        )
+    return cent
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """s04: IVF ANN whose coarse quantizer is TRAINED by the replayable
+    spherical k-means above — the same probe/rerank pipeline as s03 against
+    learned cells, with a full DuckDB oracle (the k-means rounds unroll into
+    CTEs).  The MLlib-trained variant (:func:`ivf_topk_trained`) remains the
+    production path where exact replay is not required; its quality is gated
+    by s05's recall check."""
+    cent = kmeans_centroids_replayable(
+        embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells, rounds=rounds
+    )
+    return ivf_topk(
+        embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        n_queries=n_queries,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=cent,
+    )
+
+
+def ivf_topk_kmeans_sql(
+    table: str = "embeddings",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    rounds: int = KMEANS_ROUNDS,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_kmeans`: the Lloyd rounds unroll into
+    MATERIALIZED CTE chains (a0→s1→c1→a1→s2→c2…), then s03's probe/rerank
+    SQL runs against the final centroid CTE."""
+    assign = cosine_sim_sql("e.vec", "c.c_vec")
+    parts = [
+        f"WITH emb AS MATERIALIZED (SELECT vec_id AS vid, embedding AS vec FROM {table}),",
+        f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec "
+        f"FROM {table} WHERE vec_id < {n_cells}),",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT vid, cid, vec FROM ("
+            f"SELECT e.vid, c.cid, e.vec, row_number() OVER (PARTITION BY e.vid "
+            f"ORDER BY {assign} DESC, c.cid ASC) AS rn "
+            f"FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT cid, i AS d, "
+            f"SUM(CAST(vec[i+1] AS DECIMAL(38,18))) AS s "
+            f"FROM a{r} CROSS JOIN (SELECT unnest(range({dim})) AS i) "
+            f"GROUP BY cid, i),"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT p.cid, COALESCE(n.v, p.c_vec) AS c_vec "
+            f"FROM {prev} p LEFT JOIN (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY d) "
+            f"AS v FROM s{r} GROUP BY cid) n ON n.cid = p.cid),"
+        )
+        prev = f"c{r}"
+    assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
+    sim = portable_round_sql(cosine_sim_sql("q.embedding", "cv.embedding"), 6)
+    parts.append(
+        f"""
+    ranked AS (
+      SELECT b.vec_id AS vid, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {assign_sim} DESC, c.cid ASC) AS rnk
+      FROM {table} b CROSS JOIN {prev} c
+    ),
+    cells AS (SELECT vid, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vid AS query_id, cid AS cell FROM ranked
+      WHERE vid < {n_queries} AND rnk <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vid AS cand_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vid != p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.cand_id, {sim} AS cosine
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.query_id
+      JOIN {table} cv ON cv.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank::BIGINT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+    )
+    return "\n".join(parts)
+
+
 RECALL_MIN = 0.8  # trained IVF must recover ≥ this fraction of the exact top-k
 RECALL_PROBE = 10  # probes for the recall gate (see note in ivf_trained_recall)
 

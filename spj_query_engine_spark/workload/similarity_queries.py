@@ -51,13 +51,19 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s04_ann_ivf_trained",
-    None,  # k-means tie-breaks aren't SQL-replayable → driver rows-only check
-    doc="IVF ANN with a trained coarse quantizer (seeded MLlib k-means, "
-    "k=%s); same probe/rerank pipeline as s03." % similarity.N_CELLS,
+    similarity.ivf_topk_kmeans_sql(),
+    doc="IVF ANN with a TRAINED coarse quantizer: deterministic spherical "
+    "k-means (seed = first-%d vectors, %d Lloyd rounds; cell centroids "
+    "kept as DECIMAL per-dimension sums — cosine's scale-invariance "
+    "removes the mean's division, the one non-replayable float op) then "
+    "s03's probe/rerank pipeline; fully oracle-verified, rounds unrolled "
+    "into the DuckDB twin.  The seeded MLlib k-means variant remains the "
+    "production fit, quality-gated by s05."
+    % (similarity.N_CELLS, similarity.KMEANS_ROUNDS),
     bench=False,  # the k-means fit is model training, not query throughput
 )
 def s04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk_trained(_emb(spark, sf_dir))
+    return similarity.ivf_topk_kmeans(_emb(spark, sf_dir))
 
 
 @register(

@@ -1145,3 +1145,41 @@ def test_cell_purity_majority_and_coverage(spark):
         similarity.cell_purity(df, n_cells=2), con, similarity.cell_purity_sql(n_cells=2)
     )
     con.close()
+
+
+def test_kmeans_replayable_centroids_shape_and_determinism(emb):
+    """The replayable spherical k-means keeps one centroid row per seeded
+    cell across rounds (empty cells coalesce to their previous centroid)
+    and is run-to-run deterministic."""
+    c1 = similarity.kmeans_centroids_replayable(emb, n_cells=25, rounds=2)
+    rows = {r["cid"]: tuple(r["c_vec"]) for r in c1.collect()}
+    assert sorted(rows) == [0, 10, 20]  # seeds are the vec_id < 25 vectors
+    again = {
+        r["cid"]: tuple(r["c_vec"])
+        for r in similarity.kmeans_centroids_replayable(emb, n_cells=25, rounds=2).collect()
+    }
+    assert rows == again
+
+
+def test_ivf_kmeans_matches_duckdb_oracle(spark):
+    """s04's full pipeline (replayable k-means fit + probe/rerank) must be
+    bit-identical to its unrolled DuckDB twin on the real sf0.001 table."""
+    import duckdb
+
+    from tests.conftest import assert_same_result
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    try:
+        assert_same_result(
+            similarity.ivf_topk_kmeans(emb),
+            con,
+            similarity.ivf_topk_kmeans_sql(),
+        )
+    finally:
+        con.close()
