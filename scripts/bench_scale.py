@@ -296,93 +296,16 @@ def build_scaled_lineitem(spark) -> None:
 
 
 def _scaled_fn(name: str, sf_dir: str):
-    """The callable to measure.  d06 takes its deployment knob EXPLICITLY:
-    quantizer cell count grows with the corpus so cell SIZE stays constant
-    (n_cells ≈ n_vectors / target_cell_size) — fixed cells at 10× data would
-    measure a misconfiguration (quadratic within-cell pairs), not the
-    algorithm.  The registered gate entry pins n_cells to its oracle's
-    constant, so the knob is passed through the operator here."""
-    if name == "d06_embedding_near_dup" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import dedup
+    """The callable to measure — now ALWAYS the registered entry itself.
 
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            return dedup.embedding_near_dup(emb, n_cells=16 * REPLICAS)
-
-        return fn
-    if name == "d12_near_dup_2level" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import dedup
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            leaves = 16 * REPLICAS
-            return dedup.embedding_near_dup_2level(
-                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
-            )
-
-        return fn
-    if name == "d14_embedding_dedup" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import dedup
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            leaves = 16 * REPLICAS
-            return dedup.apply_embedding_dedup(
-                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
-            )
-
-        return fn
-    if name == "s06_knn_join" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import similarity
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            return similarity.knn_join(emb, n_cells=16 * REPLICAS)
-
-        return fn
-    if name == "s17_nn_descent" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import similarity
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            if REPLICAS >= 100:
-                # flat corpus-scaled assignment is O(n²/cell_size); past
-                # ~10× the descent must seed from the two-level graph
-                leaves = 16 * REPLICAS
-                seed = similarity.knn_join_2level(
-                    emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
-                )
-                return similarity.nn_descent_round(emb, seed_graph=seed)
-            return similarity.nn_descent_round(emb, n_cells=16 * REPLICAS)
-
-        return fn
-    if name == "s09_knn_join_2level" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import similarity
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            leaves = 16 * REPLICAS
-            return similarity.knn_join_2level(
-                emb, n_cells=leaves, branch=max(4, int(leaves ** 0.5))
-            )
-
-        return fn
-    if name == "s19_sim_histogram" and sf_dir == SCALED:
-        from spj_query_engine_spark.catalog import load_tables
-        from spj_query_engine_spark.operators import similarity
-
-        def fn(spark, d):
-            emb = load_tables(spark, d, ("embeddings",))["embeddings"]
-            # B grows with the corpus so within-block pair work stays O(n)
-            return similarity.sim_histogram(emb, n_blocks=32 * REPLICAS)
-
-        return fn
+    Earlier rounds pinned deployment knobs here (quantizer cell count,
+    sample block count ∝ corpus) because the operators froze them to the
+    oracle's constants; since r4 the operators derive those knobs FROM THE
+    CORPUS (resolve_quantizer_cells / HIST_BLOCK_TARGET: conf override,
+    else max(floor, ceil(n/target)), with a two-level assignment switch
+    past the flat-quantizer threshold) and the oracles compute the same
+    values as scalar subqueries — so the registered entries self-scale and
+    the measurement IS the deployment."""
     return REGISTRY[name].fn
 
 

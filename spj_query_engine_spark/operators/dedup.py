@@ -30,6 +30,8 @@ constants so the driver's value-hash gate verifies them exactly:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -747,8 +749,61 @@ def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
-NEARDUP_CELLS = 16  # coarse-quantizer cell count (conf `spj.neardup.cells`)
+NEARDUP_CELLS = 16  # coarse-quantizer cell count floor (conf `spj.neardup.cells`)
 NEARDUP_ASSIGN = 2  # cells each vector is assigned to (multi-probe blocking)
+NEARDUP_CELL_TARGET = 100  # auto-scale target: vectors per quantizer cell
+FLAT_ASSIGN_MAX = 64  # above this many cells, assignment goes two-level
+
+
+def resolve_quantizer_cells(
+    embeddings: DataFrame,
+    conf_key: str = "spj.neardup.cells",
+    default_cells: int = NEARDUP_CELLS,
+    target: int = NEARDUP_CELL_TARGET,
+) -> int:
+    """Coarse-quantizer cell count: explicit conf override, else DERIVED
+    FROM THE CORPUS as ``max(default, ceil(n / target))`` so cell size —
+    and with it the per-vector candidate volume — stays ~constant at any
+    scale.  A fixed cell count at 100x data is a misconfiguration
+    (quadratic within-cell pairs), and burying the fix in benchmark
+    harness knobs hides it from real deployments; the one extra ``count()``
+    is a metadata-cheap parquet scan.  The matching SQL twins compute the
+    same expression (GREATEST/CEIL over count(*)), so engine and oracle
+    agree at every sf without re-baking constants."""
+    try:
+        conf = embeddings.sparkSession.conf.get(conf_key, "")
+    except Exception:
+        conf = ""
+    if conf:
+        return int(conf)
+    n = embeddings.count()
+    return max(default_cells, math.ceil(n / target))
+
+
+def auto_cells_sql(
+    table: str,
+    default_cells: int = NEARDUP_CELLS,
+    target: int = NEARDUP_CELL_TARGET,
+) -> str:
+    """Scalar-subquery twin of :func:`resolve_quantizer_cells` (no conf)."""
+    return (
+        f"(SELECT GREATEST({default_cells}, "
+        f"CAST(CEIL(count(*) / {target}.0) AS BIGINT)) FROM {table})"
+    )
+
+
+def auto_branch_sql(
+    table: str,
+    default_branch: int = 4,
+    default_cells: int = NEARDUP_CELLS,
+    target: int = NEARDUP_CELL_TARGET,
+) -> str:
+    """Scalar-subquery twin of the auto branch = max(b, ceil(sqrt(cells)))."""
+    cells = auto_cells_sql(table, default_cells, target)
+    return (
+        f"(SELECT GREATEST({default_branch}, "
+        f"CAST(CEIL(SQRT({cells})) AS BIGINT)))"
+    )
 
 
 def embedding_near_dup(
@@ -787,12 +842,24 @@ def embedding_near_dup(
     from spj_query_engine_spark.operators.core import spread
 
     if n_cells is None:
-        try:
-            n_cells = int(
-                embeddings.sparkSession.conf.get("spj.neardup.cells", str(NEARDUP_CELLS))
-            )
-        except Exception:
-            n_cells = NEARDUP_CELLS
+        n_cells = resolve_quantizer_cells(embeddings)
+    if n_cells > FLAT_ASSIGN_MAX:
+        # Flat assignment is n x n_cells = O(n²/cell_size) once cells scale
+        # with the corpus (measured 109x wall at 100x even with norms
+        # hoisted); past the threshold the assignment goes hierarchical —
+        # the FAISS IVF-with-tree-quantizer move.  Pair generation and
+        # scoring are unchanged; only which approximate cell a vector lands
+        # in differs, and gate-scale corpora never cross the threshold, so
+        # the oracle replays the flat path exactly where it runs.
+        return embedding_near_dup_2level(
+            embeddings,
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dim,
+            n_cells=n_cells,
+            branch=max(NEARDUP_BRANCH, math.ceil(math.sqrt(n_cells))),
+            n_assign=n_assign,
+        )
     base = spread(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -862,7 +929,7 @@ def embedding_near_dup_2level(
     id_col: str = "vec_id",
     dim: int | None = None,
     n_cells: int | None = None,
-    branch: int = NEARDUP_BRANCH,
+    branch: int | None = None,
     n_assign: int = NEARDUP_ASSIGN,
 ) -> DataFrame:
     """Embedding near-dup pairs with a TWO-LEVEL quantizer assignment — the
@@ -896,7 +963,9 @@ def embedding_near_dup_2level(
     from spj_query_engine_spark.operators.core import spread
 
     if n_cells is None:
-        n_cells = NEARDUP_CELLS
+        n_cells = resolve_quantizer_cells(embeddings)
+    if branch is None:
+        branch = max(NEARDUP_BRANCH, math.ceil(math.sqrt(n_cells)))
     base = spread(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1002,10 +1071,14 @@ def embedding_near_dup_2level(
 
 def embedding_near_dup_2level_sql(
     table: str = "embeddings",
-    n_cells: int = NEARDUP_CELLS,
-    branch: int = NEARDUP_BRANCH,
+    n_cells: int | str | None = None,
+    branch: int | str | None = None,
     n_assign: int = NEARDUP_ASSIGN,
 ) -> str:
+    if n_cells is None:
+        n_cells = auto_cells_sql(table)
+    if branch is None:
+        branch = auto_branch_sql(table, NEARDUP_BRANCH)
     lsim = cosine_sim_sql("l.embedding", "c.embedding")
     vsim = cosine_sim_sql("b.embedding", "c.embedding")
     asim = cosine_sim_sql("v.v", "lp.leaf_vec")
@@ -1045,9 +1118,13 @@ def embedding_near_dup_2level_sql(
 
 def embedding_near_dup_sql(
     table: str = "embeddings",
-    n_cells: int = NEARDUP_CELLS,
+    n_cells: int | str | None = None,
     n_assign: int = NEARDUP_ASSIGN,
 ) -> str:
+    if n_cells is None:
+        # the corpus-derived cell count of resolve_quantizer_cells — the
+        # oracle tracks the engine at any sf without re-baking constants
+        n_cells = auto_cells_sql(table)
     assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
     sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
     return f"""
@@ -1389,7 +1466,7 @@ def apply_embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int | None = None,
-    branch: int = NEARDUP_BRANCH,
+    branch: int | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup end product (d14): survivors after
     dropping every non-canonical member of the cosine near-duplicate

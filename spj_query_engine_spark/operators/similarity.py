@@ -29,6 +29,8 @@ operators.dedup.cosine_sim) and round to 6dp; top-k windows order by
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -822,7 +824,7 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = KNN_K,
-    n_cells: int = KNN_CELLS,
+    n_cells: int | None = None,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """k-NN SELF-join: every vector's top-``k`` cosine neighbors across the
@@ -839,10 +841,29 @@ def knn_join(
     scoring joins ship only (id, vec) pairs; per-vector top-k is a window
     over candidate sets bounded by cell size, never the corpus."""
     from spj_query_engine_spark.operators.core import spread
-
-    n_cells = int(
-        embeddings.sparkSession.conf.get("spj.knn.cells", str(n_cells))
+    from spj_query_engine_spark.operators.dedup import (
+        FLAT_ASSIGN_MAX,
+        resolve_quantizer_cells,
     )
+
+    if n_cells is None:
+        n_cells = resolve_quantizer_cells(
+            embeddings, conf_key="spj.knn.cells", default_cells=KNN_CELLS
+        )
+    if n_cells > FLAT_ASSIGN_MAX:
+        # flat assignment is n x n_cells = O(n²/cell_size) once cells scale
+        # with the corpus; past the threshold the quantizer goes two-level
+        # (d06's switch replayed on the k-NN join).  Gate-scale corpora
+        # never cross it, so the flat oracle replays exactly where it runs.
+        return knn_join_2level(
+            embeddings,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            n_cells=n_cells,
+            branch=max(KNN_BRANCH, math.ceil(math.sqrt(n_cells))),
+            n_probe=n_probe,
+        )
     emb = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
@@ -881,9 +902,13 @@ def knn_join(
 def knn_join_sql(
     table: str = "embeddings",
     k: int = KNN_K,
-    n_cells: int = KNN_CELLS,
+    n_cells: int | str | None = None,
     n_probe: int = N_PROBE,
 ) -> str:
+    from spj_query_engine_spark.operators.dedup import auto_cells_sql
+
+    if n_cells is None:
+        n_cells = auto_cells_sql(table, KNN_CELLS)
     assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
     sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
     return f"""
@@ -1218,8 +1243,8 @@ def knn_join_2level(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = KNN_K,
-    n_cells: int = KNN_CELLS,
-    branch: int = KNN_BRANCH,
+    n_cells: int | None = None,
+    branch: int | None = None,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """k-NN self-join with a TWO-LEVEL quantizer assignment (s09) — s06's
@@ -1244,8 +1269,17 @@ def knn_join_2level(
     rerank is PAIR-BOUND, not shuffle-bound; cutting wall further means
     cutting candidates (coarser probes / smaller cells), not plan work."""
     from spj_query_engine_spark.operators.core import spread
-    from spj_query_engine_spark.operators.dedup import cosine_sim
+    from spj_query_engine_spark.operators.dedup import (
+        cosine_sim,
+        resolve_quantizer_cells,
+    )
 
+    if n_cells is None:
+        n_cells = resolve_quantizer_cells(
+            embeddings, conf_key="spj.knn.cells", default_cells=KNN_CELLS
+        )
+    if branch is None:
+        branch = max(KNN_BRANCH, math.ceil(math.sqrt(n_cells)))
     base = spread(embeddings, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
@@ -1347,10 +1381,19 @@ def knn_join_2level(
 def knn_join_2level_sql(
     table: str = "embeddings",
     k: int = KNN_K,
-    n_cells: int = KNN_CELLS,
-    branch: int = KNN_BRANCH,
+    n_cells: int | str | None = None,
+    branch: int | str | None = None,
     n_probe: int = N_PROBE,
 ) -> str:
+    from spj_query_engine_spark.operators.dedup import (
+        auto_branch_sql,
+        auto_cells_sql,
+    )
+
+    if n_cells is None:
+        n_cells = auto_cells_sql(table, KNN_CELLS)
+    if branch is None:
+        branch = auto_branch_sql(table, KNN_BRANCH, KNN_CELLS)
     lsim = cosine_sim_sql("l.embedding", "c.embedding")
     vsim = cosine_sim_sql("b.embedding", "c.embedding")
     asim = cosine_sim_sql("v.v", "lp.leaf_vec")
@@ -2298,7 +2341,7 @@ def nn_descent_round(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = KNN_K,
-    n_cells: int = KNN_CELLS,
+    n_cells: int | None = None,
     seed_graph: DataFrame | None = None,
 ) -> DataFrame:
     """One NN-DESCENT round (Dong et al., WWW'11) over the s06 kNN graph:
@@ -2540,7 +2583,8 @@ def multiprobe_lsh_topk_sql(
 # Pairwise-similarity histogram over hash-sampled pairs (s19) and the
 # IVF cell-occupancy census (s20)
 
-HIST_BLOCKS = 32  # s19: hash-block count; sampled pairs ~ n^2 / HIST_BLOCKS
+HIST_BLOCKS = 32  # s19: hash-block count floor; sampled pairs ~ n^2 / blocks
+HIST_BLOCK_TARGET = 160  # auto-scale target: vectors per sample block
 HIST_BINS_LO = -10  # cosine decile bins [-1.0, 1.0)
 
 
@@ -2548,7 +2592,7 @@ def sim_histogram(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = HIST_BLOCKS,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Cosine-similarity DISTRIBUTION estimate from hash-sampled pairs:
     vectors land in ``n_blocks`` pseudo-random blocks (portable h32 of the
@@ -2558,11 +2602,16 @@ def sim_histogram(
     curve shows where the dup mode separates from the background mode.
 
     Sampling is the SCALE lever: within-block pairing scores ~n²/B pairs,
-    and choosing B ∝ n holds the sample at O(n) pairs while staying a pure
-    equi-join on the block key (uniform by construction - h32 is
-    key-uniform, so block sizes concentrate at n/B and no block
-    quadratically dominates).  Pair-identical in SQL: the oracle replays
-    h32, the same blocks, the same fold-order cosine."""
+    and B is CORPUS-DERIVED as max(floor, ceil(n/target)) — B ∝ n holds
+    the sample at O(n) pairs while staying a pure equi-join on the block
+    key (uniform by construction - h32 is key-uniform, so block sizes
+    concentrate at n/B and no block quadratically dominates).
+    Pair-identical in SQL: the oracle replays h32, the same corpus-derived
+    block count, the same fold-order cosine."""
+    if n_blocks is None:
+        n_blocks = max(
+            HIST_BLOCKS, math.ceil(embeddings.count() / HIST_BLOCK_TARGET)
+        )
     emb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -2589,7 +2638,15 @@ def sim_histogram(
     )
 
 
-def sim_histogram_sql(table: str = "embeddings", n_blocks: int = HIST_BLOCKS) -> str:
+def sim_histogram_sql(
+    table: str = "embeddings", n_blocks: int | str | None = None
+) -> str:
+    if n_blocks is None:
+        n_blocks = (
+            f"(SELECT GREATEST({HIST_BLOCKS}, "
+            f"CAST(CEIL(count(*) / {HIST_BLOCK_TARGET}.0) AS BIGINT)) "
+            f"FROM {table})"
+        )
     blk = f"({h32_sql('CAST(vec_id AS VARCHAR)')} % {n_blocks})"
     cos = cosine_sim_sql("vec_a", "vec_b")
     return f"""

@@ -65,23 +65,22 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d06_embedding_near_dup",
     dedup.embedding_near_dup_sql(),
     doc="Embedding cosine near-dup pairs ≥ %s, blocked by IVF quantizer cell "
-    "(top-%s of %s seed centroids, multi-probe) — bounded-size blocks under "
-    "engine control instead of a data-dependent column; explicit same-order "
-    "double fold both engines."
-    % (dedup.COSINE_T, dedup.NEARDUP_ASSIGN, dedup.NEARDUP_CELLS),
+    "(top-%s multi-probe; cell count CORPUS-DERIVED as max(%s, ceil(n/%s)) "
+    "so cell size stays constant at any scale, computed identically by the "
+    "oracle's scalar subquery; past %s cells the assignment goes two-level) "
+    "— bounded-size blocks under engine control instead of a data-dependent "
+    "column; explicit same-order double fold both engines."
+    % (dedup.COSINE_T, dedup.NEARDUP_ASSIGN, dedup.NEARDUP_CELLS,
+       dedup.NEARDUP_CELL_TARGET, dedup.FLAT_ASSIGN_MAX),
 )
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     from spj_query_engine_spark.operators.similarity import dim_of
 
-    # n_cells is PINNED to the oracle's constant here: the registered oracle
-    # SQL freezes NEARDUP_CELLS at registration, so letting the runtime conf
-    # leak into this gate entry would make a deployment knob look like an
-    # engine bug.  Library callers (and scripts/bench_scale.py) pass n_cells
-    # explicitly to scale cell count with the corpus.
-    return dedup.embedding_near_dup(
-        emb, dim=dim_of(emb, "embedding"), n_cells=dedup.NEARDUP_CELLS
-    )
+    # n_cells=None → resolve_quantizer_cells: conf override, else the same
+    # max(floor, ceil(n/target)) the oracle's scalar subquery computes — the
+    # entry self-scales, no harness knob needed.
+    return dedup.embedding_near_dup(emb, dim=dim_of(emb, "embedding"))
 
 
 @register(
