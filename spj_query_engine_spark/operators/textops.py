@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spj_query_engine_spark.functions.hashing import (
+    h32,
+    h32_sql,
     portable_round,
     portable_round_sql,
 )
@@ -2120,3 +2122,117 @@ def source_divergence_sql(table: str = "documents") -> str:
            CAST(least(present_pc, 1000000) AS BIGINT) AS coverage_ppm
     FROM per_src
     """
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-n-grams linear classifier (t30)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick feature table size (fastText's -bucket, scaled down so the
+#: sf0.01 corpus exercises real collisions) and the integer weight range.
+HC_BUCKETS = 4096
+HC_WRANGE = 1000
+
+
+def hashed_classifier_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering, the fastText linear-classifier shape
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification")
+    used by the GPT-3/LLaMA-style CommonCrawl quality filters: features are
+    the BAG of unigrams + adjacent bigrams, the hashing trick maps each
+    feature to one of ``HC_BUCKETS`` weight slots, and the doc score is the
+    sum of slot weights.  Weights here are a deterministic pseudo-model —
+    slot b holds ``(h32('w' || b) mod (2·HC_WRANGE+1)) − HC_WRANGE`` — so the
+    arithmetic is all-integer and the DuckDB oracle replays it exactly; a
+    real pipeline would broadcast trained weights into the same plan.
+
+    Scale shape: tokenize + feature-hash + weight lookup is one codegen'd
+    projection (the weight is ARITHMETIC on the bucket id, no lookup join),
+    then ONE groupBy on doc_id with map-side partial sums.  Output is
+    O(docs); nothing shuffles corpus bytes except the feature rows, which a
+    broadcast weight table would not change.  mean_w is a single IEEE
+    division of two exact integers, identical in both engines."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    feats = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.concat(
+                    F.col("toks"),
+                    # guard: sequence(0, n) DESCENDS for n < 0, so docs with
+                    # fewer than 2 tokens must short-circuit to [] explicitly
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(0, size(toks) - 2), "
+                        "i -> concat(toks[i], ' ', toks[i + 1])) "
+                        "ELSE CAST(array() AS array<string>) END"
+                    ),
+                )
+            ).alias("feat"),
+        )
+    )
+    bucket = h32(F.col("feat")) % HC_BUCKETS
+    weight = (
+        h32(F.concat(F.lit("w"), bucket.cast("string"))) % (2 * HC_WRANGE + 1)
+    ) - HC_WRANGE
+    per_doc = (
+        feats.select(F.col(id_col), weight.alias("w"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("score"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            F.when(F.col("n_feats").isNull(), "empty")
+            .when(F.col("score") >= 0, "keep")
+            .otherwise("drop")
+            .alias("label"),
+            portable_round(
+                F.col("score") / F.col("n_feats").cast("double"), 6
+            ).alias("mean_w"),
+        )
+    )
+
+
+def hashed_classifier_score_sql(table: str = "documents") -> str:
+    nb = 2 * HC_WRANGE + 1
+    bucket = f"({h32_sql('feat')} % {HC_BUCKETS})"
+    w_expr = h32_sql(f"'w' || {bucket}")
+    mean_w = portable_round_sql("score / CAST(n_feats AS DOUBLE)", 6)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM {table}
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(toks || list_transform(range(0, len(toks) - 1),
+                                           i -> toks[i + 1] || ' ' || toks[i + 2])) AS feat
+      FROM t
+    ),
+    weighted AS (
+      SELECT doc_id, ({w_expr} % {nb}) - {HC_WRANGE} AS w FROM feats
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_feats, sum(w) AS score
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(p.score, 0) AS BIGINT) AS score,
+           CASE WHEN p.n_feats IS NULL THEN 'empty'
+                WHEN p.score >= 0 THEN 'keep' ELSE 'drop' END AS label,
+           {mean_w} AS mean_w
+    FROM {table} a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+    """
+
+

@@ -380,3 +380,17 @@ def t28_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t29_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pii_redact(_docs(spark, sf_dir))
+
+
+@register(
+    "t30_hashed_classifier",
+    textops.hashed_classifier_score_sql(),
+    doc="Model-based quality filtering in the fastText linear shape "
+    "(Joulin et al. 2016): hashing-trick buckets over the bag of "
+    "unigrams+bigrams, integer slot weights (deterministic pseudo-model; "
+    "trained weights would broadcast into the same plan), doc score = "
+    "sum of slot weights, keep/drop label - one codegen'd projection + "
+    "one map-side-combinable groupBy on doc_id.",
+)
+def t30_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.hashed_classifier_score(_docs(spark, sf_dir))

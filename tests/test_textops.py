@@ -548,3 +548,40 @@ def test_pii_redact_planted_and_oracle(spark):
 def test_pii_redact_no_shuffle(docs_df):
     plan = textops.pii_redact(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_hashed_classifier_oracle(docs_df, docs_duck):
+    assert_same_result(
+        textops.hashed_classifier_score(docs_df),
+        docs_duck,
+        textops.hashed_classifier_score_sql(),
+    )
+
+
+def test_hashed_classifier_invariants(spark):
+    # short/empty docs: 0 tokens -> 'empty' + NULL mean; 1 token -> 1 feature
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  ", "hello"]})
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.hashed_classifier_score(docs).collect()
+    }
+    assert rows[1]["label"] == "empty" and rows[1]["n_feats"] == 0
+    assert rows[2]["label"] == "empty" and rows[2]["mean_w"] is None
+    assert rows[3]["n_feats"] == 1  # one unigram, no bigram
+    assert rows[3]["label"] in ("keep", "drop")
+    # score is the sum of per-feature weights, each within the weight range
+    assert abs(rows[3]["score"]) <= textops.HC_WRANGE
+
+
+def test_hashed_classifier_bag_semantics(spark):
+    # duplicate tokens count twice (bag, not set): "a a" has feats
+    # [a, a, "a a"] = 3; distinct-set semantics would give 2
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a a"]}))
+    row = textops.hashed_classifier_score(docs).collect()[0]
+    assert row["n_feats"] == 3
