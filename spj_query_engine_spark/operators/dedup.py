@@ -3722,3 +3722,114 @@ def span_coverage_sql(table: str = "documents") -> str:
     FROM sizes s LEFT JOIN covered c ON c.doc_id = s.doc_id
     WHERE s.n_toks > 0
     """
+
+
+def dup_span_extents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span EXTENTS: the island structure of d27's
+    covered positions — how many maximal contiguous duplicated spans a doc
+    has, and how long the longest one runs.  This is the per-doc statistic
+    of exact-substring dedup (Lee et al. 2022): excision cuts the spans
+    themselves, and the drop-vs-excise decision reads max extent (one
+    50-token quote vs wall-to-wall boilerplate), which d27's coverage ppm
+    alone cannot distinguish.
+
+    Anatomy: identical pair-free seed derivation as :func:`span_coverage`
+    (gram DF cap + multi-doc min/max test, one gram-keyed groupBy), then
+    gaps-and-islands over the distinct covered positions: island id =
+    ``cp − row_number()`` per doc (ORDER BY cp is unique after DISTINCT, so
+    the window is deterministic), one groupBy per (doc, island) for run
+    lengths, one per-doc rollup.  All frames are O(corpus tokens); the
+    window partitions on doc_id — high cardinality, bounded per-doc size —
+    so no single-task scan appears at any scale."""
+    from pyspark.sql import Window as W
+
+    from spj_query_engine_spark.operators.core import spread
+
+    words = F.split(F.col(text_col), r"\s+")
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, SPAN_K)]
+    grams = tok.select(
+        "doc_id", "pos", F.concat_ws(" ", *leads).alias("gram"), leads[-1].alias("tail")
+    ).filter(F.col("tail").isNotNull())
+    idx = grams.select("doc_id", "pos", h32(F.col("gram")).alias("g"))
+    shared = (
+        idx.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("d_lo"),
+            F.max("doc_id").alias("d_hi"),
+        )
+        .filter((F.col("c") <= SPAN_MAX_DF) & (F.col("d_lo") != F.col("d_hi")))
+        .select("g")
+    )
+    covered_pos = (
+        idx.join(shared, "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("cp"),
+        )
+        .distinct()
+    )
+    wi = W.partitionBy("doc_id").orderBy("cp")
+    runs = (
+        covered_pos.withColumn("isl", F.col("cp") - F.row_number().over(wi))
+        .groupBy("doc_id", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    ext = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("run_len").alias("covered_tokens"),
+        F.max("run_len").alias("max_span_tokens"),
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(words, lambda x: x != F.lit(""))).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    return sizes.join(ext, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.coalesce(F.col("max_span_tokens"), F.lit(0)).cast("long").alias(
+            "max_span_tokens"
+        ),
+    )
+
+
+def dup_span_extents_sql(table: str = "documents") -> str:
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(SPAN_K))
+    return f"""
+    WITH words AS ({_words_cte(table)}),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(range(len(w) - {SPAN_K - 1}), i -> {gram})) AS gram,
+                     unnest(range(len(w) - {SPAN_K - 1})) AS pos
+              FROM words),
+    idx0 AS MATERIALIZED (SELECT doc_id, pos, {h32_sql("gram")} AS g FROM grams),
+    shared AS (SELECT g FROM idx0 GROUP BY g
+               HAVING count(*) <= {SPAN_MAX_DF} AND min(doc_id) != max(doc_id)),
+    seeds AS (SELECT idx0.doc_id, idx0.pos FROM idx0 JOIN shared USING (g)),
+    cov AS (SELECT DISTINCT doc_id, pos + u.i AS cp
+            FROM seeds, unnest(range(0, {SPAN_K})) AS u(i)),
+    runs AS (SELECT doc_id,
+                    cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS isl
+             FROM cov),
+    islands AS (SELECT doc_id, isl, count(*) AS run_len
+                FROM runs GROUP BY doc_id, isl),
+    ext AS (SELECT doc_id, count(*) AS n_spans, sum(run_len) AS covered_tokens,
+                   max(run_len) AS max_span_tokens
+            FROM islands GROUP BY doc_id),
+    sizes AS (SELECT doc_id, len(list_filter(w, x -> x <> '')) AS n_toks FROM words)
+    SELECT s.doc_id, CAST(s.n_toks AS BIGINT) AS n_toks,
+           CAST(COALESCE(e.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(e.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(e.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+    FROM sizes s LEFT JOIN ext e ON e.doc_id = s.doc_id
+    WHERE s.n_toks > 0
+    """

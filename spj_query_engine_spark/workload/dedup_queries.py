@@ -499,3 +499,18 @@ def d26_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d27_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_coverage(_docs(spark, sf_dir))
+
+
+@register(
+    "d28_dup_span_extents",
+    dedup.dup_span_extents_sql(),
+    doc="Per-doc duplicated-span EXTENTS: island structure of d27's "
+    "covered positions - span count, covered tokens, and LONGEST "
+    "contiguous duplicated run per doc, the statistic exact-substring "
+    "excision (Lee et al. 2022) actually cuts on (one long quote vs "
+    "wall-to-wall boilerplate at equal coverage ppm); pair-free seeds + "
+    "gaps-and-islands window on (doc, position) - O(corpus tokens), "
+    "window partitioned on high-cardinality doc_id.",
+)
+def d28_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_span_extents(_docs(spark, sf_dir))

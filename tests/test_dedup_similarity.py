@@ -1183,3 +1183,34 @@ def test_ivf_kmeans_matches_duckdb_oracle(spark):
         )
     finally:
         con.close()
+
+
+def test_dup_span_extents_islands(spark):
+    """Two disjoint shared blocks in one doc -> two islands with the right
+    max extent; single-block docs -> one island; clean doc -> zeros.
+    Oracle twin agrees."""
+    import duckdb as _duck
+
+    from tests.conftest import assert_same_result
+
+    blk1 = " ".join(f"s{i}" for i in range(12))   # 12 shared tokens
+    blk2 = " ".join(f"t{i}" for i in range(9))    # 9 shared tokens
+    gap = " ".join(f"g{i}" for i in range(10))    # unique separator
+    rows = [
+        (1, blk1 + " " + gap + " " + blk2, "w"),          # both blocks
+        (2, blk1 + " " + " ".join(f"b{i}" for i in range(5)), "w"),
+        (3, " ".join(f"c{i}" for i in range(6)) + " " + blk2, "w"),
+        (4, " ".join(f"d{i}" for i in range(15)), "w"),   # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in dedup.dup_span_extents(docs).collect()}
+    assert got[1]["n_spans"] == 2
+    assert got[1]["max_span_tokens"] == 12
+    assert got[1]["covered_tokens"] == 12 + 9
+    assert got[2]["n_spans"] == 1 and got[2]["max_span_tokens"] == 12
+    assert got[3]["n_spans"] == 1 and got[3]["max_span_tokens"] == 9
+    assert got[4]["n_spans"] == 0 and got[4]["max_span_tokens"] == 0
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(dedup.dup_span_extents(docs), con, dedup.dup_span_extents_sql())
+    con.close()
