@@ -21,7 +21,9 @@ test harness.  Custom stateful operators (streaming sessionization via
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +32,52 @@ from spj_query_engine_spark.catalog import table_path
 from spj_query_engine_spark.operators.temporal import ROLLUP_HOURS
 
 WATERMARK = "1 hour"
+
+#: one stateful-shuffle partition per this many input bytes.  Streaming
+#: state operators cannot use AQE partition coalescing, so the partition
+#: count must be right-sized up front: every micro-batch pays one state
+#: store open+commit PER PARTITION, a fixed cost that dominates small
+#: replays (measured: finite-replay dedup over 2 MB of events takes 2.4 s
+#: at 32 state partitions, 1.4 s at 4 — same result either way).
+STREAM_STATE_TARGET_BYTES = 4 << 20
+
+
+def resolve_stream_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """Stateful-shuffle partition count for a finite streaming replay:
+    ``spj.stream.state.partitions`` conf if set, else one partition per
+    ``STREAM_STATE_TARGET_BYTES`` of source file, clamped to [4, session
+    ``spark.sql.shuffle.partitions``].  Small corpora stop paying 32 state
+    commits per batch; at 100x the derivation returns the session value
+    unchanged, and a real deployment sets the conf explicitly (state
+    partition count is fixed for the life of a checkpoint)."""
+    override = spark.conf.get("spj.stream.state.partitions", None)
+    if override:
+        return int(override)
+    try:
+        size = os.path.getsize(table_path(sf_dir, table))
+    except OSError:
+        size = 0
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(4, min(cur, -(-size // STREAM_STATE_TARGET_BYTES)))
+
+
+@contextmanager
+def stream_state_conf(spark: SparkSession, sf_dir: str, table: str = "events"):
+    """Scope ``spark.sql.shuffle.partitions`` to the resolved stream-state
+    count for the duration of one streaming query (the count is baked into
+    the query's state layout at start; each runner uses a fresh checkpoint,
+    so no stored state can disagree).  Restores the session value after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(resolve_stream_partitions(spark, sf_dir, table)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,17 +143,18 @@ def run_streaming_rollup(
     completion (memory sink, complete mode) and return the result as a
     batch DataFrame."""
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_rollup(stream_events(spark, sf_dir), hours)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            streaming_rollup(stream_events(spark, sf_dir), hours)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -121,19 +170,20 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of the same plan.
     """
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_events(spark, sf_dir)
-        .select("event_id")
-        .dropDuplicates(["event_id"])
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            stream_events(spark, sf_dir)
+            .select("event_id")
+            .dropDuplicates(["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -175,16 +225,17 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -224,16 +275,17 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         latest_per_user(batch_df).write.mode("append").parquet(tgt)
 
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{tgt}_ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tgt}_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # merge-on-read: latest per key across the appended fragments.  Read with
     # the EXPLICIT output schema: an empty stream appends no fragment at all,
     # and schema inference on a missing/empty target would throw instead of
@@ -309,11 +361,12 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("c_ts").alias("c_ts_ms"),
     )
     name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -367,16 +420,17 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lifetime_spend"), F.lit(0.0)).alias("lifetime_spend"),
         )
     )
-    q = (
-        enriched.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -419,16 +473,17 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -471,16 +526,17 @@ def run_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         latest_op_per_user(batch_df).write.mode("append").parquet(tgt)
 
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{tgt}_ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tgt}_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     from pyspark.sql import Window
 
     out_schema = (
@@ -528,16 +584,17 @@ def run_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tgt)
         )
 
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{tgt}_ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tgt}_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     import os as _os
 
     out_schema = "user_id long, day_no int"
@@ -574,16 +631,17 @@ def run_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("append").parquet(f"{tgt}_sk")
         b.distinct().write.mode("append").parquet(f"{tgt}_ud")
 
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{tgt}_ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_conf(spark, sf_dir):
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tgt}_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     import os as _os
 
     if not _os.path.isdir(f"{tgt}_sk"):

@@ -650,3 +650,24 @@ def test_apws_running_totals_equals_batch(spark):
         assert not errs, errs
     finally:
         con.close()
+
+
+def test_resolve_stream_partitions(spark):
+    from spj_query_engine_spark.streaming import ingest
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # 2 MB events at sf0.1-like size -> floor of 4; conf override wins;
+        # value restored after the context manager exits
+        n = ingest.resolve_stream_partitions(spark, "/root/testdata/sf0.01")
+        assert 4 <= n <= int(prev)
+        spark.conf.set("spj.stream.state.partitions", "7")
+        assert ingest.resolve_stream_partitions(spark, "/root/testdata/sf0.01") == 7
+        spark.conf.unset("spj.stream.state.partitions")
+        with ingest.stream_state_conf(spark, "/root/testdata/sf0.01"):
+            assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        # missing file -> clamp floor, never crash
+        assert ingest.resolve_stream_partitions(spark, "/nonexistent") == 4
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
