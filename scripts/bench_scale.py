@@ -72,6 +72,7 @@ FAMILY = [
     # temporal family over the 10×-users events replica
     "e01_tumbling_rollup",
     "e02_sessionize",
+    "e03_asof_join",
     "e08_funnel",
     "e09_percentiles",
     "e11_moving_stats",
@@ -295,6 +296,33 @@ def build_scaled_lineitem(spark) -> None:
     open(marker, "w").close()
 
 
+def build_scaled_orders(spark) -> None:
+    """Additive: replicate orders for the as-of family (e03).  Replica r
+    shifts o_orderkey (+r·10^8) and o_custkey by the SAME +r·10^7 offset
+    events.user_id gets, so every replicated event sees exactly its
+    replica's order history — per-customer as-of depth is preserved while
+    customers grow 10×/100×, the axis an event-to-entity join scales on."""
+    marker = os.path.join(SCALED, "_DONE_ORDERS")
+    if os.path.exists(marker):
+        return
+    orders = load_tables(spark, BASE, ("orders",))["orders"]
+    parts = [
+        orders.select(
+            (F.col("o_orderkey") + F.lit(r * 100_000_000)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(r * 10_000_000)).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "orders.parquet")
+    )
+    open(marker, "w").close()
+
+
 def _scaled_fn(name: str, sf_dir: str):
     """The callable to measure — now ALWAYS the registered entry itself.
 
@@ -334,6 +362,7 @@ def main() -> None:
     )
     build_scaled(spark)
     build_scaled_lineitem(spark)
+    build_scaled_orders(spark)
     # resume support: a killed run leaves its partial results on disk
     results: dict[str, dict] = {}
     if out_path and os.path.exists(out_path):
