@@ -1674,3 +1674,81 @@ def rendezvous_shards_sql(
     FROM before JOIN after USING (doc_id)
     GROUP BY shard_before
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality cap (p22)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP_K = 15  # keep at most this many docs per source, best-quality first
+SOURCE_CAP_SALT = 16  # level-1 fan-out for the salted top-K
+
+
+def source_cap(docs: DataFrame, k: int = SOURCE_CAP_K) -> DataFrame:
+    """Per-source quality-ranked CAP — the domain-capping step of
+    CommonCrawl-style curation (C4 / RefinedWeb cap how much any one host
+    may contribute): keep the ``k`` best-quality docs per source, drop the
+    rest, deterministic tie-break on doc_id.
+
+    Scale anatomy — deliberately NOT one ``row_number`` window per source
+    (a hot source would serialize into a single task, and windows get no
+    AQE skew splitting).  Instead a salted two-level top-K with bounded
+    state everywhere: level 1 ranks within (source, doc_id mod SALT) —
+    SALT× the parallelism on any skewed source — and keeps ≤ k rows per
+    salt; level 2 sorts the ≤ SALT·k survivors per source (a tiny
+    collect_list, bounded by construction) and extracts the k-th best
+    (quality DESC, doc_id ASC) key as the source's admission CUTOFF.  The
+    cutoffs broadcast back onto the corpus and the keep decision is one
+    lexicographic struct compare per row.  Sources with fewer than k docs
+    admit everything (the cutoff degrades to their worst key)."""
+    from pyspark.sql import Window as W
+
+    from spj_query_engine_spark.operators.textops import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    key = F.struct(
+        (-F.col("quality")).alias("nq"), F.col("doc_id").alias("d")
+    )
+    salted = scored.withColumn("salt", F.col("doc_id") % SOURCE_CAP_SALT)
+    w1 = W.partitionBy("source", "salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    lvl1 = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .select("source", key.alias("key"))
+    )
+    cut = lvl1.groupBy("source").agg(
+        F.element_at(
+            F.slice(F.array_sort(F.collect_list("key")), 1, k), -1
+        ).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cut), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            (key <= F.col("cut")).alias("kept"),
+        )
+    )
+
+
+def source_cap_sql(table: str = "documents", k: int = SOURCE_CAP_K) -> str:
+    from spj_query_engine_spark.operators.textops import quality_score_sql
+
+    return f"""
+    WITH q AS (SELECT doc_id, quality FROM ({quality_score_sql(table)})),
+    scored AS (
+      SELECT d.doc_id, d.source, q.quality
+      FROM {table} d JOIN q USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, source, quality, rn <= {k} AS kept FROM ranked
+    """

@@ -704,3 +704,19 @@ def p20_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p21_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.rendezvous_shards(docs)
+
+
+@register(
+    "p22_source_cap",
+    sampling.source_cap_sql(),
+    doc="Per-source quality-ranked cap (C4/RefinedWeb domain capping): "
+    "keep the %d best-quality docs per source, deterministic doc_id "
+    "tie-break - NOT a row_number window over the corpus: salted "
+    "two-level top-K (bounded state at every step, SALT x parallelism "
+    "on hot sources) extracts each source's admission cutoff, which "
+    "broadcasts back for a one-compare-per-row keep decision."
+    % sampling.SOURCE_CAP_K,
+)
+def p22_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.source_cap(docs)

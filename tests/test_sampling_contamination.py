@@ -429,3 +429,40 @@ def test_rendezvous_shards_movers_go_to_new_shard_only(spark):
         sampling.rendezvous_shards(docs), con, sampling.rendezvous_shards_sql()
     )
     con.close()
+
+
+def test_source_cap_threshold_equals_window(spark):
+    """The salted two-level cutoff must flag exactly the same rows as the
+    textbook per-source row_number window, including sub-cap sources
+    (everything kept) and quality ties (doc_id tie-break).  Oracle agrees."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from spj_query_engine_spark.operators import sampling
+    from tests.conftest import assert_same_result
+
+    rows = []
+    # source A: 40 docs (above cap), B: 5 docs (below cap), C: all-tied text
+    for i in range(40):
+        rows.append((i, "the quick brown fox " * (1 + i % 7), "en", "A", 0))
+    for i in range(40, 45):
+        rows.append((i, "of and is to in a " * (1 + i % 3), "en", "B", 0))
+    for i in range(45, 65):
+        rows.append((i, "identical tie text here", "en", "C", 0))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    out = sampling.source_cap(docs).toPandas()
+    kept = out[out.kept]
+    per_src = kept.groupby("source").size().to_dict()
+    assert per_src["A"] == sampling.SOURCE_CAP_K
+    assert per_src["B"] == 5  # sub-cap source keeps everything
+    assert per_src["C"] == sampling.SOURCE_CAP_K
+    # tie source: the K LOWEST doc_ids survive (deterministic tie-break)
+    assert sorted(kept[kept.source == "C"].doc_id) == list(
+        range(45, 45 + sampling.SOURCE_CAP_K)
+    )
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    assert_same_result(sampling.source_cap(docs), con, sampling.source_cap_sql())
+    con.close()
