@@ -198,6 +198,10 @@ FAMILY = [
     "d14_embedding_dedup",
     "p21_rendezvous_shards",
     "t29_pii_redact",
+    # round-4 additions
+    "t30_hashed_classifier",
+    "d28_dup_span_extents",
+    "p22_source_cap",
 ]
 
 
