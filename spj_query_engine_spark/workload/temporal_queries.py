@@ -546,3 +546,25 @@ def e32_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.stateful import run_running_totals_auto
 
     return run_running_totals_auto(spark, sf_dir)
+
+
+@register(
+    "e50_session_ttl",
+    __import__(
+        "spj_query_engine_spark.streaming.stateful", fromlist=["sessionize_ttl_sql"]
+    ).sessionize_ttl_sql(),
+    doc="Bounded-state streaming sessionize: withWatermark + "
+    "GroupStateTimeout.EventTimeTimeout on applyInPandasWithState - "
+    "gap-closed sessions emit immediately, each user's open tail waits in "
+    "state with a timer at end+gap and is emitted-and-EXPIRED when the "
+    "watermark passes it, so every row is final (append semantics) and "
+    "state is O(users inside the watermark horizon). Oracle: batch "
+    "sessionization minus each user's last session unless the final "
+    "watermark strictly passed its close.",
+)
+def e50_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.stateful import (
+        run_stateful_sessionize_ttl,
+    )
+
+    return run_stateful_sessionize_ttl(spark, sf_dir)

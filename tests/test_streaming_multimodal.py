@@ -671,3 +671,48 @@ def test_resolve_stream_partitions(spark):
         assert ingest.resolve_stream_partitions(spark, "/nonexistent") == 4
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_session_ttl_append_contract(spark):
+    """TTL sessionize: emitted set == batch sessionization minus each
+    user's trailing session unless the final watermark strictly passed its
+    close (timers fired in the no-data batch). Every emitted row is final:
+    no (user, session_no) appears twice in the append output."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
+    from spj_query_engine_spark.streaming.stateful import (
+        TTL_WATERMARK_MIN,
+        run_stateful_sessionize_ttl,
+        sessionize_ttl_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = run_stateful_sessionize_ttl(spark, sf).toPandas()
+    assert not out.duplicated(["user_id", "session_no"]).any()
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    oracle = con.execute(sessionize_ttl_sql()).df()
+    con.close()
+    sp = out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    od = oracle.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert len(sp) == len(od) > 0
+    for col in ("user_id", "session_no", "session_start_ms", "session_end_ms", "n_events"):
+        assert sp[col].astype("int64").equals(od[col].astype("int64")), col
+    assert (sp["sum_value"] - od["sum_value"]).abs().max() < 1e-9
+    # a session can only be held back within the watermark horizon of max(ts)
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    wm_ms = TTL_WATERMARK_MIN * 60 * 1000
+    import pyarrow.parquet as pq
+
+    max_ts = pq.read_table(f"{sf}/events.parquet", columns=["ts"])["ts"].to_pandas().max()
+    max_ms = int(max_ts.value // 1_000_000)
+    held = set(map(tuple, od.groupby("user_id")["session_no"].max().reset_index().values))
+    emitted_last = sp.groupby("user_id")["session_no"].max()
+    for uid, last_no in emitted_last.items():
+        row = sp[(sp.user_id == uid) & (sp.session_no == last_no)].iloc[0]
+        # emitted trailing sessions must have closed strictly before the watermark
+        if (uid, last_no) in held and int(row.session_end_ms) + gap_ms >= max_ms - wm_ms:
+            raise AssertionError((uid, last_no, int(row.session_end_ms)))
