@@ -202,6 +202,7 @@ FAMILY = [
     "t30_hashed_classifier",
     "d28_dup_span_extents",
     "p22_source_cap",
+    "e50_session_ttl",
 ]
 
 

@@ -90,13 +90,19 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
-    # the file-stream source wants a directory: stream the sf dir with a glob
-    # pinned to one table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    # the file-stream source wants a directory.  Two table layouts exist:
+    # a single file <sf_dir>/<name>.parquet (the shipped testdata) — stream
+    # the sf dir with a glob pinned to that file — and a directory of part
+    # files (anything Spark wrote, e.g. the scaled corpora) — stream the
+    # directory itself (a glob on the PART names would match nothing).
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     # Canonicalize event time to TimestampType whichever way the parquet
     # stored it (nanos-as-long, micros-NTZ, micros-UTC) — watermarks reject
     # TIMESTAMP_NTZ, and the UTC-pinned session makes the cast lossless.

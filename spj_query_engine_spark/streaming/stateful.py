@@ -507,7 +507,15 @@ def stateful_sessionize_ttl(
     sessionization minus each user's LAST session unless its
     ``end + gap < max(ts) − watermark`` (Spark fires an event-time timer
     only when the watermark strictly exceeds it; the engine's no-data
-    micro-batch delivers the firing after the last file batch)."""
+    micro-batch delivers the firing after the last file batch).
+
+    Cost anatomy at scale (measured: 4.8 s at sf0.1, 333 s at 100× on the
+    same 32 cores — sublinear but Python-bound): the timer micro-batch
+    re-invokes the state fn once PER TIMED-OUT GROUP with a 1-row frame,
+    so a horizon with k idle users pays O(k) Python calls regardless of
+    event volume.  That is the price of pandas-state timer semantics; when
+    only the session aggregate (not custom per-event state) is needed, the
+    JVM-native ``session_window`` + watermark (e13) is the fast path."""
     gap_ms = gap_minutes * 60 * 1000
     base = (
         events.withColumn("ts", F.col("ts").cast(T.TimestampType()))
