@@ -42,12 +42,28 @@ WATERMARK = "1 hour"
 STREAM_STATE_TARGET_BYTES = 4 << 20
 
 
+def _source_bytes(path: str) -> int:
+    """Data bytes behind a table path: the file's size, or — for a
+    directory-layout table (anything Spark wrote, e.g. the scaled replica
+    corpora) — the sum of its part-file sizes.  ``getsize`` on the directory
+    itself would return the inode size (~4 KB) and collapse the partition
+    derivation to the floor exactly on large inputs."""
+    if os.path.isdir(path):
+        total = 0
+        for entry in os.scandir(path):
+            if entry.is_file() and not entry.name.startswith((".", "_")):
+                total += entry.stat().st_size
+        return total
+    return os.path.getsize(path)
+
+
 def resolve_stream_partitions(
     spark: SparkSession, sf_dir: str, table: str = "events"
 ) -> int:
     """Stateful-shuffle partition count for a finite streaming replay:
     ``spj.stream.state.partitions`` conf if set, else one partition per
-    ``STREAM_STATE_TARGET_BYTES`` of source file, clamped to [4, session
+    ``STREAM_STATE_TARGET_BYTES`` of source data (part-file sum for
+    directory-layout tables), clamped to [4, session
     ``spark.sql.shuffle.partitions``].  Small corpora stop paying 32 state
     commits per batch; at 100x the derivation returns the session value
     unchanged, and a real deployment sets the conf explicitly (state
@@ -56,7 +72,7 @@ def resolve_stream_partitions(
     if override:
         return int(override)
     try:
-        size = os.path.getsize(table_path(sf_dir, table))
+        size = _source_bytes(table_path(sf_dir, table))
     except OSError:
         size = 0
     cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

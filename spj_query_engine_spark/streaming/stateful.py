@@ -64,6 +64,74 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold_sessions(
+    rows: pd.DataFrame, gap_ms: int, carry: tuple
+) -> tuple[list[tuple[Any, ...]], tuple]:
+    """Vectorized gap-split of one event-time-sorted pandas batch.
+
+    ``carry`` is the open-session tail ``(sno, start, end, n, micros)`` from
+    state (``start is None`` when no state exists).  Returns ``(closed,
+    tail)``: the sessions finalized inside this batch — a carried session
+    closed by the first event included — and the new open tail.  Replaces a
+    per-event Python loop with numpy diff/cumsum/reduceat: the fold is
+    O(batch) C-side regardless of event count, so a 100x event replay costs
+    ~100x vectorized arithmetic, not 100x Python interpreter iterations.
+
+    Value sums ride on integer micros; ``np.rint`` is round-half-even on the
+    same double product ``value * 1e6`` the scalar ``round()`` used, so the
+    emitted ``sum_value`` is bit-identical to the loop it replaces."""
+    import numpy as np
+
+    ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    ev_micros = np.rint(rows["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    sno, start, end, n, micros = carry
+    m = len(ts)
+    if m == 0:
+        return [], carry
+    brk = np.empty(m, dtype=bool)
+    brk[0] = start is None or ts[0] - end > gap_ms
+    if m > 1:
+        brk[1:] = np.diff(ts) > gap_ms
+    # group boundaries: every break starts a group; if the first row does
+    # NOT break, group 0 continues the carried session from index 0
+    bounds = np.flatnonzero(brk)
+    if not brk[0]:
+        bounds = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds[1:], [m]))
+    g_start = ts[bounds]
+    g_end = ts[ends - 1]
+    g_n = (ends - bounds).astype(np.int64)
+    g_micros = np.add.reduceat(ev_micros, bounds)
+    closed: list[tuple[Any, ...]] = []
+    if start is not None and brk[0]:
+        # carried session closed by the first event of this batch
+        closed.append((sno, start, end, n, micros))
+        sno_base = sno + 1
+    elif start is not None:
+        # carried session continues into group 0
+        g_start[0] = start
+        g_n[0] += n
+        g_micros[0] += micros
+        sno_base = sno
+    else:
+        sno_base = sno + 1
+    k = len(bounds)
+    for j in range(k - 1):
+        closed.append(
+            (sno_base + j, int(g_start[j]), int(g_end[j]), int(g_n[j]), int(g_micros[j]))
+        )
+    tail = (
+        sno_base + k - 1,
+        int(g_start[k - 1]),
+        int(g_end[k - 1]),
+        int(g_n[k - 1]),
+        int(g_micros[k - 1]),
+    )
+    return closed, tail
+
+
 def _session_fn(gap_ms: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -72,24 +140,16 @@ def _session_fn(gap_ms: int):
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
         if state.exists:
-            sno, start, end, n, micros = state.get
+            carry = state.get
         else:
-            sno, start, end, n, micros = 0, None, None, 0, 0
-        out: list[tuple[Any, ...]] = []
-        for ts, val in zip(rows["ts_ms"].astype("int64"), rows["value"]):
-            ts = int(ts)
-            if start is None or ts - end > gap_ms:
-                if start is not None:
-                    out.append((user_id, sno, start, end, n, micros / 1e6))
-                sno += 1
-                start, end, n, micros = ts, ts, 0, 0
-            end = ts
-            n += 1
-            micros += int(round(float(val) * 1_000_000))
+            carry = (0, None, None, 0, 0)
+        closed, tail = _fold_sessions(rows, gap_ms, carry)
         # emit the still-open session too (update semantics: a later batch
         # may extend and re-emit it); its tail is the ONLY carried state
-        out.append((user_id, sno, start, end, n, micros / 1e6))
-        state.update((sno, start, end, n, micros))
+        out = [
+            (user_id, s, a, b, c, mi / 1e6) for s, a, b, c, mi in closed + [tail]
+        ]
+        state.update(tail)
         yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return fn
@@ -464,25 +524,16 @@ def _session_ttl_fn(gap_ms: int):
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
         if state.exists:
-            sno, start, end, n, micros = state.get
+            carry = state.get
         else:
-            sno, start, end, n, micros = 0, None, None, 0, 0
-        out: list[tuple[Any, ...]] = []
-        for ts, val in zip(rows["ts_ms"].astype("int64"), rows["value"]):
-            ts = int(ts)
-            if start is None or ts - end > gap_ms:
-                if start is not None:
-                    # closed by a later event — final the moment it closes
-                    out.append((user_id, sno, start, end, n, micros / 1e6))
-                sno += 1
-                start, end, n, micros = ts, ts, 0, 0
-            end = ts
-            n += 1
-            micros += int(round(float(val) * 1_000_000))
-        # the trailing open session does NOT emit: it waits in state for the
-        # event-time timer (or a later batch that extends it)
-        state.update((sno, start, end, n, micros))
-        state.setTimeoutTimestamp(end + gap_ms)
+            carry = (0, None, None, 0, 0)
+        # sessions closed BY A LATER EVENT are final the moment they close;
+        # the trailing open session does NOT emit — it waits in state for
+        # the event-time timer (or a later batch that extends it)
+        closed, tail = _fold_sessions(rows, gap_ms, carry)
+        out = [(user_id, s, a, b, c, mi / 1e6) for s, a, b, c, mi in closed]
+        state.update(tail)
+        state.setTimeoutTimestamp(tail[2] + gap_ms)
         yield pd.DataFrame(out, columns=cols)
 
     return fn

@@ -669,8 +669,73 @@ def test_resolve_stream_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == prev
         # missing file -> clamp floor, never crash
         assert ingest.resolve_stream_partitions(spark, "/nonexistent") == 4
+        # directory-layout table (Spark-written corpus): size must be the
+        # part-file SUM, not the directory inode (~4 KB -> false floor)
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            tdir = os.path.join(tmp, "events.parquet")
+            os.makedirs(tdir)
+            with open(os.path.join(tdir, "part-00000.parquet"), "wb") as f:
+                f.write(b"\0" * (5 << 20))
+            with open(os.path.join(tdir, "part-00001.parquet"), "wb") as f:
+                f.write(b"\0" * (5 << 20))
+            with open(os.path.join(tdir, "_SUCCESS"), "wb"):
+                pass
+            assert ingest._source_bytes(tdir) == 10 << 20
+            # 10 MiB / 4 MiB target -> ceil 3, clamped up to the floor of 4
+            assert ingest.resolve_stream_partitions(spark, tmp) == 4
+            # scale the parts up to prove the derivation actually grows
+            # (session ceiling is 4 in tests — lift it for this check)
+            with open(os.path.join(tdir, "part-00002.parquet"), "wb") as f:
+                f.write(b"\0" * (22 << 20))
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            assert ingest.resolve_stream_partitions(spark, tmp) == 8
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_fold_sessions_matches_scalar_loop():
+    """The vectorized gap-split must be bit-identical to the per-event
+    scalar fold it replaced (including carry merge, carry close, and the
+    round-half-even micros), across random batches and random carries."""
+    import numpy as np
+    import pandas as pd
+
+    from spj_query_engine_spark.streaming.stateful import _fold_sessions
+
+    def scalar(rows, gap_ms, carry):
+        sno, start, end, n, micros = carry
+        closed = []
+        for ts, val in zip(rows["ts_ms"].astype("int64"), rows["value"]):
+            ts = int(ts)
+            if start is None or ts - end > gap_ms:
+                if start is not None:
+                    closed.append((sno, start, end, n, micros))
+                sno += 1
+                start, end, n, micros = ts, ts, 0, 0
+            end = ts
+            n += 1
+            micros += int(round(float(val) * 1_000_000))
+        return closed, (sno, start, end, n, micros)
+
+    rng = np.random.default_rng(7)
+    gap_ms = 1800_000
+    for trial in range(60):
+        m = int(rng.integers(1, 40))
+        ts = np.sort(rng.integers(0, 50_000_000, size=m)).astype("int64")
+        vals = np.round(rng.uniform(-5, 5, size=m), 6)
+        rows = pd.DataFrame({"ts_ms": ts, "value": vals})
+        if trial % 3 == 0:
+            carry = (0, None, None, 0, 0)
+        else:
+            c_end = int(rng.integers(0, 10_000_000))
+            carry = (int(rng.integers(1, 5)), c_end - 1000, c_end, 3, 12345)
+        assert _fold_sessions(rows, gap_ms, carry) == scalar(rows, gap_ms, carry)
+    # empty batch: carry passes through untouched
+    empty = pd.DataFrame({"ts_ms": pd.Series(dtype="int64"), "value": []})
+    assert _fold_sessions(empty, gap_ms, (2, 5, 9, 1, 7)) == ([], (2, 5, 9, 1, 7))
 
 
 def test_session_ttl_append_contract(spark):
