@@ -45,10 +45,20 @@ def prior_times() -> dict[str, float]:
     return best
 
 
-def main() -> int:
-    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_DETAIL.json")
-    bar = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
-    current = json.load(open(detail_path)).get("queries", {})
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    detail_path = argv[0] if len(argv) > 0 else os.path.join(ROOT, "BENCH_DETAIL.json")
+    bar = float(argv[1]) if len(argv) > 1 else 1.5
+    detail = json.load(open(detail_path))
+    current = detail.get("queries", {})
+    # Judge the MEDIAN of the post-warmup runs where the detail file carries
+    # it (bench.py's one-sided retry policy makes min-of-runs ratchet toward
+    # the historical best case; the median is the honest typical latency).
+    runs = detail.get("runs", {})
+    current = {
+        name: (runs.get(name, {}).get("med", sec) if sec is not None else None)
+        for name, sec in current.items()
+    }
     best = prior_times()
     common = sorted(set(current) & set(best))
     bad = []

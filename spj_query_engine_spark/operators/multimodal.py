@@ -52,19 +52,20 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+#: opt-in switch for a real decoder.  Real image decode is an EXPLICIT
+#: config decision, never an import probe: a library appearing on the
+#: cluster must not silently change (or break) committed pipeline output.
+#: Set to a callable ``bytes -> list[float]`` (e.g. a PIL/torchvision
+#: featurizer) to route ``decode_features`` through it.
+REAL_DECODER = None
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for an image/audio feature extractor: FEAT_DIM
-    md5-derived floats in [0, 1).  Replace with the real model when the
-    decode libraries exist; the surrounding plumbing does not change."""
-    try:
-        import PIL.Image  # noqa: F401  — not in this container
-
-        raise NotImplementedError(
-            "real image decode is stubbed in this environment; "
-            "plug PIL/torchvision in here"
-        )
-    except ImportError:
-        pass
+    md5-derived floats in [0, 1).  Plug a real model in via ``REAL_DECODER``;
+    the surrounding plumbing (Arrow batching, schema, partitioning) does not
+    change.  Whether PIL/torchaudio happen to be importable is irrelevant —
+    decode behavior only changes when the deployment opts in."""
     out = []
     for k in range(FEAT_DIM):
         h = hashlib.md5(str(k).encode() + payload).hexdigest()
@@ -75,7 +76,13 @@ def _fake_features(payload: bytes) -> list[float]:
 def decode_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched decode + feature extraction over (payload, meta) rows —
     the mapInPandas stage a real image pipeline would use.  Output: id,
-    byte stats, FEAT_DIM-dim feature vector."""
+    byte stats, FEAT_DIM-dim feature vector.
+
+    The featurizer is resolved ONCE on the driver (``REAL_DECODER`` if the
+    deployment opted in, else the deterministic stub) and closed over, so
+    the chosen callable ships inside the serialized task — executor-side
+    module state or library availability cannot change the answer."""
+    featurize = REAL_DECODER if REAL_DECODER is not None else _fake_features
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,7 +92,7 @@ def decode_features(mm: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
                     "checksum": payloads.map(lambda b: sum(b) % CHECKSUM_MOD),
-                    "feat": payloads.map(_fake_features),
+                    "feat": payloads.map(featurize),
                 }
             )
 

@@ -560,13 +560,17 @@ def stateful_sessionize_ttl(
     only when the watermark strictly exceeds it; the engine's no-data
     micro-batch delivers the firing after the last file batch).
 
-    Cost anatomy at scale (measured: 4.8 s at sf0.1, 333 s at 100× on the
-    same 32 cores — sublinear but Python-bound): the timer micro-batch
-    re-invokes the state fn once PER TIMED-OUT GROUP with a 1-row frame,
-    so a horizon with k idle users pays O(k) Python calls regardless of
-    event volume.  That is the price of pandas-state timer semantics; when
-    only the session aggregate (not custom per-event state) is needed, the
-    JVM-native ``session_window`` + watermark (e13) is the fast path."""
+    Cost anatomy at scale (measured: 4.9 s at sf0.1, 139 s at 100× on the
+    same 32 cores — ratio 28, down from 69 when the fold was a per-event
+    Python loop at 4 state partitions): the data batches fold vectorized
+    (``_fold_sessions``), and state partitions now size from the real
+    part-file bytes, so the remaining floor is the timer micro-batch —
+    it re-invokes the state fn once PER TIMED-OUT GROUP with an empty
+    frame, O(users) Python calls regardless of event volume, spread
+    across the state partitions.  That is the price of pandas-state timer
+    semantics; when only the session aggregate (not custom per-event
+    state) is needed, the JVM-native ``session_window`` + watermark (e13)
+    is the fast path."""
     gap_ms = gap_minutes * 60 * 1000
     base = (
         events.withColumn("ts", F.col("ts").cast(T.TimestampType()))

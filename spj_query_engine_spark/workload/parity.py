@@ -2512,28 +2512,26 @@ def g06_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q66_correlated_subquery",
     """
-    WITH per_nation AS (
-      SELECT s_nationkey,
-             SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS bal_sum,
-             COUNT(*) AS n_sup
-      FROM supplier GROUP BY s_nationkey
-    )
     SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    JOIN per_nation p ON p.s_nationkey = s.s_nationkey
-    WHERE CAST(s.s_acctbal AS DECIMAL(18,2)) * p.n_sup > p.bal_sum
+    WHERE CAST(s.s_acctbal AS DECIMAL(18,2)) *
+          (SELECT COUNT(*) FROM supplier s2
+           WHERE s2.s_nationkey = s.s_nationkey)
+        > (SELECT SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) FROM supplier s2
+           WHERE s2.s_nationkey = s.s_nationkey)
     """,
     doc="Correlated scalar subquery: suppliers above their own nation's "
     "average balance.  The engine runs the DECORRELATED plan every "
     "optimizer rewrites the textbook correlated form to - one per-nation "
     "aggregate (25 rows, broadcast) joined back to the supplier scan - "
-    "demonstrating the equivalence Catalyst itself uses.  BOTH sides "
-    "multiply out the threshold compare (bal * n > sum) in DECIMAL so no "
-    "float average can flip a boundary supplier (an oracle written with "
-    "avg() would compare in DOUBLE and could disagree within one ulp); "
-    "output echoes raw doubles only.  One supplier scan + one broadcast "
-    "join at any scale.",
+    "while the oracle keeps the TEXTBOOK CORRELATED formulation, so the "
+    "gate genuinely checks decorrelation equivalence rather than two "
+    "copies of one rewrite.  Both sides multiply out the threshold "
+    "compare (bal * n > sum) in DECIMAL so no float average can flip a "
+    "boundary supplier (avg() would compare in DOUBLE and could disagree "
+    "within one ulp); output echoes raw doubles only.  One supplier scan "
+    "+ one broadcast join at any scale.",
 )
 def q66_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("supplier", "nation"))

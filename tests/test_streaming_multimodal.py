@@ -48,6 +48,32 @@ def test_decode_features_shape_and_determinism(mm):
     assert rows[1]["checksum"] == sum(b"abcdefgh")
 
 
+def test_decode_indifferent_to_pil_presence(mm, monkeypatch):
+    """Decode behavior is a config decision, not an import probe: a PIL
+    module appearing on the path must not change (or break) the stub
+    output, and the real decoder routes ONLY via REAL_DECODER."""
+    import sys
+    import types
+
+    baseline = {r["doc_id"]: r["feat"] for r in multimodal.decode_features(mm).collect()}
+    # a fake PIL appears on the driver path -> nothing changes, nothing raises
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    with_pil = {r["doc_id"]: r["feat"] for r in multimodal.decode_features(mm).collect()}
+    assert with_pil == baseline
+    assert multimodal._fake_features(b"abcdefgh") == baseline[1]
+    # explicit opt-in routes through the supplied callable (closed over at
+    # plan build, so it ships inside the serialized task)
+    monkeypatch.setattr(
+        multimodal, "REAL_DECODER", lambda payload: [float(len(payload))] * multimodal.FEAT_DIM
+    )
+    routed = {r["doc_id"]: r["feat"] for r in multimodal.decode_features(mm).collect()}
+    assert routed[1] == [8.0] * multimodal.FEAT_DIM
+    assert routed[2] == [12.0] * multimodal.FEAT_DIM
+
+
 def test_frame_sample_partitions_payload(mm):
     out = [r for r in multimodal.frame_sample(mm).collect() if r["doc_id"] == 1]
     assert len(out) == multimodal.FRAME_COUNT
