@@ -1116,6 +1116,21 @@ def embedding_near_dup_2level_sql(
     """
 
 
+def branched_assign_sql(flat_sql: str, two_level_sql: str, cells_expr: str) -> str:
+    """Replay the engine's flat/two-level quantizer switch in SQL: both
+    formulations guarded by the SAME scalar cell-count condition the engine
+    branches on, unioned.  Exactly one side survives its guard, so the
+    oracle tracks the engine across the ``FLAT_ASSIGN_MAX`` threshold —
+    running the correctness gate on a scaled corpus (e.g. the 10x replica,
+    whose derived cell count crosses the threshold) compares like against
+    like instead of reporting a false engine/oracle mismatch."""
+    return f"""
+    SELECT * FROM ({flat_sql}) WHERE ({cells_expr}) <= {FLAT_ASSIGN_MAX}
+    UNION ALL
+    SELECT * FROM ({two_level_sql}) WHERE ({cells_expr}) > {FLAT_ASSIGN_MAX}
+    """
+
+
 def embedding_near_dup_sql(
     table: str = "embeddings",
     n_cells: int | str | None = None,
@@ -1123,8 +1138,14 @@ def embedding_near_dup_sql(
 ) -> str:
     if n_cells is None:
         # the corpus-derived cell count of resolve_quantizer_cells — the
-        # oracle tracks the engine at any sf without re-baking constants
-        n_cells = auto_cells_sql(table)
+        # oracle tracks the engine at any sf without re-baking constants,
+        # INCLUDING the flat/two-level switch past FLAT_ASSIGN_MAX
+        cells = auto_cells_sql(table)
+        return branched_assign_sql(
+            embedding_near_dup_sql(table, cells, n_assign),
+            embedding_near_dup_2level_sql(table, n_assign=n_assign),
+            cells,
+        )
     assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
     sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
     return f"""

@@ -905,10 +905,20 @@ def knn_join_sql(
     n_cells: int | str | None = None,
     n_probe: int = N_PROBE,
 ) -> str:
-    from spj_query_engine_spark.operators.dedup import auto_cells_sql
+    from spj_query_engine_spark.operators.dedup import (
+        auto_cells_sql,
+        branched_assign_sql,
+    )
 
     if n_cells is None:
-        n_cells = auto_cells_sql(table, KNN_CELLS)
+        # corpus-derived cell count, INCLUDING the engine's flat/two-level
+        # switch past FLAT_ASSIGN_MAX (d06's guarded-union move)
+        cells = auto_cells_sql(table, KNN_CELLS)
+        return branched_assign_sql(
+            knn_join_sql(table, k, cells, n_probe),
+            knn_join_2level_sql(table, k, n_probe=n_probe),
+            cells,
+        )
     assign_sim = cosine_sim_sql("b.embedding", "c.c_vec")
     sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
     return f"""

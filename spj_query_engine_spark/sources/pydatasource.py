@@ -123,7 +123,16 @@ class JsonlSinkDataSource(DataSource):
 
 class JsonlSinkWriter(DataSourceWriter):
     def __init__(self, options) -> None:  # noqa: ANN001
+        import uuid
+
         self.path = str(options["path"])
+        # Job-unique token baked into every final file name (the writer is
+        # constructed once per job on the driver and pickled to tasks).  A
+        # second mode('append') save to the same directory therefore ADDS
+        # part files instead of silently overwriting the previous job's;
+        # within one job, retried/speculated attempts of a partition still
+        # converge on the same deterministic name.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):  # noqa: ANN001
         import json
@@ -132,16 +141,18 @@ class JsonlSinkWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        # Task-DETERMINISTIC final name keyed on partition id, written via a
+        # (partition, job)-DETERMINISTIC final name, written via a
         # task-attempt-unique temp file + atomic os.replace: a retried or
         # speculated attempt converges on the same file instead of leaving a
         # duplicate part that would double-count rows in the read-back; a
         # failed attempt leaves only a *.tmp the read-back never sees (and
-        # abort() sweeps).
+        # commit()/abort() sweep).
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        final = os.path.join(
+            self.path, f"part-{pid:05d}-{self.job_token}.jsonl"
+        )
         tmp = f"{final}.{uuid.uuid4().hex}.tmp"
         n = 0
         with open(tmp, "w") as f:
@@ -154,9 +165,7 @@ class JsonlSinkWriter(DataSourceWriter):
             os.replace(tmp, final)
         return WriterCommitMessage()
 
-    def abort(self, messages) -> None:  # noqa: ANN001
-        """Driver-side failure hook: sweep any in-flight temp files so an
-        aborted write leaves the target directory clean."""
+    def _sweep_tmp(self) -> None:
         import glob
         import os
 
@@ -165,6 +174,18 @@ class JsonlSinkWriter(DataSourceWriter):
                 os.remove(fn)
             except OSError:
                 pass
+
+    def commit(self, messages) -> None:  # noqa: ANN001
+        """Driver-side success hook: a retried task inside a SUCCESSFUL job
+        can still leave its first attempt's *.tmp behind — sweep here too,
+        not just on abort, so readers globbing the directory never see
+        partial rows."""
+        self._sweep_tmp()
+
+    def abort(self, messages) -> None:  # noqa: ANN001
+        """Driver-side failure hook: sweep any in-flight temp files so an
+        aborted write leaves the target directory clean."""
+        self._sweep_tmp()
 
 
 def register_jsonlsink(spark) -> None:  # noqa: ANN001
@@ -206,8 +227,14 @@ def sink_roundtrip_rollup(spark, docs):  # noqa: ANN001
             .save()
         )
         # explicit schema: zero input rows leave no files behind (the writer
-        # deletes empties) and inference would fail on the bare directory
-        back = spark.read.schema("doc_id long, shard long, n_chars long").json(out)
+        # deletes empties) and inference would fail on the bare directory.
+        # pathGlobFilter pins the read-back to committed part files — a
+        # straggling *.tmp (however it survived) can never double-count.
+        back = (
+            spark.read.schema("doc_id long, shard long, n_chars long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
         rollup = (
             back.groupBy("shard")
             .agg(

@@ -89,6 +89,28 @@ def test_lsh_topk_finds_planted_neighbor(emb):
     assert got and got[0]["cand_id"] == 10
 
 
+def test_auto_sql_branches_with_engine_past_threshold(spark, duck, monkeypatch):
+    """The registered oracle twins must take the SAME flat/two-level branch
+    the engine takes.  Shrink FLAT_ASSIGN_MAX below the corpus-derived cell
+    count so BOTH sides cross the threshold (the 10x-replica scenario), and
+    assert engine == oracle on the real embeddings table — a false
+    engine/oracle mismatch here is exactly what the guarded-union SQL
+    exists to prevent."""
+    from spj_query_engine_spark.catalog import load_tables
+    from tests.conftest import SF_DIR, assert_same_result
+
+    monkeypatch.setattr(dedup, "FLAT_ASSIGN_MAX", 8)
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    # derived cells = max(16, ceil(500/100)) = 16 > 8 -> two-level on both
+    assert dedup.resolve_quantizer_cells(emb) > 8
+    assert_same_result(
+        dedup.embedding_near_dup(emb), duck, dedup.embedding_near_dup_sql()
+    )
+    assert_same_result(
+        similarity.knn_join(emb), duck, similarity.knn_join_sql()
+    )
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     """On clustered data the LSH top-1 must equal the exact top-1 for most
     queries (here: identical twin vectors — recall must be 100%)."""

@@ -277,3 +277,46 @@ def test_python_sink_roundtrip(spark):
         assert r["n_docs"] == len(ids)
         assert r["id_sum"] == sum(ids)
         assert r["total_chars"] == sum(10 * i for i in ids)
+
+
+def test_python_sink_append_accumulates(spark):
+    """mode('append') twice into the same directory must ADD part files
+    (job-unique names), never overwrite the first job's; a planted stale
+    *.tmp must be invisible to a glob-filtered read-back and swept by the
+    second job's commit."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spj_query_engine_spark.sources.pydatasource import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = tempfile.mkdtemp(prefix="spj_u08_append_")
+    try:
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [10, 20, 30]})
+        ).repartition(2)
+        docs.write.format("jsonlsink").option("path", out).mode("append").save()
+        first = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+        # a stale tmp from a hypothetical retried attempt inside a
+        # successful job: readers must never count it
+        with open(os.path.join(out, "part-00000-dead.jsonl.beef.tmp"), "w") as f:
+            f.write('{"doc_id": 999, "n_chars": 999}\n')
+        docs.write.format("jsonlsink").option("path", out).mode("append").save()
+        second = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+        assert set(first) < set(second), "second append overwrote the first job"
+        assert not [f for f in os.listdir(out) if f.endswith(".tmp")], (
+            "commit() did not sweep the stale tmp"
+        )
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
+        assert back.count() == 6
+        assert back.agg(F.sum("doc_id")).first()[0] == 12  # no 999 leaked in
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
