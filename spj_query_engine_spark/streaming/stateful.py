@@ -481,6 +481,26 @@ def run_apws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can run here: its Python
+    state server speaks protobuf to the JVM, so ``google.protobuf`` must be
+    importable.  Centralized so tests and the auto selector agree on one
+    probe."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: which stateful API the last ``run_running_totals_auto`` call actually
+#: used — "tws" or "apws".  Tests assert this against :func:`tws_available`
+#: so a silent fallback (the TWS branch rotting as dead code, or protobuf
+#: appearing without the TWS path being exercised) is VISIBLE, not quiet.
+SELECTED_API: str | None = None
+
+
 def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry e32: run the running-totals state machine on the BEST
     stateful API the runtime supports — ``transformWithStateInPandas``
@@ -489,12 +509,12 @@ def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` twin with bit-identical output.  Both paths
     fold integer cents in event order and reduce finite replay to the same
     batch rollup, so one DuckDB oracle verifies whichever ran."""
-    try:
-        import google.protobuf  # noqa: F401
-
+    global SELECTED_API
+    if tws_available():
+        SELECTED_API = "tws"
         return run_tws_running_totals(spark, sf_dir)
-    except ImportError:
-        return run_apws_running_totals(spark, sf_dir)
+    SELECTED_API = "apws"
+    return run_apws_running_totals(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,8 @@ a regression here means a join lost its equi-key or a broadcast hint."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from spj_query_engine_spark.workload import REGISTRY
@@ -66,15 +68,68 @@ BNLJ_OK = {
 }
 
 
+#: the broadcast side of a whitelisted nested-loop join must be BOUNDED BY
+#: CONSTRUCTION — its physical subtree proves a row bound, not just a name
+#: on the whitelist.  Two sanctioned shapes: a grouping-free aggregate
+#: (exactly one row) or a plan whose every parquet leaf carries a pushed
+#: `id < literal` filter with the literal under this bound (centroid /
+#: query-set scans).  A whitelisted entry whose broadcast side silently
+#: becomes a full corpus scan fails here.
+BNLJ_BUILD_ROW_BOUND = 4096
+
+_LESS_THAN = re.compile(r"LessThan\(\w+,(\d+)\)")
+
+
+def _bounded_build_side(subtree: str) -> str | None:
+    """Classify a BNLJ build-side physical subtree as bounded, else None."""
+    head = "\n".join(subtree.splitlines()[:2])
+    if "HashAggregate(keys=[]" in head:
+        return "scalar-agg"
+    lits = [int(x) for x in _LESS_THAN.findall(subtree)]
+    scans = [ln for ln in subtree.splitlines() if "FileScan" in ln]
+    if (
+        lits
+        and max(lits) <= BNLJ_BUILD_ROW_BOUND
+        and scans
+        and all(_LESS_THAN.search(ln) for ln in scans)
+    ):
+        return "bounded-filter"
+    if not scans and "LocalTableScan" in subtree:
+        return "local"
+    return None
+
+
+def _walk(jnode):
+    yield jnode
+    for i in range(jnode.children().size()):
+        yield from _walk(jnode.children().apply(i))
+
+
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])
 def test_no_cartesian_and_bounded_nlj(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unexpected nested-loop join"
         )
+    else:
+        # walk the pre-AQE physical plan (the adaptive wrapper hides its
+        # children) and prove every nested-loop broadcast side bounded
+        for node in _walk(qe.sparkPlan()):
+            if node.nodeName() != "BroadcastNestedLoopJoin":
+                continue
+            side = node.buildSide().toString()
+            child = node.left() if side == "BuildLeft" else node.right()
+            subtree = child.toString()
+            assert _bounded_build_side(subtree) is not None, (
+                f"{name}: BNLJ broadcast side is not provably bounded "
+                f"(need a grouping-free aggregate or id<literal<="
+                f"{BNLJ_BUILD_ROW_BOUND} on every parquet leaf):\n"
+                + subtree[:800]
+            )
     spark.catalog.clearCache()
 
 

@@ -678,6 +678,24 @@ def test_apws_running_totals_equals_batch(spark):
         con.close()
 
 
+def test_e32_api_selection_is_visible(spark):
+    """e32's runtime API selection must be observable: after the auto
+    runner executes, SELECTED_API must match what tws_available() promised.
+    This test runs in EVERY environment — where protobuf is absent it
+    proves the fallback actually took the apws path (not a swallowed TWS
+    error), and the day protobuf appears it fails unless the TWS branch
+    really ran, so the branch cannot rot as dead code silently."""
+    from spj_query_engine_spark.streaming import stateful
+
+    expected = "tws" if stateful.tws_available() else "apws"
+    got = stateful.run_running_totals_auto(spark, SF_DIR)
+    assert got.count() > 0
+    assert stateful.SELECTED_API == expected, (
+        f"auto runner took {stateful.SELECTED_API!r}, "
+        f"but tws_available()={stateful.tws_available()}"
+    )
+
+
 def test_resolve_stream_partitions(spark):
     from spj_query_engine_spark.streaming import ingest
 
