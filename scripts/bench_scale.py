@@ -203,6 +203,12 @@ FAMILY = [
     "d28_dup_span_extents",
     "p22_source_cap",
     "e50_session_ttl",
+    # round-5 additions: every entry >= 2.5 s at sf0.1 gets a measured
+    # 100x ratio (q17/q45/e10 ride the orders/lineitem/documents replicas;
+    # the rest of the >=2.5 s set was already listed above)
+    "e10_stream_asof",
+    "q17_salted_join_agg",
+    "q45_recursive_closure",
 ]
 
 
@@ -343,16 +349,24 @@ def _scaled_fn(name: str, sf_dir: str):
 
 
 def run(spark, name: str, sf_dir: str) -> float:
+    import gc
+
     fn = _scaled_fn(name, sf_dir)
     # one warmup for codegen, then a measured steady-state run (same
-    # protocol as bench.py)
+    # protocol as bench.py, INCLUDING the per-run gc.collect(): iterative
+    # entries localCheckpoint() intermediates, and the JVM only frees those
+    # blocks when Python GC drops the py4j refs — without this the block
+    # manager fills across a sweep and later entries measure 4-10x slow,
+    # inflating 1x bases and corrupting ratios)
     for _ in range(1):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        gc.collect()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     spark.catalog.clearCache()
+    gc.collect()
     return round(dt, 3)
 
 

@@ -1165,6 +1165,59 @@ def embedding_near_dup_sql(
     """
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style end-to-end semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cosine near-dup pairs inside corpus-derived IVF cells
+    (:func:`embedding_near_dup`, flat/two-level auto-switch) → connected
+    components (:func:`dup_clusters`) → keep the minimum id per cluster.
+    Output covers EVERY vector: ``(vec_id, cluster_id, is_kept)`` — vectors
+    in no near-dup pair are their own singleton cluster and survive; of each
+    multi-vector cluster exactly the canonical (min-id) row survives.  A
+    training pipeline filters ``is_kept`` and drops ~droppable semantic
+    duplicates in one pass.
+
+    Scale anatomy: the pair graph is cell-bounded (never all-pairs), the
+    component loop is edge-sized joins with checkpoint barriers, and the
+    final step is one left join of the id-only corpus against the clustered
+    ids — payload vectors never shuffle after pair scoring."""
+    pairs = embedding_near_dup(embeddings, vec_col=vec_col, id_col=id_col)
+    clusters = dup_clusters(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    ids = embeddings.select(F.col(id_col).alias("vec_id"))
+    return (
+        ids.join(clusters, ids["vec_id"] == clusters["doc_id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("is_canonical"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(table: str = "embeddings") -> str:
+    pairs_body = (
+        "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+        + embedding_near_dup_sql(table)
+        + ")"
+    )
+    return f"""
+    SELECT e.vec_id,
+           CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+           COALESCE(c.is_canonical, TRUE) AS is_kept
+    FROM {table} e LEFT JOIN ({dup_clusters_sql(pairs_body)}) c
+      ON c.doc_id = e.vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate clustering: pairs -> connected components -> canonical doc
 # ---------------------------------------------------------------------------

@@ -692,3 +692,74 @@ def run_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (rel_err <= SKETCH_MAX_ERR).cast("long").alias("est_ok"),
     )
+
+
+def foreach_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u10: per-user running totals streamed into a ``foreachBatch``
+    IDEMPOTENT sink — the production exactly-once pattern for sinks with no
+    native transactional writer (JDBC upsert, object-store MERGE).  Each
+    micro-batch's updated rows land in a batch-id-keyed directory written
+    with ``mode("overwrite")``, so a RETRIED batch replaces its own prior
+    attempt instead of double-counting (Spark re-runs foreachBatch with the
+    same batchId on recovery); the read side reconciles MERGE-style by
+    taking each key's row from the highest batch id.  Update-mode output
+    means only touched keys rewrite per batch — the contract a real MERGE
+    target sees.
+
+    Finite-replay oracle: after ``processAllAvailable`` the reconciled
+    state is each user's final running total = the batch rollup (same
+    integer-cents fold as e32, portable floor rounding).  The result is
+    materialized (user-count rows, not event rows) so the scratch
+    directory can be deleted before returning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    out = tempfile.mkdtemp(prefix="spj_u10_")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    agg = (
+        stream_events(spark, sf_dir)
+        .select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+    def sink(bdf, bid) -> None:  # noqa: ANN001
+        bdf.withColumn("batch_id", F.lit(int(bid))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch-{int(bid):05d}"))
+
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        schema_str = "user_id long, n_events long, sum_cents long, batch_id long"
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(out, "batch-*")):
+            # zero input rows -> the sink never fired; empty totals
+            return spark.createDataFrame(
+                [], "user_id long, n_events long, sum_cents long"
+            )
+        snaps = spark.read.schema(schema_str).parquet(os.path.join(out, "batch-*"))
+        w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        merged = (
+            snaps.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "sum_cents")
+        )
+        rows = merged.collect()  # one row per user — state, not events
+        schema = merged.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -514,3 +514,20 @@ def d27_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d28_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_extents(_docs(spark, sf_dir))
+
+
+@register(
+    "d29_semantic_dedup",
+    dedup.semantic_dedup_sql(),
+    doc="SemDeDup end-to-end (Abbas et al. 2023): IVF-cell cosine near-dup "
+    "pairs (d06's corpus-derived quantizer, flat/two-level auto-switch) -> "
+    "connected components (d07's fixed-round propagation) -> one canonical "
+    "survivor per cluster, emitted for EVERY vector as (cluster_id, "
+    "is_kept); the one-pass filter a training pipeline applies before "
+    "tokenization.  Pair graph cell-bounded, component loop edge-sized, "
+    "final step one id-only left join - vectors never shuffle after "
+    "scoring.",
+)
+def d29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup.semantic_dedup(emb)

@@ -720,3 +720,21 @@ def p21_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p22_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return sampling.source_cap(docs)
+
+
+@register(
+    "u10_foreach_batch_sink",
+    stateful.tws_running_totals_sql(),
+    doc="foreachBatch IDEMPOTENT sink: update-mode per-user totals land in "
+    "batch-id-keyed overwrite directories (a retried batch replaces its "
+    "own attempt - Spark replays foreachBatch with the same batchId on "
+    "recovery) and the read side reconciles MERGE-style on max batch id "
+    "per key - the exactly-once pattern for JDBC/object-store targets "
+    "with no transactional writer; finite replay reconciles to the batch "
+    "rollup (e32's integer-cents fold).",
+    bench=False,  # micro-batch + scratch-dir fixed cost, not throughput
+)
+def u10_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming.ingest import foreach_batch_totals
+
+    return foreach_batch_totals(spark, sf_dir)

@@ -89,6 +89,25 @@ def test_lsh_topk_finds_planted_neighbor(emb):
     assert got and got[0]["cand_id"] == 10
 
 
+def test_semantic_dedup_survivors(emb, spark, duck):
+    """d29: every vector appears once; near-dup clusters keep exactly the
+    min id; singletons survive as their own cluster.  On the fixture,
+    (0,10) and (30,40) pair up, 20 is alone."""
+    got = {r["vec_id"]: r for r in dedup.semantic_dedup(emb).collect()}
+    assert set(got) == {0, 10, 20, 30, 40}
+    assert got[0]["is_kept"] and not got[10]["is_kept"]
+    assert got[30]["is_kept"] and not got[40]["is_kept"]
+    assert got[20]["is_kept"] and got[20]["cluster_id"] == 20
+    assert got[10]["cluster_id"] == 0 and got[40]["cluster_id"] == 30
+    # oracle twin on the real table (exercises the composed guarded-union
+    # pairs CTE + unrolled CC rounds end to end)
+    from spj_query_engine_spark.catalog import load_tables
+    from tests.conftest import SF_DIR, assert_same_result
+
+    real = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    assert_same_result(dedup.semantic_dedup(real), duck, dedup.semantic_dedup_sql())
+
+
 def test_auto_sql_branches_with_engine_past_threshold(spark, duck, monkeypatch):
     """The registered oracle twins must take the SAME flat/two-level branch
     the engine takes.  Shrink FLAT_ASSIGN_MAX below the corpus-derived cell

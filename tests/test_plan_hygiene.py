@@ -23,6 +23,7 @@ SKIP = {
     "e16_stream_stream_join",
     "s04_ann_ivf_trained",
     "s05_ivf_trained_recall",  # composes s04 (model fit) + s01 (whitelisted BNLJ)
+    "u10_foreach_batch_sink",  # streams to scratch dirs; returns a local relation
 }
 
 #: deliberate broadcast nested-loop joins:
@@ -65,6 +66,7 @@ BNLJ_OK = {
     "t28_source_divergence",  # broadcast single-row corpus-total cross join
     "s24_cell_purity",  # broadcast centroid-assignment crossJoin (s03 shape)
     "g10_assortativity",  # broadcast single-row sxy-moment cross join
+    "d29_semantic_dedup",  # composes d06's whitelisted centroid assignment
 }
 
 

@@ -678,6 +678,32 @@ def test_apws_running_totals_equals_batch(spark):
         con.close()
 
 
+def test_foreach_batch_sink_reconciles_to_batch(spark):
+    """u10: the foreachBatch idempotent sink's reconciled state (max batch
+    id per key) must equal the batch rollup on finite replay, and the
+    scratch directories must be gone afterwards."""
+    import glob
+    import os as _os
+
+    import duckdb
+
+    from spj_query_engine_spark.streaming.ingest import foreach_batch_totals
+    from spj_query_engine_spark.streaming.stateful import tws_running_totals_sql
+
+    got = foreach_batch_totals(spark, SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % _os.path.join(SF_DIR, "events.parquet")
+    )
+    try:
+        errs = compare_frames(got.toPandas(), con.execute(tws_running_totals_sql()).df())
+        assert not errs, errs
+    finally:
+        con.close()
+    assert not glob.glob("/tmp/spj_u10_*"), "scratch dir leaked"
+
+
 def test_e32_api_selection_is_visible(spark):
     """e32's runtime API selection must be observable: after the auto
     runner executes, SELECTED_API must match what tws_available() promised.
