@@ -524,9 +524,12 @@ def d28_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected components (d07's fixed-round propagation) -> one canonical "
     "survivor per cluster, emitted for EVERY vector as (cluster_id, "
     "is_kept); the one-pass filter a training pipeline applies before "
-    "tokenization.  Pair graph cell-bounded, component loop edge-sized, "
-    "final step one id-only left join - vectors never shuffle after "
-    "scoring.",
+    "tokenization.  The LABELED twin of d14: d14 emits only the survivor "
+    "rows (anti-join end product), this emits the full per-vector "
+    "cluster/keep labeling an audit or lineage manifest needs, and rides "
+    "the flat/two-level auto-switch rather than pinning the two-level "
+    "path.  Pair graph cell-bounded, component loop edge-sized, final "
+    "step one id-only left join - vectors never shuffle after scoring.",
 )
 def d29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
