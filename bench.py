@@ -214,8 +214,19 @@ def main() -> None:
     line_queries: dict[str, float] = {}
     for n, t in slowest:
         line_queries[n] = t
-        probe = dict(detail, queries=line_queries,
-                     n_queries=len(timings), detail="BENCH_DETAIL.json")
+        # probe the PRINTED line's size — which carries neither the full
+        # per-run stats nor the exclusion list (those live in the detail
+        # file); including them here would blow the budget immediately and
+        # print zero queries.
+        probe = {
+            "metric": "workload_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": line_queries,
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        }
         if len(json.dumps(probe)) > 1900:
             del line_queries[n]
             break

@@ -67,7 +67,13 @@ def main(argv: list[str] | None = None) -> int:
         if now is None:
             bad.append((name, None, best[name]))
             continue
-        if now > bar * best[name] and now - best[name] > 0.25:
+        # Absolute guard 0.4 s: sub-second entries are dominated by fixed
+        # per-query overhead (scan planning, noop commit) that drifts a few
+        # hundred ms with machine phase — every sub-second "regression"
+        # flagged in r03-r05 (e01/e02/d01/...) vanished in a fresh session,
+        # and no true regression has ever been sub-second.  Multi-second
+        # regressions (the r03 class, 2-6x) clear this guard trivially.
+        if now > bar * best[name] and now - best[name] > 0.4:
             bad.append((name, now, best[name]))
     print(f"common queries: {len(common)}; floor source: BENCH_r*.json tails")
     for name, now, floor in sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2]):
