@@ -209,6 +209,7 @@ FAMILY = [
     "e10_stream_asof",
     "q17_salted_join_agg",
     "q45_recursive_closure",
+    "d29_semantic_dedup",
 ]
 
 
