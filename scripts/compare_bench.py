@@ -26,8 +26,26 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def prior_times() -> dict[str, float]:
+    """Per-query floor map.  Primary source: the committed BENCH_FLOORS.json
+    (built by scripts/update_floors.py from EVERY BENCH_DETAIL.json version
+    in git history — the driver tails alone covered only 162/242 queries and
+    let d16's 3.9x regression through unseen).  The driver tails are merged
+    on top (min) so a fresh driver recording not yet folded into the floors
+    file still counts.  BENCH_FLOOR_OVERRIDES.json (hand-maintained: name ->
+    floor seconds for documented legitimate slowdowns) takes absolute
+    precedence."""
     best: dict[str, float] = {}
+    floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
+    if os.path.exists(floors_path):
+        for name, sec in json.load(open(floors_path)).items():
+            if isinstance(sec, (int, float)) and sec == sec:
+                best[name] = float(sec)
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        # r01/r02 tails predate the r03 scale rework (superseded
+        # implementations — see scripts/update_floors.py FLOOR_EPOCH)
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < 3:
+            continue
         tail = json.load(open(path)).get("tail", "")
         # Full JSON line if one survived the driver's 2000-char window …
         m = re.search(r'\{"metric".*\}', tail)
@@ -40,8 +58,12 @@ def prior_times() -> dict[str, float]:
                 for k, v in re.findall(r'"([a-z]\d+[a-z_0-9]*)":\s*([0-9.]+)', tail)
             }
         for name, sec in queries.items():
-            if isinstance(sec, (int, float)):
+            if isinstance(sec, (int, float)) and sec == sec:
                 best[name] = min(best.get(name, float("inf")), float(sec))
+    overrides_path = os.path.join(ROOT, "BENCH_FLOOR_OVERRIDES.json")
+    if os.path.exists(overrides_path):
+        for name, sec in json.load(open(overrides_path)).items():
+            best[name] = float(sec)
     return best
 
 
@@ -55,8 +77,16 @@ def main(argv: list[str] | None = None) -> int:
     # it (bench.py's one-sided retry policy makes min-of-runs ratchet toward
     # the historical best case; the median is the honest typical latency).
     runs = detail.get("runs", {})
+    # A crashed query can reach here as None (strict JSON null) OR as float
+    # NaN (json.dump's default non-strict NaN token round-trips as nan);
+    # both must hit the FAILED branch — NaN compares False with everything,
+    # so without this normalization a crashed query silently PASSES the gate.
     current = {
-        name: (runs.get(name, {}).get("med", sec) if sec is not None else None)
+        name: (
+            None
+            if sec is None or sec != sec
+            else runs.get(name, {}).get("med", sec)
+        )
         for name, sec in current.items()
     }
     best = prior_times()

@@ -118,14 +118,21 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlsink"
 
     def writer(self, schema, overwrite):  # noqa: ANN001
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite=overwrite)
 
 
 class JsonlSinkWriter(DataSourceWriter):
-    def __init__(self, options) -> None:  # noqa: ANN001
+    def __init__(self, options, overwrite: bool = False) -> None:  # noqa: ANN001
         import uuid
 
         self.path = str(options["path"])
+        # mode('overwrite') must actually replace: with job-unique part
+        # names an overwrite that only adds files would silently behave as
+        # append (prior jobs' parts remain, read-back double-counts).  The
+        # flag is honored DRIVER-SIDE in commit(): only after every task
+        # succeeded are pre-existing final files from other jobs removed —
+        # tasks never delete, so a failed job leaves the old data intact.
+        self.overwrite = bool(overwrite)
         # Job-unique token baked into every final file name (the writer is
         # constructed once per job on the driver and pickled to tasks).  A
         # second mode('append') save to the same directory therefore ADDS
@@ -169,7 +176,12 @@ class JsonlSinkWriter(DataSourceWriter):
         import glob
         import os
 
-        for fn in glob.glob(os.path.join(self.path, "*.tmp")):
+        # Scope the sweep to THIS job's temp files (the token is embedded in
+        # every final-and-temp name).  Append-into-a-shared-directory is the
+        # advertised pattern, so a global '*.tmp' sweep could delete a
+        # concurrent job's in-flight temp mid-write.
+        pat = os.path.join(self.path, f"part-*-{self.job_token}.jsonl.*.tmp")
+        for fn in glob.glob(pat):
             try:
                 os.remove(fn)
             except OSError:
@@ -179,8 +191,21 @@ class JsonlSinkWriter(DataSourceWriter):
         """Driver-side success hook: a retried task inside a SUCCESSFUL job
         can still leave its first attempt's *.tmp behind — sweep here too,
         not just on abort, so readers globbing the directory never see
-        partial rows."""
+        partial rows.  For mode('overwrite'), this is also where prior
+        jobs' final part files are replaced: deletion happens only after
+        the whole job succeeded, never in tasks."""
         self._sweep_tmp()
+        if self.overwrite:
+            import glob
+            import os
+
+            suffix = f"-{self.job_token}.jsonl"
+            for fn in glob.glob(os.path.join(self.path, "*.jsonl")):
+                if not fn.endswith(suffix):
+                    try:
+                        os.remove(fn)
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:  # noqa: ANN001
         """Driver-side failure hook: sweep any in-flight temp files so an

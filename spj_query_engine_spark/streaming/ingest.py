@@ -49,10 +49,19 @@ def _source_bytes(path: str) -> int:
     itself would return the inode size (~4 KB) and collapse the partition
     derivation to the floor exactly on large inputs."""
     if os.path.isdir(path):
+        # RECURSIVE walk: a partitionBy-written table nests its part files
+        # under key=value subdirectories; a direct-children-only scan would
+        # total 0 bytes — the exact collapse this function exists to prevent.
         total = 0
-        for entry in os.scandir(path):
-            if entry.is_file() and not entry.name.startswith((".", "_")):
-                total += entry.stat().st_size
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for fname in files:
+                if fname.startswith((".", "_")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, fname))
+                except OSError:
+                    pass
         return total
     return os.path.getsize(path)
 

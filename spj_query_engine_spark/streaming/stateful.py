@@ -223,40 +223,95 @@ ASOF_STATE = T.StructType(
 )
 
 
+def _asof_fold(
+    rows: pd.DataFrame, user_id: int, carry: tuple
+) -> tuple[pd.DataFrame, tuple]:
+    """Vectorized LOCF carry over one (ts, is_event, o_orderkey)-sorted
+    tagged batch.  ``carry`` is the latest-order state ``(okey, odate,
+    oprice)`` (``okey is None`` when no state exists).  Returns ``(out,
+    new_carry)``: one enriched row per event that has a carried order, and
+    the latest order after the batch.
+
+    Replaces a per-row ``itertuples`` Python loop (the engine's one
+    remaining row-at-a-time state fold after e50's fix, and its worst
+    absolute 100x tail at 261 s) with a numpy ``maximum.accumulate`` over
+    order positions — each event indexes the last order row at-or-before
+    it, so the fold is O(batch) C-side regardless of event count.  The
+    tie-break is inherited from the sort, identically to the loop: orders
+    sort before events at equal ts, and the max-accumulate picks the LAST
+    (highest o_orderkey) order at-or-before each event, exactly what
+    last-write-wins iteration produced.
+
+    Price rounding is ``floor(x*100+0.5)/100`` — the engine-wide portable
+    rounding; ``np.floor`` on the same double product yields the same
+    integer-valued double ``math.floor`` did, so output bits are unchanged
+    from the loop it replaces."""
+    import numpy as np
+
+    m = len(rows)
+    okey0, odate0, oprice0 = carry
+    if m == 0:
+        return pd.DataFrame(columns=[f.name for f in ASOF_OUTPUT.fields]), carry
+    ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    is_ev = rows["is_event"].to_numpy(dtype=np.int64)
+    # nullable longs arrive as float64-with-NaN; only order rows' okeys and
+    # event rows' event_ids are ever read, where they are exact integers
+    okeys = rows["o_orderkey"].to_numpy(dtype=np.float64)
+    oprices = rows["o_totalprice"].to_numpy(dtype=np.float64)
+    ev_ids = rows["event_id"].to_numpy(dtype=np.float64)
+    order_mask = is_ev == 0
+    # index of the last order row at-or-before each position (-1 = none yet)
+    carry_idx = np.maximum.accumulate(
+        np.where(order_mask, np.arange(m), -1)
+    )
+    ev_mask = ~order_mask
+    ci = carry_idx[ev_mask]
+    have_batch = ci >= 0
+    have_state = okey0 is not None
+    keep = have_batch | have_state
+    ci_safe = np.maximum(ci, 0)
+    o_key = np.where(have_batch, okeys[ci_safe], float(okey0) if have_state else np.nan)
+    o_date = np.where(
+        have_batch, ts[ci_safe], np.int64(odate0) if have_state else np.int64(0)
+    )
+    o_price = np.where(
+        have_batch, oprices[ci_safe], float(oprice0) if have_state else np.nan
+    )
+    out = pd.DataFrame(
+        {
+            "event_id": ev_ids[ev_mask][keep].astype(np.int64),
+            "user_id": np.full(int(keep.sum()), user_id, dtype=np.int64),
+            "ts_ms": ts[ev_mask][keep],
+            "o_orderkey": o_key[keep].astype(np.int64),
+            "odate_ms": o_date[keep].astype(np.int64),
+            "o_totalprice": np.floor(o_price[keep] * 100 + 0.5) / 100,
+        }
+    )
+    opos = np.flatnonzero(order_mask)
+    if len(opos):
+        last = opos[-1]
+        carry = (int(okeys[last]), int(ts[last]), float(oprices[last]))
+    return out, carry
+
+
 def _asof_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
     """Merge the tagged (order|event) stream per user in time order,
     carrying the latest order; emit one enriched row per event.  Within a
     batch rows sort (ts, is_event, o_orderkey) — identical tie-break to the
-    batch LOCF formulation, so finite replay equals `asof_join`."""
+    batch LOCF formulation, so finite replay equals `asof_join`.  The fold
+    itself is the vectorized :func:`_asof_fold`."""
     (user_id,) = key
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
         ["ts_ms", "is_event", "o_orderkey"], kind="mergesort", na_position="first"
     )
     if state.exists:
-        okey, odate, oprice = state.get
+        carry = state.get
     else:
-        okey = odate = oprice = None
-    out = []
-    for r in rows.itertuples(index=False):
-        if r.is_event == 0:
-            okey, odate, oprice = int(r.o_orderkey), int(r.ts_ms), float(r.o_totalprice)
-        elif okey is not None:
-            # floor(x*100+0.5)/100 — the portable_round formulation used
-            # engine-wide; Python's round() is banker's half-even and can
-            # diverge from the batch path on exact .xx5 midpoints
-            out.append(
-                (
-                    int(r.event_id),
-                    user_id,
-                    int(r.ts_ms),
-                    okey,
-                    odate,
-                    math.floor(oprice * 100 + 0.5) / 100,
-                )
-            )
-    if okey is not None:
-        state.update((okey, odate, oprice))
-    yield pd.DataFrame(out, columns=[f.name for f in ASOF_OUTPUT.fields])
+        carry = (None, None, None)
+    out, carry = _asof_fold(rows, user_id, carry)
+    if carry[0] is not None:
+        state.update(carry)
+    yield out
 
 
 def stateful_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:

@@ -41,3 +41,36 @@ def test_prior_floors_recoverable():
     best = compare_bench.prior_times()
     assert len(best) >= 100, f"only {len(best)} floors recovered"
     assert all(v > 0 for v in best.values())
+
+
+def test_floor_map_covers_benched_queries():
+    """The r05 verdict found the gate blind to 80/242 queries because floors
+    came only from the driver's 2000-char output tails (d16 regressed 3.9x
+    invisibly).  With BENCH_FLOORS.json built from full BENCH_DETAIL history
+    (scripts/update_floors.py), every benched query in the committed detail
+    must have a floor."""
+    detail = os.path.join(ROOT, "BENCH_DETAIL.json")
+    if not os.path.exists(detail):
+        pytest.skip("no BENCH_DETAIL.json committed yet")
+    benched = {
+        n for n, sec in json.load(open(detail))["queries"].items()
+        if isinstance(sec, (int, float))
+    }
+    floors = set(compare_bench.prior_times())
+    missing = sorted(benched - floors)
+    assert not missing, f"{len(missing)} benched queries without a floor: {missing[:10]}"
+
+
+def test_overrides_are_documented_subset():
+    """BENCH_FLOOR_OVERRIDES.json (hand-raised floors for legitimate
+    slowdowns) must only name real registry queries and carry positive
+    floors — a typo'd name would silently disable that query's gate."""
+    path = os.path.join(ROOT, "BENCH_FLOOR_OVERRIDES.json")
+    if not os.path.exists(path):
+        pytest.skip("no overrides file")
+    overrides = json.load(open(path))
+    floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
+    known = set(json.load(open(floors_path))) if os.path.exists(floors_path) else set()
+    for name, sec in overrides.items():
+        assert isinstance(sec, (int, float)) and sec > 0, name
+        assert name in known, f"override for unknown query {name}"

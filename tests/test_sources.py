@@ -281,9 +281,13 @@ def test_python_sink_roundtrip(spark):
 
 def test_python_sink_append_accumulates(spark):
     """mode('append') twice into the same directory must ADD part files
-    (job-unique names), never overwrite the first job's; a planted stale
-    *.tmp must be invisible to a glob-filtered read-back and swept by the
-    second job's commit."""
+    (job-unique names), never overwrite the first job's.  A planted FOREIGN
+    *.tmp (another job's token) must be invisible to a glob-filtered
+    read-back and must NOT be deleted by this job's commit: with
+    append-into-a-shared-directory the advertised pattern, a foreign tmp is
+    indistinguishable from a CONCURRENT job's in-flight write, and sweeping
+    it would crash that job's os.replace — commit() sweeps only its own
+    token's temps."""
     import os
     import shutil
     import tempfile
@@ -308,9 +312,14 @@ def test_python_sink_append_accumulates(spark):
         docs.write.format("jsonlsink").option("path", out).mode("append").save()
         second = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
         assert set(first) < set(second), "second append overwrote the first job"
-        assert not [f for f in os.listdir(out) if f.endswith(".tmp")], (
-            "commit() did not sweep the stale tmp"
+        tmps = [f for f in os.listdir(out) if f.endswith(".tmp")]
+        assert tmps == ["part-00000-dead.jsonl.beef.tmp"], (
+            "commit() must leave a foreign job's tmp alone (it may be an "
+            f"in-flight concurrent write) and sweep only its own: {tmps}"
         )
+        # the second job's own temps were swept (every .tmp left is foreign)
+        own = [f for f in tmps if f not in ("part-00000-dead.jsonl.beef.tmp",)]
+        assert not own, f"own-job temps survived commit: {own}"
         back = (
             spark.read.schema("doc_id long, n_chars long")
             .option("pathGlobFilter", "*.jsonl")
@@ -318,5 +327,42 @@ def test_python_sink_append_accumulates(spark):
         )
         assert back.count() == 6
         assert back.agg(F.sum("doc_id")).first()[0] == 12  # no 999 leaked in
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_python_sink_overwrite_replaces(spark):
+    """mode('overwrite') must actually REPLACE: with job-unique part names,
+    an overwrite that only adds files would silently behave as append and a
+    read-back would double-count.  Prior jobs' final parts are removed
+    driver-side in commit() (only after every task succeeded), so a failed
+    overwrite can never have destroyed the old data first."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spj_query_engine_spark.sources.pydatasource import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = tempfile.mkdtemp(prefix="spj_u08_ovw_")
+    try:
+        old = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [10, 20, 30]})
+        ).repartition(2)
+        old.write.format("jsonlsink").option("path", out).mode("append").save()
+        new = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7, 8], "n_chars": [70, 80]})
+        ).repartition(1)
+        new.write.format("jsonlsink").option("path", out).mode("overwrite").save()
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
+        assert back.count() == 2, "overwrite behaved as append"
+        assert back.agg(F.sum("doc_id")).first()[0] == 15
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -808,6 +808,69 @@ def test_fold_sessions_matches_scalar_loop():
     assert _fold_sessions(empty, gap_ms, (2, 5, 9, 1, 7)) == ([], (2, 5, 9, 1, 7))
 
 
+def test_asof_fold_matches_scalar_loop():
+    """e10's vectorized LOCF carry must be bit-identical to the per-row
+    ``itertuples`` fold it replaced — same emitted rows (including the
+    portable floor rounding of the carried price), same new state — across
+    random tagged batches, with and without an existing state carry, with
+    order-less event prefixes dropped exactly as before."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from spj_query_engine_spark.streaming.stateful import _asof_fold
+
+    def scalar(rows, user_id, carry):
+        okey, odate, oprice = carry
+        out = []
+        for r in rows.itertuples(index=False):
+            if r.is_event == 0:
+                okey, odate, oprice = (
+                    int(r.o_orderkey), int(r.ts_ms), float(r.o_totalprice)
+                )
+            elif okey is not None:
+                out.append(
+                    (int(r.event_id), user_id, int(r.ts_ms), okey, odate,
+                     math.floor(oprice * 100 + 0.5) / 100)
+                )
+        return out, (okey, odate, oprice)
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        m = int(rng.integers(1, 50))
+        is_event = rng.integers(0, 2, size=m)
+        if trial % 5 == 0:
+            is_event[:] = 1  # event-only batch (no order ever)
+        ts = rng.integers(0, 10_000_000, size=m).astype("int64")
+        rows = pd.DataFrame(
+            {
+                "ts_ms": ts,
+                "is_event": is_event,
+                "event_id": np.where(is_event == 1, rng.integers(1, 10_000, size=m), np.nan),
+                "o_orderkey": np.where(is_event == 0, rng.integers(1, 10_000, size=m), np.nan),
+                "o_totalprice": np.where(
+                    is_event == 0, np.round(rng.uniform(1, 9999, size=m), 2), np.nan
+                ),
+            }
+        ).sort_values(
+            ["ts_ms", "is_event", "o_orderkey"], kind="mergesort", na_position="first"
+        )
+        if trial % 3 == 0:
+            carry = (None, None, None)
+        else:
+            carry = (int(rng.integers(1, 100)), int(rng.integers(0, 1000)),
+                     float(np.round(rng.uniform(1, 9999), 2)))
+        exp_rows, exp_carry = scalar(rows, 42, carry)
+        got, got_carry = _asof_fold(rows, 42, carry)
+        assert got_carry == exp_carry
+        assert [tuple(r) for r in got.itertuples(index=False)] == exp_rows
+    # empty batch: carry passes through untouched, empty frame out
+    empty = rows.iloc[0:0]
+    got, got_carry = _asof_fold(empty, 42, (5, 6, 7.25))
+    assert got_carry == (5, 6, 7.25) and len(got) == 0
+
+
 def test_session_ttl_append_contract(spark):
     """TTL sessionize: emitted set == batch sessionization minus each
     user's trailing session unless the final watermark strictly passed its
