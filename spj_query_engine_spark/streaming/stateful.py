@@ -222,6 +222,20 @@ ASOF_STATE = T.StructType(
     ]
 )
 
+#: LOCF carries for every user of one BUCKET, as parallel arrays — the
+#: same key-coarsening as the TTL sessionizer's BUCKET_STATE: per-user keys
+#: cost one Python round trip per user per micro-batch (O(users) fixed
+#: overhead that dwarfed the actual fold at 100x — 300k tiny groups), while
+#: per-bucket keys fold every user of the bucket in one vectorized pass.
+ASOF_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("okeys", T.ArrayType(T.LongType())),
+        T.StructField("odates", T.ArrayType(T.LongType())),
+        T.StructField("oprices", T.ArrayType(T.DoubleType())),
+    ]
+)
+
 
 def _asof_fold(
     rows: pd.DataFrame, user_id: int, carry: tuple
@@ -294,32 +308,142 @@ def _asof_fold(
     return out, carry
 
 
-def _asof_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
-    """Merge the tagged (order|event) stream per user in time order,
-    carrying the latest order; emit one enriched row per event.  Within a
-    batch rows sort (ts, is_event, o_orderkey) — identical tie-break to the
-    batch LOCF formulation, so finite replay equals `asof_join`.  The fold
-    itself is the vectorized :func:`_asof_fold`."""
-    (user_id,) = key
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["ts_ms", "is_event", "o_orderkey"], kind="mergesort", na_position="first"
-    )
-    if state.exists:
-        carry = state.get
+def _asof_fold_multi(rows: pd.DataFrame, tails: tuple):
+    """Vectorized LOCF carry over one multi-user tagged batch — the bucket
+    generalization of :func:`_asof_fold`, per-user semantics identical.
+
+    ``rows`` is sorted (user_id, ts_ms, is_event, o_orderkey) NaN-first;
+    ``tails`` is a 4-tuple of equal-length sequences (users, okeys, odates,
+    oprices), users sorted ascending and unique.  Returns ``(out,
+    new_tails)``: one enriched frame row per event that has a carry
+    (in-batch or from state), and the post-batch carry per user — each
+    user's last batch order, else their untouched state carry.  The
+    in-batch carry index is a SEGMENTED cummax (global ``maximum.
+    accumulate`` of order positions, invalidated where it predates the
+    user's first row), so the fold is O(batch) C-side for the whole
+    bucket."""
+    import numpy as np
+
+    tu = np.asarray(tails[0], dtype=np.int64)
+    tok = np.asarray(tails[1], dtype=np.int64)
+    tod = np.asarray(tails[2], dtype=np.int64)
+    tpr = np.asarray(tails[3], dtype=np.float64)
+    m = len(rows)
+    cols = [f.name for f in ASOF_OUTPUT.fields]
+    if m == 0:
+        return pd.DataFrame(columns=cols), (tu, tok, tod, tpr)
+    u = rows["user_id"].to_numpy(dtype=np.int64)
+    ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    is_ev = rows["is_event"].to_numpy(dtype=np.int64)
+    okeys = rows["o_orderkey"].to_numpy(dtype=np.float64)
+    oprices = rows["o_totalprice"].to_numpy(dtype=np.float64)
+    ev_ids = rows["event_id"].to_numpy(dtype=np.float64)
+    order_mask = is_ev == 0
+    idx = np.arange(m)
+    new_user = np.empty(m, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = u[1:] != u[:-1]
+    first_idx = np.flatnonzero(new_user)
+    fu = u[first_idx]
+    seg_counts = np.diff(np.append(first_idx, m))
+    # segmented cummax: global accumulate, then invalidate where the best
+    # order position predates this row's own user segment
+    carry_raw = np.maximum.accumulate(np.where(order_mask, idx, -1))
+    seg_start = np.repeat(first_idx, seg_counts)
+    carry_idx = np.where(carry_raw >= seg_start, carry_raw, -1)
+    # per-user state carry, broadcast per row
+    if len(tu):
+        pos = np.searchsorted(tu, fu)
+        pos_c = np.minimum(pos, len(tu) - 1)
+        has_tail_u = (pos < len(tu)) & (tu[pos_c] == fu)
+        st_ok = np.where(has_tail_u, tok[pos_c], 0)
+        st_od = np.where(has_tail_u, tod[pos_c], 0)
+        st_pr = np.where(has_tail_u, tpr[pos_c], np.nan)
     else:
-        carry = (None, None, None)
-    out, carry = _asof_fold(rows, user_id, carry)
-    if carry[0] is not None:
-        state.update(carry)
+        pos_c = np.zeros(len(fu), dtype=np.intp)
+        has_tail_u = np.zeros(len(fu), dtype=bool)
+        st_ok = np.zeros(len(fu), dtype=np.int64)
+        st_od = np.zeros(len(fu), dtype=np.int64)
+        st_pr = np.full(len(fu), np.nan)
+    has_tail_r = np.repeat(has_tail_u, seg_counts)
+    st_ok_r = np.repeat(st_ok, seg_counts)
+    st_od_r = np.repeat(st_od, seg_counts)
+    st_pr_r = np.repeat(st_pr, seg_counts)
+    ev_mask = ~order_mask
+    ci = carry_idx[ev_mask]
+    have_batch = ci >= 0
+    ci_safe = np.maximum(ci, 0)
+    keep = have_batch | has_tail_r[ev_mask]
+    o_key = np.where(have_batch, okeys[ci_safe], st_ok_r[ev_mask].astype(np.float64))
+    o_date = np.where(have_batch, ts[ci_safe], st_od_r[ev_mask])
+    o_price = np.where(have_batch, oprices[ci_safe], st_pr_r[ev_mask])
+    out = pd.DataFrame(
+        {
+            "event_id": ev_ids[ev_mask][keep].astype(np.int64),
+            "user_id": u[ev_mask][keep],
+            "ts_ms": ts[ev_mask][keep],
+            "o_orderkey": o_key[keep].astype(np.int64),
+            "odate_ms": o_date[keep].astype(np.int64),
+            "o_totalprice": np.floor(o_price[keep] * 100 + 0.5) / 100,
+        }
+    )
+    # post-batch carry per user: last batch order, else the state carry
+    last_idx = np.append(first_idx[1:], m) - 1
+    lo = carry_idx[last_idx]  # last order row of each batch user (-1: none)
+    has_lo = lo >= 0
+    lo_safe = np.maximum(lo, 0)
+    # where() evaluates both branches — cast to int64 only after the NaNs
+    # (order rows absent) have been masked out by the where itself
+    nu_ok = np.where(has_lo, np.nan_to_num(okeys[lo_safe]), st_ok).astype(
+        np.int64
+    )
+    nu_od = np.where(has_lo, ts[lo_safe], st_od)
+    nu_pr = np.where(has_lo, oprices[lo_safe], st_pr)
+    nu_keep = has_lo | has_tail_u
+    touched = np.zeros(len(tu), dtype=bool)
+    if len(tu):
+        touched[pos_c[has_tail_u]] = True
+    ab = ~touched  # absent users' carries pass through
+    nt_u = np.concatenate([tu[ab], fu[nu_keep]])
+    nt_ok = np.concatenate([tok[ab], nu_ok[nu_keep]])
+    nt_od = np.concatenate([tod[ab], nu_od[nu_keep]])
+    nt_pr = np.concatenate([tpr[ab], nu_pr[nu_keep]])
+    order = np.argsort(nt_u, kind="stable")
+    return out, (nt_u[order], nt_ok[order], nt_od[order], nt_pr[order])
+
+
+def _asof_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+    """Merge the tagged (order|event) stream per BUCKET of users in time
+    order, carrying each user's latest order; emit one enriched row per
+    event.  Within a batch rows sort (user, ts, is_event, o_orderkey) —
+    identical per-user tie-break to the batch LOCF formulation, so finite
+    replay equals `asof_join`.  The fold is the vectorized bucket-wide
+    :func:`_asof_fold_multi`; state holds the bucket's carries as parallel
+    arrays, so the per-micro-batch Python overhead is O(buckets), not
+    O(users)."""
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["user_id", "ts_ms", "is_event", "o_orderkey"],
+        kind="mergesort",
+        na_position="first",
+    )
+    tails = state.get if state.exists else ((), (), (), ())
+    out, new_tails = _asof_fold_multi(rows, tails)
+    if len(new_tails[0]):
+        state.update(tuple(a.tolist() for a in new_tails))
     yield out
 
 
-def stateful_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+def stateful_asof_join(
+    events: DataFrame, orders: DataFrame, buckets: int = 256
+) -> DataFrame:
     """Streaming AS-OF: the union-LOCF formulation
-    (:func:`operators.temporal.asof_join_locf`) with the carry held in
-    explicit per-user state so it survives across micro-batches.  `events`
-    may be a stream; `orders` a static frame (the common enrich-stream-with-
-    dimension-history case) or a second stream unioned in upstream."""
+    (:func:`operators.temporal.asof_join_locf`) with the carries held in
+    explicit per-BUCKET state so they survive across micro-batches.
+    `events` may be a stream; `orders` a static frame (the common
+    enrich-stream-with-dimension-history case) or a second stream unioned
+    in upstream.  Bucket keying (``user_id % buckets``) folds every user of
+    a bucket in one vectorized pass — per-user keys measured 300k tiny
+    group invocations per batch at 100x, all fixed Python overhead."""
     e = events.select(
         "user_id",
         F.unix_millis(F.col("ts").cast(T.TimestampType())).alias("ts_ms"),
@@ -336,10 +460,13 @@ def stateful_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    return e.unionByName(o).groupBy("user_id").applyInPandasWithState(
+    tagged = e.unionByName(o).withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(buckets))
+    )
+    return tagged.groupBy("bucket").applyInPandasWithState(
         _asof_fn,
         outputStructType=ASOF_OUTPUT,
-        stateStructType=ASOF_STATE,
+        stateStructType=ASOF_BUCKET_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -348,12 +475,29 @@ def stateful_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
 def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming as-of over the finite events directory (orders
     static) to completion; equals batch ``asof_join`` on the same input."""
-    from spj_query_engine_spark.streaming.ingest import stream_table
+    from spj_query_engine_spark.streaming.ingest import (
+        resolve_stream_partitions,
+        stream_table,
+    )
 
     name = f"stream_asof_{uuid.uuid4().hex[:8]}"
     orders = stream_table(spark, sf_dir, "orders")
+    override = spark.conf.get("spj.stream.session.buckets", None)
+    # the as-of runner keeps SESSION shuffle partitions (its merge fold is
+    # heavy, unlike the TTL sessionizer's — downsizing measured 4x slower),
+    # so bucket count keys off the larger of the byte-derived count and the
+    # session parallelism to keep every state partition loaded
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    buckets = (
+        int(override)
+        if override
+        else USERS_PER_PARTITION_BUCKETS
+        * max(resolve_stream_partitions(spark, sf_dir), cur)
+    )
     q = (
-        stateful_asof_join(stream_events(spark, sf_dir), orders)
+        stateful_asof_join(
+            stream_events(spark, sf_dir), orders, buckets=buckets
+        )
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -580,36 +724,193 @@ def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: past its last event before the timer finalizes it and its state expires
 TTL_WATERMARK_MIN = 60
 
+#: open-session tails for every user of one BUCKET, as parallel arrays.
+#: Keying the state op by a hash bucket instead of the raw user coarsens the
+#: TIMER granularity: ``applyInPandasWithState`` re-invokes the function once
+#: per timed-out KEY with an empty frame, so per-user keys pay O(users)
+#: Python round trips in every timer micro-batch regardless of event volume
+#: (the e50 cost floor the r05 verdict flagged: 139 s at 100x, almost all of
+#: it the final timer batch).  Per-bucket keys pay O(buckets); the bucket's
+#: timer is armed at the MIN over its open tails of ``end + gap``, and each
+#: firing emits exactly the expired tails and re-arms for the rest.
+BUCKET_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("snos", T.ArrayType(T.LongType())),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("micros", T.ArrayType(T.LongType())),
+    ]
+)
+
+#: open-session tails per bucket; one state-function invocation folds every
+#: user of the bucket in one vectorized pass
+USERS_PER_PARTITION_BUCKETS = 8
+
+
+def _fold_sessions_multi(rows: pd.DataFrame, gap_ms: int, tails: tuple):
+    """Vectorized gap-split of one (user, ts)-sorted multi-user batch
+    against the bucket's carried tails — the many-users generalization of
+    :func:`_fold_sessions`, with identical per-user semantics (same session
+    numbering, same carry merge/close rules, same integer-micros rounding).
+
+    ``tails`` is a 6-tuple of equal-length sequences (users, snos, starts,
+    ends, ns, micros), users SORTED ascending and unique.  Returns
+    ``(closed, new_tails)`` as 6-tuples of numpy int64 arrays: ``closed``
+    are the sessions finalized inside this batch (carried tails closed by
+    their user's first event included) and ``new_tails`` the open tail per
+    user — batch users' trailing sessions plus untouched carried tails —
+    again user-sorted.  Everything is numpy boundary arithmetic
+    (flatnonzero / reduceat / searchsorted), so one bucket invocation costs
+    O(batch) C-side no matter how many users it covers."""
+    import numpy as np
+
+    tu, tsno, tstart, tend, tn, tmic = (
+        np.asarray(a, dtype=np.int64) for a in tails
+    )
+    m = len(rows)
+    if m == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (empty,) * 6, (tu, tsno, tstart, tend, tn, tmic)
+    u = rows["user_id"].to_numpy(dtype=np.int64)
+    ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    ev_mic = np.rint(rows["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    new_user = np.empty(m, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = u[1:] != u[:-1]
+    brk = np.empty(m, dtype=bool)
+    brk[0] = True
+    brk[1:] = (ts[1:] - ts[:-1] > gap_ms) | new_user[1:]
+
+    first_idx = np.flatnonzero(new_user)  # first batch row of each user
+    fu = u[first_idx]
+    if len(tu):
+        pos = np.searchsorted(tu, fu)
+        pos_c = np.minimum(pos, len(tu) - 1)
+        has_tail = (pos < len(tu)) & (tu[pos_c] == fu)
+        tail_end = np.where(has_tail, tend[pos_c], np.int64(-(1 << 62)))
+    else:
+        pos_c = np.zeros(len(fu), dtype=np.intp)
+        has_tail = np.zeros(len(fu), dtype=bool)
+        tail_end = np.full(len(fu), -(1 << 62), dtype=np.int64)
+    merge = has_tail & (ts[first_idx] - tail_end <= gap_ms)
+
+    bounds = np.flatnonzero(brk)
+    gends = np.append(bounds[1:], m)
+    g_user = u[bounds]
+    g_start = ts[bounds].copy()
+    g_end = ts[gends - 1]
+    g_n = (gends - bounds).astype(np.int64)
+    g_mic = np.add.reduceat(ev_mic, bounds)
+    k = len(bounds)
+    g_new_user = np.empty(k, dtype=bool)
+    g_new_user[0] = True
+    g_new_user[1:] = g_user[1:] != g_user[:-1]
+    fg = np.flatnonzero(g_new_user)  # first group per user, fu-aligned
+    counts = np.diff(np.append(fg, k))  # groups per user
+    if len(tu):
+        # merged first-groups continue the carried session
+        g_start[fg[merge]] = tstart[pos_c[merge]]
+        g_n[fg[merge]] += tn[pos_c[merge]]
+        g_mic[fg[merge]] += tmic[pos_c[merge]]
+        base = np.where(
+            merge, tsno[pos_c], np.where(has_tail, tsno[pos_c] + 1, 1)
+        )
+    else:
+        base = np.ones(len(fu), dtype=np.int64)
+    g_sno = np.repeat(base, counts) + (np.arange(k) - np.repeat(fg, counts))
+    is_last = np.append(g_new_user[1:], True)
+
+    # carried tails closed by their user's first batch event — final now
+    cf = pos_c[has_tail & ~merge]
+    nl = ~is_last
+    closed = (
+        np.concatenate([tu[cf], g_user[nl]]),
+        np.concatenate([tsno[cf], g_sno[nl]]),
+        np.concatenate([tstart[cf], g_start[nl]]),
+        np.concatenate([tend[cf], g_end[nl]]),
+        np.concatenate([tn[cf], g_n[nl]]),
+        np.concatenate([tmic[cf], g_mic[nl]]),
+    )
+    touched = np.zeros(len(tu), dtype=bool)
+    if len(tu):
+        touched[pos_c[has_tail]] = True
+    keep = ~touched
+    nt = (
+        np.concatenate([tu[keep], g_user[is_last]]),
+        np.concatenate([tsno[keep], g_sno[is_last]]),
+        np.concatenate([tstart[keep], g_start[is_last]]),
+        np.concatenate([tend[keep], g_end[is_last]]),
+        np.concatenate([tn[keep], g_n[is_last]]),
+        np.concatenate([tmic[keep], g_mic[is_last]]),
+    )
+    order = np.argsort(nt[0], kind="stable")
+    return closed, tuple(a[order] for a in nt)
+
 
 def _session_ttl_fn(gap_ms: int):
+    """Bucket-keyed TTL sessionize state function.  Each key is a hash
+    bucket of users; state is the bucket's open tails as parallel arrays
+    (:data:`BUCKET_STATE`); the timer is armed at the bucket's MIN
+    ``end + gap`` and each firing emits exactly the expired tails.  The
+    per-user emission semantics are identical to the former per-user-keyed
+    function (same rows, same session numbering); what changes is the
+    timer granularity: O(buckets) empty-frame re-invocations per timer
+    micro-batch instead of O(users) — the cost floor of the finite replay."""
+    import numpy as np
+
+    def _frame(arrs) -> pd.DataFrame:  # noqa: ANN001
+        users, snos, starts, ends, ns, mics = arrs
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "session_no": snos,
+                "session_start_ms": starts,
+                "session_end_ms": ends,
+                "n_events": ns,
+                "sum_value": np.asarray(mics, dtype=np.float64) / 1e6,
+            }
+        )
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        cols = [f.name for f in OUTPUT_SCHEMA.fields]
         if state.hasTimedOut:
-            # the watermark passed end+gap: the open session can never be
-            # extended again — emit it as FINAL and expire the state (TTL)
-            sno, start, end, n, micros = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(user_id, sno, start, end, n, micros / 1e6)], columns=cols
-            )
+            # the watermark passed min(end)+gap for this bucket: emit the
+            # tails that can never be extended again as FINAL, expire them
+            # from state, and re-arm the timer for whatever remains
+            tails = tuple(np.asarray(a, dtype=np.int64) for a in state.get)
+            wm = state.getCurrentWatermarkMs()
+            expired = tails[3] + gap_ms < wm
+            out = _frame(tuple(a[expired] for a in tails))
+            if bool(expired.all()):
+                state.remove()
+            else:
+                rest = tuple(a[~expired] for a in tails)
+                state.update(tuple(a.tolist() for a in rest))
+                state.setTimeoutTimestamp(
+                    max(int(rest[3].min()) + gap_ms, wm + 1)
+                )
+            yield out
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
-        if state.exists:
-            carry = state.get
-        else:
-            carry = (0, None, None, 0, 0)
+        rows = rows.sort_values(
+            ["user_id", "ts_ms", "event_id"], kind="mergesort"
+        )
+        tails = state.get if state.exists else ((),) * 6
         # sessions closed BY A LATER EVENT are final the moment they close;
-        # the trailing open session does NOT emit — it waits in state for
-        # the event-time timer (or a later batch that extends it)
-        closed, tail = _fold_sessions(rows, gap_ms, carry)
-        out = [(user_id, s, a, b, c, mi / 1e6) for s, a, b, c, mi in closed]
-        state.update(tail)
-        state.setTimeoutTimestamp(tail[2] + gap_ms)
-        yield pd.DataFrame(out, columns=cols)
+        # each user's trailing open session does NOT emit — it waits in
+        # state for the bucket timer (or a later batch that extends it)
+        closed, new_tails = _fold_sessions_multi(rows, gap_ms, tails)
+        state.update(tuple(a.tolist() for a in new_tails))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int(new_tails[3].min()) + gap_ms, wm + 1)
+        )
+        yield _frame(closed)
 
     return fn
 
@@ -618,6 +919,7 @@ def stateful_sessionize_ttl(
     events: DataFrame,
     gap_minutes: int = SESSION_GAP_MIN,
     watermark_minutes: int = TTL_WATERMARK_MIN,
+    buckets: int = 256,
 ) -> DataFrame:
     """Bounded-state streaming sessionize — the PRODUCTION shape the
     NoTimeout variant's docstring promises: ``withWatermark`` +
@@ -635,22 +937,27 @@ def stateful_sessionize_ttl(
     only when the watermark strictly exceeds it; the engine's no-data
     micro-batch delivers the firing after the last file batch).
 
-    Cost anatomy at scale (measured: 4.9 s at sf0.1, 139 s at 100× on the
-    same 32 cores — ratio 28, down from 69 when the fold was a per-event
-    Python loop at 4 state partitions): the data batches fold vectorized
-    (``_fold_sessions``), and state partitions now size from the real
-    part-file bytes, so the remaining floor is the timer micro-batch —
-    it re-invokes the state fn once PER TIMED-OUT GROUP with an empty
-    frame, O(users) Python calls regardless of event volume, spread
-    across the state partitions.  That is the price of pandas-state timer
-    semantics; when only the session aggregate (not custom per-event
-    state) is needed, the JVM-native ``session_window`` + watermark (e13)
-    is the fast path."""
+    Cost anatomy at scale: ``applyInPandasWithState`` re-invokes the state
+    function once per timed-out KEY with an empty frame, so per-user keys
+    made the timer micro-batch O(users) Python round trips — the measured
+    floor of the finite replay (139 s at 100×, ratio 28, almost all timer
+    batch).  The operator therefore keys by a HASH BUCKET of users
+    (``user_id % buckets``): data batches fold every user of a bucket in
+    one vectorized pass (:func:`_fold_sessions_multi`), the bucket timer
+    is armed at its min ``end + gap``, and a firing emits exactly the
+    expired tails and re-arms — O(buckets) timer invocations, emitted rows
+    identical to per-user keying.  State per key is the bucket's open
+    tails (still O(active users) total across keys, bounded by the
+    watermark horizon); ``buckets`` scales with the deployment's user
+    count the same way shuffle partitions scale with data.  When only the
+    session aggregate (not custom per-event state) is needed, the
+    JVM-native ``session_window`` + watermark (e13) is the fast path."""
     gap_ms = gap_minutes * 60 * 1000
     base = (
         events.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         .withWatermark("ts", f"{watermark_minutes} minutes")
         .select(
+            F.pmod(F.col("user_id"), F.lit(buckets)).alias("bucket"),
             "user_id",
             "event_id",
             "ts",  # the watermarked event-time column must survive the
@@ -659,10 +966,10 @@ def stateful_sessionize_ttl(
             "value",
         )
     )
-    return base.groupBy("user_id").applyInPandasWithState(
+    return base.groupBy("bucket").applyInPandasWithState(
         _session_ttl_fn(gap_ms),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=BUCKET_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -676,14 +983,26 @@ def run_stateful_sessionize_ttl(
     fires the event-time timers once the watermark reaches ``max(ts) −
     watermark``, so the memory sink holds the full append-mode output."""
     name = f"stream_session_ttl_{uuid.uuid4().hex[:8]}"
-    # Input-sized state partitions (see ingest.stream_state_conf): unlike
-    # e10's merge-heavy as-of, the per-group session fold is trivial, so the
-    # per-partition state-store + Python-worker fixed cost dominates — twice
-    # over here, because the timer no-data batch re-invokes every group
-    # (measured at sf0.01: 19 s at 32 partitions, 3.9 s at 8).
+    # Input-sized state partitions (see ingest.stream_state_conf): the
+    # per-partition state-store + Python-worker fixed cost dominates small
+    # replays.  Bucket count rides the same derivation — a handful of
+    # buckets per state partition keeps every partition busy in both the
+    # data fold and the timer batch while capping timer invocations
+    # (conf ``spj.stream.session.buckets`` overrides in deployment).
+    from spj_query_engine_spark.streaming.ingest import resolve_stream_partitions
+
+    override = spark.conf.get("spj.stream.session.buckets", None)
+    buckets = (
+        int(override)
+        if override
+        else USERS_PER_PARTITION_BUCKETS
+        * resolve_stream_partitions(spark, sf_dir)
+    )
     with stream_state_conf(spark, sf_dir):
         q = (
-            stateful_sessionize_ttl(stream_events(spark, sf_dir), gap_minutes)
+            stateful_sessionize_ttl(
+                stream_events(spark, sf_dir), gap_minutes, buckets=buckets
+            )
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)

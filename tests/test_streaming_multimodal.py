@@ -808,6 +808,82 @@ def test_fold_sessions_matches_scalar_loop():
     assert _fold_sessions(empty, gap_ms, (2, 5, 9, 1, 7)) == ([], (2, 5, 9, 1, 7))
 
 
+def test_fold_sessions_multi_matches_per_user():
+    """The bucket fold must equal applying the per-user fold independently
+    to every user: same closed sessions (carry-closed included), same new
+    tails (absent users' carried tails passed through untouched), across
+    random multi-user batches and random carried-tail sets."""
+    import numpy as np
+    import pandas as pd
+
+    from spj_query_engine_spark.streaming.stateful import (
+        _fold_sessions,
+        _fold_sessions_multi,
+    )
+
+    rng = np.random.default_rng(23)
+    gap_ms = 1800_000
+    for trial in range(40):
+        n_users = int(rng.integers(1, 8))
+        users = rng.choice(np.arange(100, 100 + 12), size=n_users, replace=False)
+        frames = []
+        for uid in users:
+            m = int(rng.integers(1, 25))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(m, uid, dtype="int64"),
+                        "ts_ms": np.sort(
+                            rng.integers(0, 50_000_000, size=m)
+                        ).astype("int64"),
+                        "event_id": rng.integers(0, 10_000, size=m).astype("int64"),
+                        "value": np.round(rng.uniform(-5, 5, size=m), 6),
+                    }
+                )
+            )
+        rows = pd.concat(frames, ignore_index=True).sort_values(
+            ["user_id", "ts_ms", "event_id"], kind="mergesort"
+        )
+        # carried tails: a subset of the batch users plus one absent user
+        tail_users = sorted(
+            set(rng.choice(users, size=int(rng.integers(0, n_users + 1)),
+                           replace=False).tolist()) | {99}
+        )
+        tails = {
+            u: (int(rng.integers(1, 5)), int(rng.integers(0, 10_000_000)) - 1000,
+                int(rng.integers(0, 10_000_000)), 3, 12345)
+            for u in tail_users
+        }
+        for u in tails:
+            sno, s, e, n, mic = tails[u]
+            tails[u] = (sno, min(s, e - 1), e, n, mic)
+        t_arr = tuple(
+            [  # users, snos, starts, ends, ns, micros — user-sorted
+                [u for u in tail_users],
+                [tails[u][0] for u in tail_users],
+                [tails[u][1] for u in tail_users],
+                [tails[u][2] for u in tail_users],
+                [tails[u][3] for u in tail_users],
+                [tails[u][4] for u in tail_users],
+            ]
+        )
+        closed, new_tails = _fold_sessions_multi(rows, gap_ms, t_arr)
+        got_closed = sorted(zip(*(a.tolist() for a in closed)))
+        got_tails = sorted(zip(*(a.tolist() for a in new_tails)))
+        exp_closed, exp_tails = [], []
+        for u in sorted(set(users.tolist()) | set(tail_users)):
+            sub = rows[rows["user_id"] == u]
+            carry = tails.get(u, (0, None, None, 0, 0))
+            if len(sub) == 0:
+                exp_tails.append((u, *carry))
+                continue
+            c, tail = _fold_sessions(sub, gap_ms, carry)
+            exp_closed.extend((u, *t) for t in c)
+            exp_tails.append((u, *tail))
+        assert got_closed == sorted(exp_closed)
+        assert got_tails == sorted(exp_tails)
+
+
 def test_asof_fold_matches_scalar_loop():
     """e10's vectorized LOCF carry must be bit-identical to the per-row
     ``itertuples`` fold it replaced — same emitted rows (including the
@@ -869,6 +945,87 @@ def test_asof_fold_matches_scalar_loop():
     empty = rows.iloc[0:0]
     got, got_carry = _asof_fold(empty, 42, (5, 6, 7.25))
     assert got_carry == (5, 6, 7.25) and len(got) == 0
+
+
+def test_asof_fold_multi_matches_per_user():
+    """The bucket-wide LOCF fold must equal applying the single-user fold
+    independently per user: same emitted rows, same post-batch carries
+    (absent users' state carries passed through), across random multi-user
+    tagged batches and random carry sets."""
+    import numpy as np
+    import pandas as pd
+
+    from spj_query_engine_spark.streaming.stateful import (
+        _asof_fold,
+        _asof_fold_multi,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(40):
+        n_users = int(rng.integers(1, 8))
+        users = rng.choice(np.arange(200, 212), size=n_users, replace=False)
+        frames = []
+        for uid in users:
+            m = int(rng.integers(1, 30))
+            is_event = rng.integers(0, 2, size=m)
+            if trial % 5 == 0:
+                is_event[:] = 1
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(m, uid, dtype="int64"),
+                        "ts_ms": rng.integers(0, 10_000_000, size=m).astype("int64"),
+                        "is_event": is_event,
+                        "event_id": np.where(
+                            is_event == 1, rng.integers(1, 10_000, size=m), np.nan
+                        ),
+                        "o_orderkey": np.where(
+                            is_event == 0, rng.integers(1, 10_000, size=m), np.nan
+                        ),
+                        "o_totalprice": np.where(
+                            is_event == 0,
+                            np.round(rng.uniform(1, 9999, size=m), 2),
+                            np.nan,
+                        ),
+                    }
+                )
+            )
+        rows = pd.concat(frames, ignore_index=True).sort_values(
+            ["user_id", "ts_ms", "is_event", "o_orderkey"],
+            kind="mergesort",
+            na_position="first",
+        )
+        tail_users = sorted(
+            set(rng.choice(users, size=int(rng.integers(0, n_users + 1)),
+                           replace=False).tolist()) | {199}
+        )
+        tails = {
+            u: (int(rng.integers(1, 100)), int(rng.integers(0, 1000)),
+                float(np.round(rng.uniform(1, 9999), 2)))
+            for u in tail_users
+        }
+        t_arr = (
+            [u for u in tail_users],
+            [tails[u][0] for u in tail_users],
+            [tails[u][1] for u in tail_users],
+            [tails[u][2] for u in tail_users],
+        )
+        got, nt = _asof_fold_multi(rows, t_arr)
+        got_rows = sorted(tuple(r) for r in got.itertuples(index=False))
+        got_tails = sorted(zip(*(a.tolist() for a in nt)))
+        exp_rows, exp_tails = [], []
+        for u in sorted(set(users.tolist()) | set(tail_users)):
+            sub = rows[rows["user_id"] == u].sort_values(
+                ["ts_ms", "is_event", "o_orderkey"],
+                kind="mergesort", na_position="first",
+            )
+            carry = tails.get(u, (None, None, None))
+            out, carry = _asof_fold(sub, int(u), carry)
+            exp_rows.extend(tuple(r) for r in out.itertuples(index=False))
+            if carry[0] is not None:
+                exp_tails.append((u, carry[0], carry[1], carry[2]))
+        assert got_rows == sorted(exp_rows)
+        assert got_tails == sorted(exp_tails)
 
 
 def test_session_ttl_append_contract(spark):
