@@ -81,6 +81,24 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession."""
+    # If the runtime lacks google.protobuf (needed worker-side by Spark 4's
+    # transformWithStateInPandas state-server client), expose the vendored
+    # wire-format shim through PYTHONPATH BEFORE the JVM gateway launches:
+    # the TWS driver worker is spawned by the JVM with the JVM's inherited
+    # environment and does not process addPyFile includes, so the env var
+    # is the only channel that reaches it.  A real protobuf always wins —
+    # the shim path is appended only when the import fails.
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        shim = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "_vendor", "protoshim"
+        )
+        current = os.environ.get("PYTHONPATH", "")
+        if shim not in current.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{current}{os.pathsep}{shim}" if current else shim
+            )
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
     conf = dict(_BUILD_TIME_CONF)

@@ -28,6 +28,7 @@ cluster.
 from __future__ import annotations
 
 import math
+import os
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -573,25 +574,42 @@ def run_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     name = f"tws_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_events(spark, sf_dir)
-        .select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            RunningTotals(),
-            outputStructType=out_schema,
-            outputMode="append",
-            timeMode="none",
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    # TWS state lives in named column families, which only the RocksDB
+    # state store provider supports (HDFS-backed throws
+    # UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES).  The
+    # provider is fixed per query at start, so scoping the conf to this
+    # query leaves the applyInPandasWithState runners on the default.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_events(spark, sf_dir)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="append",
+                timeMode="none",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     snaps = spark.table(name)
     from pyspark.sql import Window
 
@@ -680,17 +698,72 @@ def run_apws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def tws_available() -> bool:
-    """Whether ``transformWithStateInPandas`` can run here: its Python
-    state server speaks protobuf to the JVM, so ``google.protobuf`` must be
-    importable.  Centralized so tests and the auto selector agree on one
-    probe."""
+#: vendored minimal protobuf runtime (wire codec + dynamic messages driven
+#: by the generated serialized descriptor) — used ONLY when no real
+#: google.protobuf distribution is importable; see _vendor/protoshim
+PROTOSHIM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_vendor",
+    "protoshim",
+)
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """Make ``google.protobuf`` importable, preferring a real installation
+    and falling back to the vendored minimal shim.  With a ``spark`` handle
+    the shim is also shipped to the Python WORKERS (``addPyFile`` zip) —
+    the TWS state-server client runs worker-side, so driver ``sys.path``
+    alone is not enough.  Returns whether the import now succeeds."""
+    import sys
+
     try:
         import google.protobuf  # noqa: F401
 
-        return True
+        shimmed = PROTOSHIM_DIR in sys.path
     except ImportError:
-        return False
+        if PROTOSHIM_DIR not in sys.path:
+            sys.path.insert(0, PROTOSHIM_DIR)
+        try:
+            import google.protobuf  # noqa: F401
+
+            shimmed = True
+        except ImportError:
+            return False
+    if spark is not None and shimmed:
+        try:
+            import zipfile
+
+            zip_path = "/tmp/spj_protoshim.zip"
+            newest = max(
+                os.path.getmtime(os.path.join(root, fn))
+                for root, _d, files in os.walk(PROTOSHIM_DIR)
+                for fn in files
+                if fn.endswith(".py")
+            )
+            if (
+                not os.path.exists(zip_path)
+                or os.path.getmtime(zip_path) < newest
+            ):
+                with zipfile.ZipFile(zip_path, "w") as zf:
+                    for root, _d, files in os.walk(PROTOSHIM_DIR):
+                        for fn in files:
+                            if fn.endswith(".py"):
+                                full = os.path.join(root, fn)
+                                zf.write(
+                                    full, os.path.relpath(full, PROTOSHIM_DIR)
+                                )
+            spark.sparkContext.addPyFile(zip_path)
+        except Exception:
+            pass  # re-adding the same file raises on some versions; harmless
+    return True
+
+
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can run here: its Python
+    state server speaks protobuf to the JVM, so ``google.protobuf`` must be
+    importable — a real distribution, else the vendored wire-format shim.
+    Centralized so tests and the auto selector agree on one probe."""
+    return ensure_protobuf(None)
 
 
 #: which stateful API the last ``run_running_totals_auto`` call actually
@@ -709,7 +782,7 @@ def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold integer cents in event order and reduce finite replay to the same
     batch rollup, so one DuckDB oracle verifies whichever ran."""
     global SELECTED_API
-    if tws_available():
+    if ensure_protobuf(spark):
         SELECTED_API = "tws"
         return run_tws_running_totals(spark, sf_dir)
     SELECTED_API = "apws"

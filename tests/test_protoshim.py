@@ -1,0 +1,134 @@
+"""Vendored minimal protobuf runtime (spj_query_engine_spark/_vendor/
+protoshim): wire-format checks against hand-computed encodings from the
+public protobuf encoding spec, driven through the REAL generated module
+(pyspark's StateMessage_pb2) so the descriptor-parsing path is exercised
+end-to-end.  The authoritative integration check is
+test_streaming_multimodal.py::test_tws_running_totals, where the JVM state
+server is the wire peer.
+
+No Spark session needed here.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+SHIM = None
+
+
+def _pb2():
+    """Import pyspark's generated module through whatever protobuf runtime
+    resolves — the shim when no real distribution exists."""
+    from spj_query_engine_spark.streaming.stateful import (
+        PROTOSHIM_DIR,
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(None):
+        pytest.skip("no protobuf runtime available at all")
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_scalar_fields_exact_bytes():
+    sm = _pb2()
+    r = sm.StateResponse(statusCode=1, errorMessage="x", value=b"ab")
+    assert r.SerializeToString() == b"\x08\x01\x12\x01x\x1a\x02ab"
+    back = sm.StateResponse()
+    back.ParseFromString(b"\x08\x01\x12\x01x\x1a\x02ab")
+    assert (back.statusCode, back.errorMessage, back.value) == (1, "x", b"ab")
+
+
+def test_empty_oneof_member_emits_zero_length():
+    """The request unions rely on an EMPTY message member (e.g.
+    RemoveImplicitKey) being emitted as a zero-length length-delimited
+    field — dropping it would leave the JVM seeing no method set."""
+    sm = _pb2()
+    req = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    assert req.SerializeToString() == b"\x22\x02\x12\x00"
+
+
+def test_negative_int64_ten_byte_varint():
+    sm = _pb2()
+    t = sm.RegisterTimer(expiryTimestampMs=-1)
+    assert t.SerializeToString() == b"\x08" + b"\xff" * 9 + b"\x01"
+    back = sm.RegisterTimer()
+    back.ParseFromString(t.SerializeToString())
+    assert back.expiryTimestampMs == -1
+
+
+def test_repeated_message_round_trip():
+    sm = _pb2()
+    resp = sm.StateResponseWithTimer(
+        statusCode=0,
+        timer=[
+            sm.TimerInfo(key=b"k1", timestampMs=5),
+            sm.TimerInfo(timestampMs=7),
+        ],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(resp.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back.timer] == [
+        (b"k1", 5),
+        (b"", 7),
+    ]
+    assert back.requireNextFetch is True
+
+
+def test_enum_and_nested_oneof_round_trip():
+    sm = _pb2()
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.DATA_PROCESSED)
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == 3
+
+
+def test_unknown_fields_skipped():
+    sm = _pb2()
+    # field 200 varint + a valid statusCode — unknown must be ignored
+    payload = b"\xc0\x0c\x05" + b"\x08\x02"  # (200<<3)|0 = 1600 -> varint c0 0c
+    back = sm.StateResponse()
+    back.ParseFromString(payload)
+    assert back.statusCode == 2
+
+
+def test_repeated_bytes_values():
+    sm = _pb2()
+    resp = sm.StateResponseWithListGet(
+        statusCode=0, value=[b"a", b"bb"], requireNextFetch=False
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.value == [b"a", b"bb"]
+    # absent repeated field reads as empty list
+    assert sm.StateResponseWithListGet().value == []
+
+
+def test_real_protobuf_wins_when_present():
+    """The shim path is appended only on ImportError — if a real
+    google.protobuf is importable without the shim dir, the shim must not
+    shadow it."""
+    from spj_query_engine_spark.streaming.stateful import PROTOSHIM_DIR
+
+    had_shim = PROTOSHIM_DIR in sys.path
+    if not had_shim:
+        # a real distribution resolved first; nothing more to assert
+        import google.protobuf  # noqa: F401
+
+        return
+    # shim active: its version marker should match the gencode it targets
+    import google.protobuf as gp
+
+    assert gp.__version__ == "6.33.0"

@@ -372,13 +372,18 @@ def test_frame_dup_pairs_planted(spark):
 
 def test_tws_running_totals(spark):
     """Spark 4 transformWithStateInPandas running totals == batch rollup
-    (finite replay).  Requires google.protobuf in the Python runtime for
-    the TWS state server; skipped where absent."""
-    pytest.importorskip("google.protobuf")
+    (finite replay).  The TWS state server needs google.protobuf in the
+    Python runtime — a real distribution or the vendored wire-format shim
+    (ensure_protobuf ships the shim to the workers); skipped only if
+    neither can be made importable."""
     from spj_query_engine_spark.streaming.stateful import (
+        ensure_protobuf,
         run_tws_running_totals,
         tws_running_totals_sql,
     )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("google.protobuf unavailable and shim failed to load")
     import duckdb
 
     got = run_tws_running_totals(spark, SF_DIR)
