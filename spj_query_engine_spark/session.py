@@ -87,13 +87,25 @@ def get_spark(
     # the TWS driver worker is spawned by the JVM with the JVM's inherited
     # environment and does not process addPyFile includes, so the env var
     # is the only channel that reaches it.  A real protobuf always wins —
-    # the shim path is appended only when the import fails.
+    # the shim path is appended only when no real distribution resolves.
+    # NOTE the import succeeding is NOT enough to skip the export: if this
+    # process already loaded the SHIM via sys.path (ensure_protobuf(None),
+    # e.g. an earlier test in the same pytest run), the import succeeds here
+    # while the TWS driver worker — a fresh process that only sees the env
+    # var — would still crash on `from google.protobuf import descriptor`.
+    shim = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_vendor", "protoshim"
+    )
     try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        shim = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "_vendor", "protoshim"
+        import google.protobuf as _gp
+
+        _gp_file = getattr(_gp, "__file__", None) or ""
+        shim_needed = os.path.abspath(_gp_file).startswith(
+            os.path.abspath(shim) + os.sep
         )
+    except ImportError:
+        shim_needed = True
+    if shim_needed:
         current = os.environ.get("PYTHONPATH", "")
         if shim not in current.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
