@@ -71,7 +71,9 @@ def prior_floors() -> dict[str, float]:
                 sec = float(sec)
             except (TypeError, ValueError):
                 continue
-            floors[name] = min(floors.get(name, float("inf")), sec)
+            # tails record min-of-runs (lucky draws) — gap-fill only, never
+            # deflate a committed median floor (see scripts/update_floors.py)
+            floors.setdefault(name, sec)
     opath = os.path.join(here, "BENCH_FLOOR_OVERRIDES.json")
     if os.path.exists(opath):
         try:

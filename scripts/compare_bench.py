@@ -27,13 +27,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def prior_times() -> dict[str, float]:
     """Per-query floor map.  Primary source: the committed BENCH_FLOORS.json
-    (built by scripts/update_floors.py from EVERY BENCH_DETAIL.json version
-    in git history — the driver tails alone covered only 162/242 queries and
-    let d16's 3.9x regression through unseen).  The driver tails are merged
-    on top (min) so a fresh driver recording not yet folded into the floors
-    file still counts.  BENCH_FLOOR_OVERRIDES.json (hand-maintained: name ->
-    floor seconds for documented legitimate slowdowns) takes absolute
-    precedence."""
+    (built by scripts/update_floors.py as the MEDIAN of each query's judged
+    time across every committed BENCH_DETAIL.json — the typical achievable
+    value; see BENCH_VARIANCE.md for why best-ever-min denominators
+    guaranteed recurring phase-noise false flags).  The driver tails record
+    min-of-runs (the lucky-draw statistic), so they only FILL GAPS for
+    queries absent from the floors file — they never deflate an existing
+    floor.  BENCH_FLOOR_OVERRIDES.json (hand-maintained: name -> floor
+    seconds for documented legitimate slowdowns or measured-variance
+    envelopes) takes absolute precedence."""
     best: dict[str, float] = {}
     floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
     if os.path.exists(floors_path):
@@ -59,7 +61,7 @@ def prior_times() -> dict[str, float]:
             }
         for name, sec in queries.items():
             if isinstance(sec, (int, float)) and sec == sec:
-                best[name] = min(best.get(name, float("inf")), float(sec))
+                best.setdefault(name, float(sec))
     overrides_path = os.path.join(ROOT, "BENCH_FLOOR_OVERRIDES.json")
     if os.path.exists(overrides_path):
         for name, sec in json.load(open(overrides_path)).items():
@@ -67,32 +69,41 @@ def prior_times() -> dict[str, float]:
     return best
 
 
-def main(argv: list[str] | None = None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
-    detail_path = argv[0] if len(argv) > 0 else os.path.join(ROOT, "BENCH_DETAIL.json")
-    bar = float(argv[1]) if len(argv) > 1 else 1.5
-    detail = json.load(open(detail_path))
-    current = detail.get("queries", {})
-    # Judge the MEDIAN of the post-warmup runs where the detail file carries
-    # it (bench.py's one-sided retry policy makes min-of-runs ratchet toward
-    # the historical best case; the median is the honest typical latency).
+def detail_fingerprint(detail: dict) -> str:
+    """Stable identity of one sweep — the reverify excusal (see below) must
+    bind to the exact BENCH_DETAIL it re-measured, not whatever is current."""
+    import hashlib
+
+    blob = json.dumps(detail.get("queries", {}), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def current_medians(detail: dict) -> dict[str, float | None]:
+    """Per-query judged value from one detail payload: the MEDIAN of the
+    post-warmup runs where available (bench.py's one-sided retry policy
+    makes min-of-runs ratchet toward the historical best case; the median
+    is the honest typical latency).  A crashed query can arrive as None
+    (strict JSON null) OR float NaN (json.dump's default non-strict NaN
+    token round-trips as nan); both normalize to None so they hit the
+    FAILED branch — NaN compares False with everything, so without this a
+    crashed query silently PASSES the gate."""
     runs = detail.get("runs", {})
-    # A crashed query can reach here as None (strict JSON null) OR as float
-    # NaN (json.dump's default non-strict NaN token round-trips as nan);
-    # both must hit the FAILED branch — NaN compares False with everything,
-    # so without this normalization a crashed query silently PASSES the gate.
-    current = {
+    return {
         name: (
             None
             if sec is None or sec != sec
             else runs.get(name, {}).get("med", sec)
         )
-        for name, sec in current.items()
+        for name, sec in detail.get("queries", {}).items()
     }
+
+
+def violations(detail: dict, bar: float = 1.5) -> list[tuple]:
+    """(name, judged_now, floor) rows exceeding the bar, worst first."""
+    current = current_medians(detail)
     best = prior_times()
-    common = sorted(set(current) & set(best))
     bad = []
-    for name in common:
+    for name in sorted(set(current) & set(best)):
         now = current[name]
         if now is None:
             bad.append((name, None, best[name]))
@@ -105,13 +116,85 @@ def main(argv: list[str] | None = None) -> int:
         # regressions (the r03 class, 2-6x) clear this guard trivially.
         if now > bar * best[name] and now - best[name] > 0.4:
             bad.append((name, now, best[name]))
-    print(f"common queries: {len(common)}; floor source: BENCH_r*.json tails")
-    for name, now, floor in sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2]):
+    return sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2])
+
+
+def reverified(detail: dict) -> dict[str, float]:
+    """Fresh-session re-measurements bound to THIS sweep (see
+    scripts/reverify_regressions.py).  BENCH_VARIANCE.md documents ~2x
+    session-phase variance: every sweep a different handful of 0.5-2 s
+    queries draws a slow median, while a true code regression reproduces in
+    any session.  A violation is therefore excused only by a committed
+    fresh-session median for the SAME detail fingerprint that passes the
+    same bar — non-reproducible draws stop failing CI, reproducible
+    regressions still do."""
+    path = os.path.join(ROOT, "BENCH_REVERIFY.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        payload = json.load(open(path))
+    except (OSError, ValueError):
+        return {}
+    if payload.get("detail_fingerprint") != detail_fingerprint(detail):
+        return {}
+    out = {}
+    for name, row in payload.get("queries", {}).items():
+        med = row.get("med") if isinstance(row, dict) else None
+        if isinstance(med, (int, float)) and med == med:
+            out[name] = float(med)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    detail_path = argv[0] if len(argv) > 0 else os.path.join(ROOT, "BENCH_DETAIL.json")
+    bar = float(argv[1]) if len(argv) > 1 else 1.5
+    detail = json.load(open(detail_path))
+    best = prior_times()
+    bad = violations(detail, bar)
+    fresh = reverified(detail)
+    real = []
+    print(f"common queries: {len(set(current_medians(detail)) & set(best))}; "
+          f"floor source: BENCH_FLOORS.json + BENCH_r*.json tails")
+    for name, now, floor in bad:
+        med = fresh.get(name)
+        if (
+            now is not None
+            and med is not None
+            and (med <= bar * floor or med - floor <= 0.4)
+        ):
+            print(f"  excused {name}: sweep med {now} s vs floor {floor} s, "
+                  f"but fresh-session reverify med {med} s is within {bar}x "
+                  f"(non-reproducible phase draw)")
+            continue
+        real.append((name, now, floor))
+    for name, now, floor in real:
         print(f"  REGRESSION {name}: {now} s vs best prior {floor} s "
               f"({'FAILED' if now is None else f'{now / floor:.2f}x'})")
-    if not bad:
-        print(f"OK: every common query within {bar}x of its best prior recording")
-    return 1 if bad else 0
+    # Global-shift backstop: per-query floors at the historical median can
+    # mask a change that slows EVERYTHING <1.5x (a bad session conf, a
+    # broken codegen path).  242 genuine simultaneous regressions and a
+    # machine phase look identical per-query, but phases observed on this
+    # machine top out around ~1.3x median-of-ratios (BENCH_VARIANCE.md);
+    # a global shift beyond 1.5x is a change to investigate, not weather.
+    import statistics as _st
+
+    current = current_medians(detail)
+    ratios = [
+        current[n] / best[n]
+        for n in set(current) & set(best)
+        if current[n] is not None and best[n] > 0
+    ]
+    global_shift = _st.median(ratios) if ratios else 1.0
+    if global_shift > 1.5:
+        print(f"  GLOBAL REGRESSION: median ratio vs floors is "
+              f"{global_shift:.2f}x across {len(ratios)} queries")
+        return 1
+    if not real:
+        print(f"OK: every common query within {bar}x of its typical prior "
+              f"recording (or excused by a fresh-session reverify); "
+              f"global shift {global_shift:.2f}x")
+    return 1 if real else 0
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 
@@ -37,13 +38,19 @@ FLOORS_PATH = os.path.join(ROOT, "BENCH_FLOORS.json")
 
 
 def _detail_times(payload: dict) -> dict[str, float]:
-    """Per-query best-run seconds from one BENCH_DETAIL.json payload.
-    Prefer runs[name]['min'] (post-r04 format); fall back to the plain
-    queries map (legacy min-only format).  NaN / null = failed run, skip."""
+    """Per-query JUDGED seconds from one BENCH_DETAIL.json payload: the
+    median of the post-warmup runs where recorded (post-r04 format), else
+    the plain queries map (legacy min-only format).  The gate judges sweep
+    MEDIANS, so floors must be built from the same statistic — r06's noise
+    investigation (BENCH_VARIANCE.md) found 27 of 242 floors sitting >1.25x
+    below their own historical medians because min-of-history keeps each
+    query's single luckiest draw, guaranteeing recurring false flags under
+    the machine's ~2x session-phase variance.  NaN / null = failed run,
+    skip."""
     out: dict[str, float] = {}
     runs = payload.get("runs", {})
     for name, sec in payload.get("queries", {}).items():
-        sec = runs.get(name, {}).get("min", sec)
+        sec = runs.get(name, {}).get("med", sec)
         if isinstance(sec, (int, float)) and sec == sec:
             out[name] = float(sec)
     return out
@@ -62,9 +69,16 @@ FLOOR_EPOCH = "8273086"
 
 
 def historical_detail_floors() -> dict[str, float]:
-    """Merge every committed version of BENCH_DETAIL.json since FLOOR_EPOCH
-    (git history)."""
-    best: dict[str, float] = {}
+    """Per-query floor = MEDIAN of that query's judged (median) time across
+    every committed BENCH_DETAIL.json since FLOOR_EPOCH — the typical
+    achievable value on this machine, not the luckiest draw ever recorded.
+    The gate bar itself (1.5x + 0.4 s absolute guard,
+    scripts/compare_bench.py) is unchanged; a d16-class real regression
+    (0.33 s -> 1.27 s, 3.9x over typical) still fails it loudly, while the
+    lucky-minimum denominators that made a fresh sweep flag a different
+    random handful of phase-noise queries every round (BENCH_VARIANCE.md)
+    no longer deflate the floor."""
+    samples: dict[str, list[float]] = {}
     try:
         shas = subprocess.run(
             ["git", "rev-list", "HEAD", "--", "BENCH_DETAIL.json"],
@@ -87,8 +101,8 @@ def historical_detail_floors() -> dict[str, float]:
         except Exception:
             continue
         for name, sec in times.items():
-            best[name] = min(best.get(name, float("inf")), sec)
-    return best
+            samples.setdefault(name, []).append(sec)
+    return {name: statistics.median(vals) for name, vals in samples.items()}
 
 
 def tail_floors() -> dict[str, float]:
@@ -125,8 +139,12 @@ def tail_floors() -> dict[str, float]:
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     floors = historical_detail_floors()
+    # Driver tails record MIN-of-runs (the only statistic bench.py prints in
+    # its bounded one-line output), which is exactly the lucky-draw statistic
+    # the median floors exist to avoid — so tails only FILL GAPS for queries
+    # with no committed detail history, never deflate an existing floor.
     for name, sec in tail_floors().items():
-        floors[name] = min(floors.get(name, float("inf")), sec)
+        floors.setdefault(name, sec)
     floors = {k: round(v, 3) for k, v in sorted(floors.items())}
     if "--check" in argv:
         print(json.dumps(floors, indent=1))

@@ -1,8 +1,11 @@
 """Bench-floor regression gate as a TEST: the committed BENCH_DETAIL.json
-must keep every query within 1.5x of its best recording across the committed
-BENCH_r*.json driver tails (the acceptance bar the r03 verdict set).  A bench
-re-run that regresses a query now fails CI instead of relying on someone
-running scripts/compare_bench.py by hand.
+must keep every query's sweep median within 1.5x of its TYPICAL prior
+recording (median across committed BENCH_DETAIL history — see
+BENCH_VARIANCE.md for why best-ever-min floors guaranteed phase-noise false
+flags), unless a fingerprint-bound fresh-session reverify shows the draw is
+non-reproducible (scripts/reverify_regressions.py).  A bench re-run that
+regresses a query now fails CI instead of relying on someone running
+scripts/compare_bench.py by hand.
 
 No Spark session — this is a pure file check over committed artifacts.
 """
@@ -59,6 +62,37 @@ def test_floor_map_covers_benched_queries():
     floors = set(compare_bench.prior_times())
     missing = sorted(benched - floors)
     assert not missing, f"{len(missing)} benched queries without a floor: {missing[:10]}"
+
+
+def test_gate_catches_real_regressions():
+    """The r06 floor-estimator change (best-ever-min -> historical median,
+    scripts/update_floors.py) must not weaken detection: a d16-class jump
+    (2x+ over the TYPICAL value, >0.4 s absolute) still violates."""
+    floors = compare_bench.prior_times()
+    name = next(n for n, v in sorted(floors.items()) if v > 1.0)
+    slow = round(floors[name] * 2, 3)
+    detail = {
+        "queries": {name: slow},
+        "runs": {name: {"med": slow, "min": slow, "n": 2}},
+    }
+    assert [v[0] for v in compare_bench.violations(detail)] == [name]
+
+
+def test_reverify_excusal_binds_to_fingerprint():
+    """A fresh-session reverify excuses a violation ONLY for the exact sweep
+    it re-measured: a stale BENCH_REVERIFY.json (different detail
+    fingerprint) must be ignored, so yesterday's excuse can't whitewash
+    today's regression."""
+    floors = compare_bench.prior_times()
+    name = next(n for n, v in sorted(floors.items()) if v > 1.0)
+    slow = round(floors[name] * 2, 3)
+    detail = {
+        "queries": {name: slow},
+        "runs": {name: {"med": slow, "min": slow, "n": 2}},
+    }
+    # whatever reverify file is committed, it fingerprints a real sweep —
+    # never this synthetic detail — so no excusals may apply to it
+    assert compare_bench.reverified(detail) == {}
 
 
 def test_overrides_are_documented_subset():
