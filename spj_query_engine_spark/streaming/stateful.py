@@ -40,7 +40,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
-from spj_query_engine_spark.streaming.ingest import stream_events, stream_state_conf
+from spj_query_engine_spark.streaming.ingest import (
+    fresh_sink_table,
+    stream_events,
+    stream_state_conf,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -184,7 +188,7 @@ def run_stateful_sessionize(
     completion and return the final per-session rows (update-mode memory
     sink; the finite input arrives as one micro-batch, so each session is
     emitted exactly once and the result equals batch ``sessionize``)."""
-    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    name = fresh_sink_table(spark, "stream_sessionize")
     q = (
         stateful_sessionize(stream_events(spark, sf_dir), gap_minutes)
         .writeStream.outputMode("update")
@@ -481,7 +485,7 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table,
     )
 
-    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    name = fresh_sink_table(spark, "stream_asof")
     orders = stream_table(spark, sf_dir, "orders")
     override = spark.conf.get("spj.stream.session.buckets", None)
     # the as-of runner keeps SESSION shuffle partitions (its merge fold is
@@ -573,7 +577,7 @@ def run_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    name = f"tws_totals_{uuid.uuid4().hex[:8]}"
+    name = fresh_sink_table(spark, "tws_totals")
     # TWS state lives in named column families, which only the RocksDB
     # state store provider supports (HDFS-backed throws
     # UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES).  The
@@ -666,7 +670,7 @@ def run_apws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single opaque state tuple instead of typed ValueState handles).  Same
     monotone-count argument: the max-count snapshot per user after finite
     replay is the final state = the batch rollup the oracle computes."""
-    name = f"apws_totals_{uuid.uuid4().hex[:8]}"
+    name = fresh_sink_table(spark, "apws_totals")
     q = (
         stream_events(spark, sf_dir)
         .select("user_id", "value")
@@ -1055,7 +1059,7 @@ def run_stateful_sessionize_ttl(
     ``processAllAvailable`` covers the trailing no-data micro-batch that
     fires the event-time timers once the watermark reaches ``max(ts) −
     watermark``, so the memory sink holds the full append-mode output."""
-    name = f"stream_session_ttl_{uuid.uuid4().hex[:8]}"
+    name = fresh_sink_table(spark, "stream_session_ttl")
     # Input-sized state partitions (see ingest.stream_state_conf): the
     # per-partition state-store + Python-worker fixed cost dominates small
     # replays.  Bucket count rides the same derivation — a handful of
