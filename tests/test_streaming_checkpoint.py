@@ -108,3 +108,32 @@ def test_stream_restart_from_checkpoint(spark, tmp_path):
         for r in _latest_per_user(events).collect()
     }
     assert got == want
+
+
+def test_fresh_sink_table_drops_only_own_prior(spark):
+    """Memory-sink lifecycle contract (streaming/ingest.fresh_sink_table):
+    a runner's previous result table is dropped when the SAME runner is
+    re-invoked (bounding driver-resident sink rows to one result per
+    runner), while OTHER runners' tables survive — the tws-vs-apws
+    equivalence tests hold both outputs at once."""
+    from spj_query_engine_spark.streaming.ingest import fresh_sink_table
+
+    def registered(name):
+        return any(t.name == name for t in spark.catalog.listTables())
+
+    a1 = fresh_sink_table(spark, "contract_a")
+    spark.range(3).createOrReplaceTempView(a1)
+    b1 = fresh_sink_table(spark, "contract_b")
+    spark.range(5).createOrReplaceTempView(b1)
+    assert registered(a1) and registered(b1)
+
+    a2 = fresh_sink_table(spark, "contract_a")
+    assert a2 != a1
+    assert not registered(a1), "prior same-runner table must be dropped"
+    assert registered(b1), "other runners' tables must survive"
+
+    # cleanup
+    spark.catalog.dropTempView(b1)
+    fresh_sink_table(spark, "contract_a")  # drops a2's registration slot
+    if registered(a2):
+        spark.catalog.dropTempView(a2)
