@@ -129,6 +129,23 @@ def _gate_order() -> list[str]:
     proven = _proven_names()
     head = [n for n in static if n not in proven]
     tail = [n for n in static if n in proven]
+    # Once every entry is proven (head empty), the driver's bounded
+    # ~50-slot gate would re-check the SAME static prefix forever and the
+    # other ~200 entries would never be re-validated against the oracle.
+    # Rotate the proven tail by one gate-width per recorded round (the
+    # count of CORRECTNESS_r*.json files is the round index — already read
+    # by _proven_names' source files), so successive rounds sweep fresh
+    # 50-entry windows and the whole registry is re-proven every ~5 rounds.
+    if tail:
+        import glob as _glob
+        import os as _os
+
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        rounds = len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
+        shift = (rounds * 50) % len(tail)
+        tail = tail[shift:] + tail[:shift]
     return head + tail
 
 
