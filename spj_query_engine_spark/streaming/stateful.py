@@ -770,8 +770,39 @@ def tws_available() -> bool:
     return ensure_protobuf(None)
 
 
+def tws_runnable(spark: SparkSession) -> bool:
+    """Whether ``transformWithStateInPandas`` can run on THIS session.
+
+    Driver-side importability (:func:`tws_available`) is necessary but NOT
+    sufficient: the TWS state-schema pre-init worker is spawned by the JVM
+    with the JVM's inherited environment and does not process ``addPyFile``
+    includes.  When ``google.protobuf`` resolves only via the vendored
+    shim, the shim directory must therefore be on the PYTHONPATH the JVM
+    was LAUNCHED with (``get_spark`` exports it pre-launch) — a FOREIGN
+    session (e.g. the correctness driver's, which builds its own
+    SparkSession before importing this package) may have launched the JVM
+    without it, and selecting TWS there crashes the pre-init worker.  A
+    real protobuf distribution needs no env plumbing: the worker resolves
+    it from site-packages."""
+    if not ensure_protobuf(None):
+        return False
+    import google.protobuf as _gp
+
+    f = os.path.abspath(getattr(_gp, "__file__", None) or "")
+    if not f.startswith(os.path.abspath(PROTOSHIM_DIR) + os.sep):
+        return True
+    try:
+        jenv = (
+            spark.sparkContext._jvm.java.lang.System.getenv("PYTHONPATH")
+            or ""
+        )
+    except Exception:
+        return False
+    return PROTOSHIM_DIR in jenv.split(os.pathsep)
+
+
 #: which stateful API the last ``run_running_totals_auto`` call actually
-#: used — "tws" or "apws".  Tests assert this against :func:`tws_available`
+#: used — "tws" or "apws".  Tests assert this against :func:`tws_runnable`
 #: so a silent fallback (the TWS branch rotting as dead code, or protobuf
 #: appearing without the TWS path being exercised) is VISIBLE, not quiet.
 SELECTED_API: str | None = None
@@ -786,7 +817,8 @@ def run_running_totals_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold integer cents in event order and reduce finite replay to the same
     batch rollup, so one DuckDB oracle verifies whichever ran."""
     global SELECTED_API
-    if ensure_protobuf(spark):
+    if tws_runnable(spark):
+        ensure_protobuf(spark)  # ship the shim zip to the data workers
         SELECTED_API = "tws"
         return run_tws_running_totals(spark, sf_dir)
     SELECTED_API = "apws"

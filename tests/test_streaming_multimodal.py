@@ -380,10 +380,15 @@ def test_tws_running_totals(spark):
         ensure_protobuf,
         run_tws_running_totals,
         tws_running_totals_sql,
+        tws_runnable,
     )
 
-    if not ensure_protobuf(spark):
-        pytest.skip("google.protobuf unavailable and shim failed to load")
+    if not tws_runnable(spark):
+        pytest.skip(
+            "TWS not runnable: google.protobuf unavailable, or the shim is "
+            "not on the JVM's launch PYTHONPATH (pre-init worker would crash)"
+        )
+    ensure_protobuf(spark)  # ship the shim zip to the data workers
     import duckdb
 
     got = run_tws_running_totals(spark, SF_DIR)
@@ -718,12 +723,12 @@ def test_e32_api_selection_is_visible(spark):
     really ran, so the branch cannot rot as dead code silently."""
     from spj_query_engine_spark.streaming import stateful
 
-    expected = "tws" if stateful.tws_available() else "apws"
+    expected = "tws" if stateful.tws_runnable(spark) else "apws"
     got = stateful.run_running_totals_auto(spark, SF_DIR)
     assert got.count() > 0
     assert stateful.SELECTED_API == expected, (
         f"auto runner took {stateful.SELECTED_API!r}, "
-        f"but tws_available()={stateful.tws_available()}"
+        f"but tws_runnable()={stateful.tws_runnable(spark)}"
     )
 
 
