@@ -80,8 +80,15 @@ def main() -> int:
     for name in names:
         if name not in REGISTRY:
             continue
-        one(name)  # unmeasured warmup (codegen compile)
-        runs = [one(name) for _ in range(RUNS)]
+        try:
+            one(name)  # unmeasured warmup (codegen compile)
+            runs = [one(name) for _ in range(RUNS)]
+        except Exception as exc:  # noqa: BLE001 — a crashed query stays a
+            # violation (no reverify row -> not excused); keep re-measuring
+            # the rest so one bad entry can't hide the others' evidence
+            print(f"  {name}: reverify FAILED: {exc}")
+            reproduced.append(name)
+            continue
         med = statistics.median(runs)
         rows[name] = {
             "med": round(med, 3),
