@@ -2236,3 +2236,168 @@ def hashed_classifier_score_sql(table: str = "documents") -> str:
     """
 
 
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING on the word histogram (t31) — the learned merges
+# ---------------------------------------------------------------------------
+
+#: character-merge rounds learned by bpe_train_hist
+BPE_TRAIN_ROUNDS = 5
+
+#: nested replace passes per merge round.  SQL replace() is a single
+#: left-to-right non-overlapping pass, and consecutive occurrences share
+#: the delimiting space (' a b a b ' matches once per pass), so one pass
+#: under-merges runs; nesting approximates the greedy fixed point.  Parity
+#: does NOT depend on full convergence: both engines apply the IDENTICAL
+#: nested function, so the learned merges match bit-for-bit regardless.
+BPE_REPLACE_PASSES = 6
+
+
+def bpe_train_hist(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """Classical (character-level) BPE tokenizer TRAINING, formulated the
+    way a 100 TB trainer must be: the corpus is touched ONCE — a word
+    histogram aggregation (one shuffle, map-side partial counts) — and all
+    ``rounds`` merge iterations then run over the DISTINCT-WORD table
+    weighted by count, whose size is the vocabulary, not the corpus
+    (Sennrich et al. 2016's released trainer and every production BPE
+    trainer use this reduction; contrast t19, which replays merges over
+    the full token stream and pays corpus-scale work per round).
+
+    Per round: adjacent-pair counts from the space-joined character
+    strings (explode of zipped array slices — codegen, no Python), the
+    globally best pair as a STRUCT-MIN aggregate over (-count, a, b) —
+    exactly one row, highest count with lexicographic tie-break, the same
+    total order in both engines — broadcast back, and a nested
+    ``replace`` merge of its occurrences in every vocabulary word.
+    Returns the learned merge table: (rnd, tok_a, tok_b, pair_count) —
+    ``rounds`` rows, pair_count being the pre-merge weighted occurrence
+    count (the standard BPE statistic, counting overlaps).
+
+    Reference scope note: the reference engine has no tokenizer surface
+    (SURVEY.md §1.2); this extends the t15/t19 BPE family with the
+    training-efficiency formulation an LLM-data pipeline deploys."""
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+        F.col("wc").cast("long").alias("wc"),
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.col("s"), " ")
+        pairs = vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+                )
+            ).alias("p"),
+            "wc",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wc")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wc").alias("n"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("negn"),
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.col("t.a").alias("m_a"),
+                F.col("t.b").alias("m_b"),
+                (-F.col("t.negn")).cast("long").alias("m_n"),
+            )
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("rnd"),
+                F.col("m_a").alias("tok_a"),
+                F.col("m_b").alias("tok_b"),
+                F.col("m_n").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("m_a"), F.lit(" "), F.col("m_b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("m_a"), F.col("m_b"), F.lit(" "))
+        merged = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _ in range(BPE_REPLACE_PASSES):
+            merged = F.replace(merged, pat, rep)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.when(F.col("m_a").isNull(), F.col("s"))
+                .otherwise(F.trim(merged))
+                .alias("s"),
+                "wc",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.filter(F.col("tok_a").isNotNull())
+
+
+def bpe_train_hist_sql(
+    table: str = "documents", rounds: int = BPE_TRAIN_ROUNDS
+) -> str:
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM {table})
+      GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM w0
+    )"""
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        merged = "' ' || s || ' '"
+        for _ in range(BPE_REPLACE_PASSES):
+            merged = (
+                f"replace({merged}, ' ' || m_a || ' ' || m_b || ' ',"
+                f" ' ' || m_a || m_b || ' ')"
+            )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT toks[i + 1] AS a, toks[i + 2] AS b, wc
+      FROM (SELECT string_split(s, ' ') AS toks, wc FROM v{r - 1}),
+           unnest(range(0, len(toks) - 1)) AS u(i)
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT t.a AS m_a, t.b AS m_b, CAST(-t.negn AS BIGINT) AS m_n FROM (
+        SELECT MIN({{'negn': -n, 'a': a, 'b': b}}) AS t
+        FROM (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS n FROM p{r} GROUP BY a, b)
+      )
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT CASE WHEN m_a IS NULL THEN s ELSE trim({merged}) END AS s, wc
+      FROM v{r - 1} CROSS JOIN t{r}
+    )"""
+        )
+        selects.append(
+            f"SELECT {r} AS rnd, m_a AS tok_a, m_b AS tok_b, m_n AS pair_count FROM t{r}"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({union}) WHERE tok_a IS NOT NULL"
+    )

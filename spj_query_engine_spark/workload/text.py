@@ -394,3 +394,20 @@ def t29_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t30_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.hashed_classifier_score(_docs(spark, sf_dir))
+
+
+@register(
+    "t31_bpe_train",
+    textops.bpe_train_hist_sql(),
+    doc="Classical character-level BPE tokenizer TRAINING on the word "
+    "HISTOGRAM (Sennrich et al. 2016's trainer reduction): the corpus is "
+    "touched once (one word-count shuffle); all %d merge rounds then run "
+    "over the distinct-word table weighted by count - O(vocabulary) per "
+    "round, not O(corpus) like t19's stream replay.  Best pair per round "
+    "is a struct-min aggregate (-count, a, b) so ties break identically "
+    "in both engines; merging is an identical nested-replace function on "
+    "both sides, so the learned merge table (rnd, tok_a, tok_b, "
+    "pair_count) matches bit-for-bit." % textops.BPE_TRAIN_ROUNDS,
+)
+def t31_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_train_hist(_docs(spark, sf_dir))
