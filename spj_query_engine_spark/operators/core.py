@@ -26,6 +26,7 @@ Reference parity map (file:line into /root/reference):
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -199,6 +200,70 @@ def _size_bytes(conf_val: str) -> int:
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * mult)
     return int(s)
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint materialization barrier — with a plan-audit
+    escape hatch.
+
+    A barrier replaces its subtree with an ``ExistingRDD`` scan, which is
+    exactly right at run time (bounds re-execution of shared subplans,
+    truncates iterative lineage) and exactly wrong for the plan-hygiene
+    tests (tests/test_plan_hygiene.py) that walk each registry entry's
+    physical plan for cartesian products, unpushed filters, and unbounded
+    nested-loop builds.  Those tests set ``SPJ_LAZY_PLANS=1`` (read at call
+    time, never cached) to skip the materialization and audit the full
+    plan; every production entry point leaves it unset.
+    """
+    import os as _os
+
+    if _os.environ.get("SPJ_LAZY_PLANS", "") == "1":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
+@contextmanager
+def coarse_shuffle(df: DataFrame, floor: int = 8, per_partition: int = 1 << 20):
+    """Scope ``spark.sql.shuffle.partitions`` DOWN while materializing a
+    provably-small subplan, then restore it.
+
+    Why: the bench-variance investigation (BENCH_VARIANCE.md) localized the
+    g-family's ~2x session-phase jitter to multi-shuffle subplans whose
+    stages are dozens of sub-100 ms tasks — per-stage scheduler latency
+    multiplies across ~10 stages.  Coarser tasks amortize it: an interleaved
+    same-session A/B (scripts/variance_ab.py) measured the MinHash pair
+    derivation at med 2.6 s / range 2.4-3.3 under the session default vs
+    med 1.1 s / range 1.0-1.3 with the subplan scoped to 8 partitions.
+
+    100 TB safety: the target is sized from Catalyst's own input-size
+    estimate at ``per_partition`` bytes of INPUT per post-shuffle partition
+    and clamped to ``[floor, session default]`` — the scope can only LOWER
+    the setting, and only when the optimizer proves the input tiny
+    (< default × per_partition bytes).  On a production cluster reading
+    terabytes the estimate blows past the clamp and this is a strict no-op.
+    Unknown / non-scan estimates (Catalyst returns 8 EB defaults for
+    checkpointed or UDF-bearing leaves) also no-op.
+
+    Only materializations INSIDE the ``with`` body (eager localCheckpoint,
+    count, write) see the coarse setting; the returned lazy tail of a plan
+    built here executes under the session default as usual.
+    """
+    spark = df.sparkSession
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        yield
+        return
+    target = max(floor, min(default, size // per_partition + 1))
+    if target >= default:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default))
 
 
 def _estimated_splits(df: DataFrame) -> int:

@@ -294,6 +294,43 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     """
 
 
+def lsh_pairs_ckpt(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_jaccard: bool = False,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs`, eagerly materialized under a
+    :func:`~spj_query_engine_spark.operators.core.coarse_shuffle` scope —
+    the shared entry point for every graph-family consumer of the near-dup
+    pair graph.
+
+    Two costs disappear at once:
+
+    * **double derivation** — downstream consumers reference the pair frame
+      2+ times (symmetric edge unions, degree + iteration branches);
+      without a barrier the whole banded derivation re-executes per branch
+      (AQE exchange reuse catches only part of it — same-session A/B,
+      scripts/variance_ab.py: g01's edge build med 2.6 s → 1.7 s from the
+      barrier alone);
+    * **tiny-task jitter** — the derivation is ~10 stages of sub-100 ms
+      tasks at local bench scale, whose scheduler latency was the
+      g-family's ~2x session-phase variance (BENCH_VARIANCE.md); the
+      coarse scope cut the same A/B to med 1.1 s, range 1.0–1.3 s.
+
+    Pairs are near-dup OUTPUT — bounded and tiny next to the corpus — so
+    the executor-memory materialization is 100 TB-safe, and the scope
+    no-ops on large inputs by construction (optimizer-estimate clamp).
+    """
+    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+
+    with coarse_shuffle(docs):
+        pairs = minhash_lsh_pairs(docs, text_col, id_col)
+        if not with_jaccard:
+            pairs = pairs.select("doc_a", "doc_b")
+        return barrier(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus (ingestion-time shape)
 # ---------------------------------------------------------------------------
@@ -1434,7 +1471,7 @@ def apply_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     keepers = exact_dedup(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    losers = dup_clusters(minhash_lsh_pairs(docs, text_col, id_col)).filter(
+    losers = dup_clusters(lsh_pairs_ckpt(docs, text_col, id_col)).filter(
         ~F.col("is_canonical")
     ).select(F.col("doc_id").alias(id_col))
     return keepers.join(losers, id_col, "left_anti")
@@ -1717,7 +1754,7 @@ def pagerank_neardup(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     every few rounds like cc_alternating; at 3 unrolled rounds lineage
     stays shallow.  Long arithmetic holds to ~1e6 nodes×1e12 scale;
     beyond that swap the accumulators to DECIMAL(38,0) unchanged."""
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = lsh_pairs_ckpt(docs)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -1894,12 +1931,7 @@ def triangle_counts(docs: DataFrame) -> DataFrame:
     (degree, id) total order is a pure function of the graph, so the
     DuckDB oracle replays the identical orientation.
     """
-    pairs = (
-        minhash_lsh_pairs(docs)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    return triangle_counts_from_pairs(pairs)
+    return triangle_counts_from_pairs(lsh_pairs_ckpt(docs))
 
 
 def triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
@@ -2009,12 +2041,7 @@ def kcore_members(docs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS)
     + shallow fringe), and a run-to-fixed-point variant needs only the
     d09-style count-stable loop.  Output: (doc_id, core_deg) for the
     surviving nodes, core_deg = degree inside the core."""
-    pairs = (
-        minhash_lsh_pairs(docs)
-        .select("doc_a", "doc_b")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .localCheckpoint(eager=True)
-    )
+    pairs = lsh_pairs_ckpt(docs).filter(F.col("doc_a") != F.col("doc_b"))
     return kcore_from_pairs(pairs, k, rounds)
 
 
@@ -2089,12 +2116,7 @@ def bfs_distances(docs: DataFrame, seed_mod: int = BFS_SEED_MOD, hops: int = BFS
     run-to-convergence needs diameter-many rounds, which d09's
     alternating-star sidesteps for components but no BFS can.  Output:
     (doc_id, dist ≤ hops) for reached graph nodes only."""
-    pairs = (
-        minhash_lsh_pairs(docs)
-        .select("doc_a", "doc_b")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .localCheckpoint(eager=True)
-    )
+    pairs = lsh_pairs_ckpt(docs).filter(F.col("doc_a") != F.col("doc_b"))
     return bfs_from_pairs(pairs, seed_mod, hops)
 
 
@@ -2249,7 +2271,7 @@ def minhash_calibration(
     the component comparison is a 12-row-per-doc explode equi-joined on
     (pair, component index) — bounded by pairs × K, never corpus²."""
     inv = shingle_index(docs, text_col, id_col).persist()
-    pairs = minhash_lsh_pairs(docs, text_col, id_col).select(
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, inv=inv).select(
         "doc_a", "doc_b", "jaccard"
     )
     sigs = inv.groupBy("doc_id").agg(
@@ -2505,7 +2527,11 @@ def common_neighbor_pairs(docs: DataFrame) -> DataFrame:
     generation, everything else is equi-joins + one rollup on the
     candidate pair.  Degrees always count the FULL graph (the cap limits
     wedge generation only, not the denominator)."""
-    pairs = fused_dup_edges(docs).localCheckpoint(eager=True)
+    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+
+    with coarse_shuffle(docs):
+        # all five modality derivations materialize here, under the scope
+        pairs = barrier(fused_dup_edges(docs))
     return common_neighbor_pairs_from_pairs(pairs)
 
 
@@ -2632,7 +2658,10 @@ def dedup_impact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     for tag, df in sources:
         t = df.select("doc_a", "doc_b", F.lit(tag).alias("modality"))
         tagged = t if tagged is None else tagged.unionByName(t)
-    tagged = tagged.localCheckpoint(eager=True)
+    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+
+    with coarse_shuffle(docs):
+        tagged = barrier(tagged)
     nm = tagged.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_modalities")
     )
@@ -2987,7 +3016,7 @@ def clustering_coefficient(docs: DataFrame) -> DataFrame:
     (star).  Triangles come from g02's degree-oriented wedge join —
     this entry adds only a degree join and one integer division on top.
     Nodes with deg < 2 have no defined coefficient and are excluded."""
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = lsh_pairs_ckpt(docs)
     tri = triangle_counts_from_pairs(pairs)
     sym = pairs.select(F.col("doc_a").alias("u")).unionByName(
         pairs.select(F.col("doc_b").alias("u"))
@@ -3193,7 +3222,7 @@ def personalized_pagerank(
     vector onto degree-annotated edges plus one aggregate on the
     destination; the seed indicator is a pure projection.  O(|E|) per
     round, localCheckpoint barriers keep lineage flat."""
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = lsh_pairs_ckpt(docs)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -3326,7 +3355,7 @@ def harmonic_centrality(docs: DataFrame, radius: int = HC_RADIUS) -> DataFrame:
     highest-degree spokes skipped at expansion, g05's hub discipline)
     bounds ball growth on boilerplate stars while degrees and output
     still cover every node."""
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = lsh_pairs_ckpt(docs)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -3429,7 +3458,7 @@ def neardup_weights(
     equi-joins, never all-pairs); cluster sizes are one rollup of the
     bounded cluster table; the corpus takes ONE left join on doc_id and a
     projection — bodies never shuffle."""
-    clusters = dup_clusters(minhash_lsh_pairs(docs, text_col, id_col)).select(
+    clusters = dup_clusters(lsh_pairs_ckpt(docs, text_col, id_col)).select(
         id_col, "cluster_id"
     )
     sizes = clusters.groupBy("cluster_id").agg(
@@ -3493,9 +3522,7 @@ def degree_assortativity(docs: DataFrame) -> DataFrame:
     exact integers, so portable_round(4) is engine-stable.  BIGINT holds
     to sum(deg^2) < 2^63 (~3e9 edges of degree 1e3); past that the three
     accumulators move to DECIMAL(38,0) unchanged."""
-    return degree_assortativity_from_pairs(
-        minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    )
+    return degree_assortativity_from_pairs(lsh_pairs_ckpt(docs))
 
 
 def degree_assortativity_from_pairs(pairs: DataFrame) -> DataFrame:
@@ -3594,9 +3621,7 @@ def component_census(docs: DataFrame) -> DataFrame:
     census - each a strict reduction, so the census costs two tiny
     shuffles beyond the CC itself.  Oracle = true transitive connectivity
     (recursive CTE) aggregated the same way."""
-    return component_census_from_pairs(
-        minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    )
+    return component_census_from_pairs(lsh_pairs_ckpt(docs))
 
 
 def component_census_from_pairs(pairs: DataFrame) -> DataFrame:

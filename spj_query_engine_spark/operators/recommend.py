@@ -47,6 +47,12 @@ def copurchase_topk(lineitem: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= CO_MIN)
     )
+    # the symmetric union references `co` twice — materialize the support
+    # table (bounded: co-occurring pairs with support >= CO_MIN, tiny next
+    # to the fact) so the basket self-join executes once, not per branch
+    from spj_query_engine_spark.operators.core import barrier
+
+    co = barrier(co)
     sym = co.select(
         F.col("pa").alias("part"), F.col("pb").alias("rec"), "n_co"
     ).unionByName(co.select(F.col("pb").alias("part"), F.col("pa").alias("rec"), "n_co"))

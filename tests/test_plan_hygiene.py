@@ -107,6 +107,18 @@ def _walk(jnode):
         yield from _walk(jnode.children().apply(i))
 
 
+@pytest.fixture(autouse=True)
+def _lazy_plans(monkeypatch):
+    """Audit FULL plans: the r07 coarse-shuffle rework materializes the
+    graph family's pair subplans behind eager localCheckpoint barriers
+    (operators/core.py:barrier), which would replace the audited subtree
+    with an ExistingRDD scan and make these assertions vacuous.  The env
+    switch (read at call time) keeps those barriers lazy here — and only
+    here — so every cartesian/pushdown/BNLJ check still sees the real
+    subplan."""
+    monkeypatch.setenv("SPJ_LAZY_PLANS", "1")
+
+
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])
 def test_no_cartesian_and_bounded_nlj(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
