@@ -112,6 +112,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     run_stats: dict[str, dict] = {}
+    steady_runs: dict[str, list[float]] = {}
     excluded: list[str] = []
     total = 0.0
     floors = prior_floors()
@@ -197,6 +198,7 @@ def main() -> None:
 
             dt = min(runs)
             steady = runs[warmup:] or runs
+            steady_runs[name] = list(steady)
             run_stats[name] = {
                 "min": round(dt, 3),
                 "med": round(statistics.median(steady), 3),
@@ -232,11 +234,15 @@ def main() -> None:
     # windows that sustain through back-to-back retries (the in-sweep
     # retry triggers all sample the same window); a later window is an
     # independent draw, so a non-reproducible phase flag heals while a
-    # real regression fails both windows and stays recorded.  The better
-    # median is judged (asymmetric by design — same rationale as the
-    # existing one-sided retry policy); both windows stay visible in
-    # runs[name] ("med_sweep" + "revisit" flag) so readers can tell a
-    # healed number from a first-pass one.
+    # real regression fails both windows and stays recorded.  The judged
+    # median is the median of the POOLED sweep+revisit samples — NOT the
+    # better of the two windows (keeping only the favorable draw would
+    # stack one-sided selection on top of the retry policy and let a
+    # marginal real regression be healed by one lucky window): a majority
+    # of slow draws across both windows stays slow and fails the gate.
+    # Both windows remain visible in runs[name] ("med_sweep" +
+    # "revisit_med") so readers can tell a healed number from a
+    # first-pass one.
     revisit = [
         name
         for name, st in run_stats.items()
@@ -261,12 +267,12 @@ def main() -> None:
             continue
         import statistics
 
-        new_med = statistics.median(runs)
         st = run_stats[name]
         st["med_sweep"] = st["med"]
+        st["revisit_med"] = round(statistics.median(runs), 3)
         st["revisit"] = True
-        if new_med < st["med"]:
-            st["med"] = round(new_med, 3)
+        pooled = steady_runs.get(name, []) + runs
+        st["med"] = round(statistics.median(pooled), 3)
         if min(runs) < st["min"]:
             st["min"] = round(min(runs), 3)
             old = timings[name]

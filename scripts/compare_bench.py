@@ -71,10 +71,22 @@ def prior_times() -> dict[str, float]:
 
 def detail_fingerprint(detail: dict) -> str:
     """Stable identity of one sweep — the reverify excusal (see below) must
-    bind to the exact BENCH_DETAIL it re-measured, not whatever is current."""
+    bind to the exact BENCH_DETAIL it re-measured, not whatever is current.
+
+    The blob covers BOTH the queries map (min-of-runs) and the per-query
+    judged MEDIANS: the gate judges runs[*].med, so two sweeps with
+    identical mins but different medians must not share a fingerprint
+    (else a committed reverify could excuse a sweep it never re-measured)."""
     import hashlib
 
-    blob = json.dumps(detail.get("queries", {}), sort_keys=True).encode()
+    runs = detail.get("runs", {})
+    blob = json.dumps(
+        {
+            "queries": detail.get("queries", {}),
+            "meds": {name: row.get("med") for name, row in sorted(runs.items())},
+        },
+        sort_keys=True,
+    ).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -119,15 +131,19 @@ def violations(detail: dict, bar: float = 1.5) -> list[tuple]:
     return sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2])
 
 
-def reverified(detail: dict) -> dict[str, float]:
+def reverified(detail: dict) -> dict[str, dict]:
     """Fresh-session re-measurements bound to THIS sweep (see
     scripts/reverify_regressions.py).  BENCH_VARIANCE.md documents ~2x
     session-phase variance: every sweep a different handful of 0.5-2 s
     queries draws a slow median, while a true code regression reproduces in
-    any session.  A violation is therefore excused only by a committed
-    fresh-session median for the SAME detail fingerprint that passes the
-    same bar — non-reproducible draws stop failing CI, reproducible
-    regressions still do."""
+    any session.  A violation is therefore excused only when a MAJORITY of
+    the committed independent fresh-session medians for the SAME detail
+    fingerprint pass the same bar (one lucky window was the one-sided
+    selection the r06 ADVICE flagged) — non-reproducible draws stop
+    failing CI, reproducible regressions still do.
+
+    Returns {name: {"meds": [...], "n_sessions": N}}; legacy single-med
+    rows normalize to a 1-session majority."""
     path = os.path.join(ROOT, "BENCH_REVERIFY.json")
     if not os.path.exists(path):
         return {}
@@ -139,10 +155,36 @@ def reverified(detail: dict) -> dict[str, float]:
         return {}
     out = {}
     for name, row in payload.get("queries", {}).items():
-        med = row.get("med") if isinstance(row, dict) else None
-        if isinstance(med, (int, float)) and med == med:
-            out[name] = float(med)
+        if not isinstance(row, dict):
+            continue
+        if isinstance(row.get("meds"), list):
+            meds = [
+                float(m)
+                for m in row["meds"]
+                if isinstance(m, (int, float)) and m == m
+            ]
+            n = int(row.get("n_sessions") or len(row["meds"]) or 1)
+            out[name] = {"meds": meds, "n_sessions": max(n, 1)}
+        else:
+            med = row.get("med")
+            if isinstance(med, (int, float)) and med == med:
+                out[name] = {"meds": [float(med)], "n_sessions": 1}
     return out
+
+
+def reverify_excused(
+    name: str, fresh: dict[str, dict], floor: float, bar: float
+) -> bool:
+    """Majority-of-fresh-sessions excusal: more than half the committed
+    session medians must pass the bar (a crashed session contributes no
+    med and can only hurt the majority)."""
+    row = fresh.get(name)
+    if not row or floor is None:
+        return False
+    passing = [
+        m for m in row["meds"] if m <= bar * floor or m - floor <= 0.4
+    ]
+    return len(passing) * 2 > row["n_sessions"]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -157,14 +199,11 @@ def main(argv: list[str] | None = None) -> int:
     print(f"common queries: {len(set(current_medians(detail)) & set(best))}; "
           f"floor source: BENCH_FLOORS.json + BENCH_r*.json tails")
     for name, now, floor in bad:
-        med = fresh.get(name)
-        if (
-            now is not None
-            and med is not None
-            and (med <= bar * floor or med - floor <= 0.4)
-        ):
+        if now is not None and reverify_excused(name, fresh, floor, bar):
+            row = fresh[name]
             print(f"  excused {name}: sweep med {now} s vs floor {floor} s, "
-                  f"but fresh-session reverify med {med} s is within {bar}x "
+                  f"but a majority of {row['n_sessions']} fresh-session "
+                  f"reverify medians {row['meds']} pass {bar}x "
                   f"(non-reproducible phase draw)")
             continue
         real.append((name, now, floor))

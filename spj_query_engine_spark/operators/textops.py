@@ -2323,6 +2323,12 @@ def bpe_train_hist(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame
                 F.col("t.b").alias("m_b"),
                 (-F.col("t.negn")).cast("long").alias("m_n"),
             )
+            # `best` feeds BOTH the merge table and the crossJoin that
+            # rewrites the vocabulary — without its own barrier the
+            # vocabulary-scale pair aggregation executes twice per round
+            # (once via vocab's checkpoint, again when the final merge_rows
+            # union evaluates).  One row; the checkpoint is ~free.
+            .localCheckpoint(eager=True)
         )
         merge_rows.append(
             best.select(

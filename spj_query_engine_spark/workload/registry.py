@@ -97,11 +97,27 @@ def _proven_names() -> set[str]:
     """
     import glob
     import json
+    return set(_last_proven_round())
+
+
+def _last_proven_round() -> dict[str, int]:
+    """name -> most recent round whose driver gate settled it.
+
+    An entry is settled once it has a green (rows+schema+hash) row in any
+    CORRECTNESS_r*.json — or, for oracle-less entries, any recorded row at
+    all (they can only ever record ``no_oracle``, so re-recording them would
+    waste one of the gate's bounded slots).
+    """
+    import glob
+    import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    proven: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -119,33 +135,28 @@ def _proven_names() -> set[str]:
             )
             oracle_less = name in REGISTRY and REGISTRY[name].oracle is None
             if green or oracle_less:
-                proven.add(name)
-    return proven
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _gate_order() -> list[str]:
     static = [n for n in GATE_PRIORITY if n in REGISTRY]
     static += [n for n in REGISTRY if n not in GATE_PRIORITY]
-    proven = _proven_names()
-    head = [n for n in static if n not in proven]
-    tail = [n for n in static if n in proven]
+    last = _last_proven_round()
+    head = [n for n in static if n not in last]
     # Once every entry is proven (head empty), the driver's bounded
     # ~50-slot gate would re-check the SAME static prefix forever and the
     # other ~200 entries would never be re-validated against the oracle.
-    # Rotate the proven tail by one gate-width per recorded round (the
-    # count of CORRECTNESS_r*.json files is the round index — already read
-    # by _proven_names' source files), so successive rounds sweep fresh
-    # 50-entry windows and the whole registry is re-proven every ~5 rounds.
-    if tail:
-        import glob as _glob
-        import os as _os
-
-        root = _os.path.dirname(
-            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        )
-        rounds = len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
-        shift = (rounds * 50) % len(tail)
-        tail = tail[shift:] + tail[:shift]
+    # Order the proven tail STALENESS-FIRST (oldest green proof leads; name
+    # breaks ties deterministically): each round the gate re-proves the
+    # entries whose evidence is oldest, which then sort to the back — a
+    # self-balancing sweep with no stride arithmetic to fall between
+    # windows (the r06 fixed 50-stride assumed the driver always records
+    # exactly 50 rows; any other width made successive windows skip fixed
+    # index ranges forever).  Max staleness converges to
+    # ceil(len(proven) / gate width) rounds, the best any bounded gate can
+    # guarantee.
+    tail = sorted((n for n in static if n in last), key=lambda n: (last[n], n))
     return head + tail
 
 

@@ -95,6 +95,32 @@ def test_reverify_excusal_binds_to_fingerprint():
     assert compare_bench.reverified(detail) == {}
 
 
+def test_reverify_requires_majority_of_sessions():
+    """One lucky fresh-session window must not excuse a violation (the
+    one-sided selection the r06 ADVICE flagged): a majority of the
+    independent session medians has to pass the bar."""
+    floor, bar = 2.0, 1.5
+    fresh = {"q": {"meds": [2.5, 5.0, 5.1], "n_sessions": 3}}
+    assert not compare_bench.reverify_excused("q", fresh, floor, bar)
+    fresh = {"q": {"meds": [2.5, 2.6, 5.1], "n_sessions": 3}}
+    assert compare_bench.reverify_excused("q", fresh, floor, bar)
+    # a crashed session records no med and can only hurt the majority
+    fresh = {"q": {"meds": [2.5], "n_sessions": 3}}
+    assert not compare_bench.reverify_excused("q", fresh, floor, bar)
+    # legacy single-med rows normalize to a 1-session majority
+    fresh = {"q": {"meds": [2.5], "n_sessions": 1}}
+    assert compare_bench.reverify_excused("q", fresh, floor, bar)
+
+
+def test_fingerprint_covers_judged_medians():
+    """Two sweeps with identical min-of-runs but different judged medians
+    must not share a fingerprint — else a committed reverify could excuse
+    a sweep it never re-measured (r06 ADVICE, medium)."""
+    a = {"queries": {"q": 1.0}, "runs": {"q": {"med": 1.0, "min": 1.0, "n": 2}}}
+    b = {"queries": {"q": 1.0}, "runs": {"q": {"med": 9.0, "min": 1.0, "n": 2}}}
+    assert compare_bench.detail_fingerprint(a) != compare_bench.detail_fingerprint(b)
+
+
 def test_overrides_are_documented_subset():
     """BENCH_FLOOR_OVERRIDES.json (hand-raised floors for legitimate
     slowdowns) must only name real registry queries and carry positive
