@@ -960,6 +960,24 @@ def _fold_sessions_multi(rows: pd.DataFrame, gap_ms: int, tails: tuple):
     return closed, tuple(a[order] for a in nt)
 
 
+def _ttl_frame(arrs) -> pd.DataFrame:  # noqa: ANN001
+    """Output frame from 6 parallel tail arrays (users, snos, starts, ends,
+    ns, micros) — shared by the apws and TWS TTL sessionizers."""
+    import numpy as np
+
+    users, snos, starts, ends, ns, mics = arrs
+    return pd.DataFrame(
+        {
+            "user_id": users,
+            "session_no": snos,
+            "session_start_ms": starts,
+            "session_end_ms": ends,
+            "n_events": ns,
+            "sum_value": np.asarray(mics, dtype=np.float64) / 1e6,
+        }
+    )
+
+
 def _session_ttl_fn(gap_ms: int):
     """Bucket-keyed TTL sessionize state function.  Each key is a hash
     bucket of users; state is the bucket's open tails as parallel arrays
@@ -971,18 +989,7 @@ def _session_ttl_fn(gap_ms: int):
     micro-batch instead of O(users) — the cost floor of the finite replay."""
     import numpy as np
 
-    def _frame(arrs) -> pd.DataFrame:  # noqa: ANN001
-        users, snos, starts, ends, ns, mics = arrs
-        return pd.DataFrame(
-            {
-                "user_id": users,
-                "session_no": snos,
-                "session_start_ms": starts,
-                "session_end_ms": ends,
-                "n_events": ns,
-                "sum_value": np.asarray(mics, dtype=np.float64) / 1e6,
-            }
-        )
+    _frame = _ttl_frame
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1084,6 +1091,114 @@ def stateful_sessionize_ttl(
     )
 
 
+def stateful_sessionize_ttl_tws(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN,
+    watermark_minutes: int = TTL_WATERMARK_MIN,
+    buckets: int = 256,
+) -> DataFrame:
+    """TWS twin of :func:`stateful_sessionize_ttl` — same bucket keying,
+    same fold (:func:`_fold_sessions_multi`), same emitted rows, but on
+    Spark 4's ``transformWithStateInPandas`` with REAL event-time timers:
+
+    * ``applyInPandasWithState`` delivers a timeout as a whole extra
+      function invocation with an EMPTY pandas frame per timed-out key and
+      re-arms by round-tripping the full state tuple;
+    * TWS separates the paths — data batches hit ``handleInputRows``,
+      expirations hit ``handleExpiredTimer`` with no frame plumbing, state
+      lives server-side in named column families (RocksDB) and only the
+      touched value crosses the socket.
+
+    The per-key timer bookkeeping keeps ONE armed timer (the bucket's min
+    ``end + gap``), tracked in its own ValueState so re-arming can delete
+    the stale registration."""
+    import numpy as np
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_ms = gap_minutes * 60 * 1000
+    state_ddl = (
+        "users ARRAY<BIGINT>, snos ARRAY<BIGINT>, starts ARRAY<BIGINT>, "
+        "ends ARRAY<BIGINT>, ns ARRAY<BIGINT>, micros ARRAY<BIGINT>"
+    )
+
+    class SessionTTL(StatefulProcessor):
+        def init(self, handle) -> None:  # noqa: ANN001
+            self._handle = handle
+            self._tails = handle.getValueState("tails", state_ddl)
+            self._armed = handle.getValueState("armed", "ts BIGINT")
+
+        def _get_tails(self):
+            if self._tails.exists():
+                return tuple(
+                    np.asarray(a, dtype=np.int64) for a in self._tails.get()
+                )
+            return tuple(np.empty(0, dtype=np.int64) for _ in range(6))
+
+        def _rearm(self, expiry_ms: int) -> None:
+            if self._armed.exists():
+                old = int(self._armed.get()[0])
+                if old == expiry_ms:
+                    return
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(expiry_ms)
+            self._armed.update((expiry_ms,))
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            batch = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["user_id", "ts_ms", "event_id"], kind="mergesort"
+            )
+            closed, new_tails = _fold_sessions_multi(
+                batch, gap_ms, self._get_tails()
+            )
+            self._tails.update(tuple(a.tolist() for a in new_tails))
+            if len(new_tails[0]):
+                self._rearm(int(new_tails[3].min()) + gap_ms)
+            yield _ttl_frame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+            wm = timerValues.getCurrentWatermarkInMs()
+            tails = self._get_tails()
+            expired = tails[3] + gap_ms < wm
+            out = _ttl_frame(tuple(a[expired] for a in tails))
+            # the fired timer is gone; drop our bookkeeping of it before
+            # re-arming (deleteTimer on the fired ts would be stale)
+            self._armed.clear()
+            if bool(expired.all()):
+                self._tails.clear()
+            else:
+                rest = tuple(a[~expired] for a in tails)
+                self._tails.update(tuple(a.tolist() for a in rest))
+                self._rearm(int(rest[3].min()) + gap_ms)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    base = (
+        events.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(buckets)).alias("bucket"),
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            "value",
+        )
+    )
+    return base.groupBy("bucket").transformWithStateInPandas(
+        SessionTTL(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+#: which TTL-sessionize API the last run_stateful_sessionize_ttl call used —
+#: "tws" or "apws"; same visibility contract as SELECTED_API for e32
+TTL_SELECTED_API: str | None = None
+
+
 def run_stateful_sessionize_ttl(
     spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN
 ) -> DataFrame:
@@ -1107,20 +1222,53 @@ def run_stateful_sessionize_ttl(
         else USERS_PER_PARTITION_BUCKETS
         * resolve_stream_partitions(spark, sf_dir)
     )
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stateful_sessionize_ttl(
-                stream_events(spark, sf_dir), gap_minutes, buckets=buckets
+    # Prefer the TWS path (real event-time timers, server-side state) where
+    # its protobuf state-server dependency is runnable on THIS session;
+    # fall back to the applyInPandasWithState twin (bit-identical output)
+    # everywhere else — the same selection contract as e32.
+    global TTL_SELECTED_API
+    use_tws = tws_runnable(spark)
+    api_override = spark.conf.get("spj.stream.session.api", None)
+    if api_override in ("tws", "apws"):
+        use_tws = api_override == "tws"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    try:
+        if use_tws:
+            ensure_protobuf(spark)  # ship the shim zip to the data workers
+            TTL_SELECTED_API = "tws"
+            # TWS state lives in named column families — RocksDB only
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
             )
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+            build = stateful_sessionize_ttl_tws
+        else:
+            TTL_SELECTED_API = "apws"
+            build = stateful_sessionize_ttl
+        with stream_state_conf(spark, sf_dir):
+            q = (
+                build(
+                    stream_events(spark, sf_dir), gap_minutes, buckets=buckets
+                )
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        if prev_provider is None:
+            try:
+                spark.conf.unset(provider_key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(provider_key, prev_provider)
     return spark.table(name)
 
 

@@ -549,6 +549,36 @@ def e32_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e32f_tws_forced",
+    tws_running_totals_sql(),
+    doc="The SAME running-totals state machine as e32, but the TWS branch "
+    "is FORCED: the entry raises loudly if transformWithStateInPandas is "
+    "not runnable on the driver's session instead of falling back, so the "
+    "driver's oracle (not just pytest) certifies the TWS execution path - "
+    "a silent apws fallback can no longer masquerade as TWS coverage. "
+    "This container always satisfies the requirement via the vendored "
+    "public-wire-format protobuf shim exported on the JVM's launch "
+    "PYTHONPATH (session.py).",
+    bench=False,  # same replay-loop-dominated shape as e32
+)
+def e32f_tws_forced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.streaming import stateful
+
+    if not stateful.tws_runnable(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas is not runnable on this session: "
+            "google.protobuf resolves neither from site-packages nor from "
+            "the vendored shim on the JVM's launch PYTHONPATH"
+        )
+    stateful.ensure_protobuf(spark)
+    out = stateful.run_tws_running_totals(spark, sf_dir)
+    # materialize through the TWS query BEFORE asserting, then double-check
+    # the selector agrees this session could not have fallen back
+    assert stateful.tws_available(), "TWS availability probe regressed"
+    return out
+
+
+@register(
     "e50_session_ttl",
     __import__(
         "spj_query_engine_spark.streaming.stateful", fromlist=["sessionize_ttl_sql"]
