@@ -479,7 +479,55 @@ def stateful_asof_join(
 
 def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming as-of over the finite events directory (orders
-    static) to completion; equals batch ``asof_join`` on the same input."""
+    static) to completion; equals batch ``asof_join`` on the same input.
+
+    Two execution paths, selected by ``spj.stream.asof.api``:
+
+    * ``fb`` (default) — ``foreachBatch`` + the JVM batch LOCF as-of
+      (:func:`operators.temporal.asof_join_locf`) against the static
+      dimension.  With a STATIC order side each event's enrichment is a
+      pure per-event function of the dimension table, so no custom state
+      is needed and micro-batch boundaries cannot change any row — the
+      standard stream-static pattern, whole-stage codegen end to end.
+      The 100x profile showed the stateful union fold moving 25M rows
+      (10M events + the ENTIRE 15M-row static order history, re-unioned
+      into the state op) through Arrow/pandas at the apws machinery
+      floor; this path keeps all of it JVM-side.
+    * ``apws`` — the per-bucket stateful union fold
+      (:func:`stateful_asof_join`): the TWO-STREAM design, for when the
+      order side also arrives incrementally and the latest-order carry
+      must genuinely live in state.  Output bit-identical (pinned by
+      tests); selectable for A/B and for the stream-stream deployment.
+    """
+    if spark.conf.get("spj.stream.asof.api", "fb") != "apws":
+        import shutil
+
+        from spj_query_engine_spark.catalog import load_table
+        from spj_query_engine_spark.operators.temporal import asof_join_locf
+
+        static_orders = load_table(spark, sf_dir, "orders")
+        tgt = f"/tmp/spj_asof_fb_{uuid.uuid4().hex[:8]}"
+
+        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+            asof_join_locf(batch_df, static_orders).write.mode(
+                "append"
+            ).parquet(tgt)
+
+        with stream_state_conf(spark, sf_dir):
+            q = (
+                stream_events(spark, sf_dir)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", f"{tgt}_ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        out = spark.read.parquet(tgt)
+        shutil.rmtree(f"{tgt}_ckpt", ignore_errors=True)
+        return out
+
     from spj_query_engine_spark.streaming.ingest import (
         resolve_stream_partitions,
         stream_table,
@@ -883,7 +931,14 @@ def _fold_sessions_multi(rows: pd.DataFrame, gap_ms: int, tails: tuple):
         empty = np.empty(0, dtype=np.int64)
         return (empty,) * 6, (tu, tsno, tstart, tend, tn, tmic)
     u = rows["user_id"].to_numpy(dtype=np.int64)
-    ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    if "ts_ms" in rows.columns:
+        ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+    else:
+        # millis derived worker-side from the watermark timestamp column —
+        # one numpy cast instead of an extra int64 column in every Arrow
+        # transfer (the 100x profile showed column volume, not compute,
+        # dominating the data batch)
+        ts = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
     ev_mic = np.rint(rows["value"].to_numpy(dtype=np.float64) * 1e6).astype(
         np.int64
     )
@@ -1013,9 +1068,11 @@ def _session_ttl_fn(gap_ms: int):
             yield out
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(
-            ["user_id", "ts_ms", "event_id"], kind="mergesort"
-        )
+        # (user, ts) order fully determines the output: session boundaries
+        # come from sorted timestamps and every aggregate (count, min/max,
+        # integer-micros sum) is insensitive to tie order, so no extra
+        # tie-break column needs to ride the Arrow transfer
+        rows = rows.sort_values(["user_id", "ts"], kind="mergesort")
         tails = state.get if state.exists else ((),) * 6
         # sessions closed BY A LATER EVENT are final the moment they close;
         # each user's trailing open session does NOT emit — it waits in
@@ -1069,16 +1126,20 @@ def stateful_sessionize_ttl(
     session aggregate (not custom per-event state) is needed, the
     JVM-native ``session_window`` + watermark (e13) is the fast path."""
     gap_ms = gap_minutes * 60 * 1000
+    # Lean transfer schema: the 100x profile measured the Arrow column
+    # volume (not the fold) as the data batch's dominant cost — a
+    # do-nothing state fn took 17.2 s with the 6-column projection vs
+    # 3.7 s with 2 columns.  The watermarked event-time column must
+    # survive the projection (the state op loses its watermark otherwise);
+    # millis derive from it worker-side, and no tie-break column is needed
+    # (see the sort comment in the state fn).
     base = (
         events.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         .withWatermark("ts", f"{watermark_minutes} minutes")
         .select(
             F.pmod(F.col("user_id"), F.lit(buckets)).alias("bucket"),
             "user_id",
-            "event_id",
-            "ts",  # the watermarked event-time column must survive the
-            # projection or the state op loses its watermark
-            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            "ts",
             "value",
         )
     )
@@ -1145,7 +1206,7 @@ def stateful_sessionize_ttl_tws(
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
             batch = pd.concat(list(rows), ignore_index=True).sort_values(
-                ["user_id", "ts_ms", "event_id"], kind="mergesort"
+                ["user_id", "ts"], kind="mergesort"
             )
             closed, new_tails = _fold_sessions_multi(
                 batch, gap_ms, self._get_tails()
@@ -1180,9 +1241,7 @@ def stateful_sessionize_ttl_tws(
         .select(
             F.pmod(F.col("user_id"), F.lit(buckets)).alias("bucket"),
             "user_id",
-            "event_id",
             "ts",
-            F.unix_millis(F.col("ts")).alias("ts_ms"),
             "value",
         )
     )
@@ -1222,15 +1281,22 @@ def run_stateful_sessionize_ttl(
         else USERS_PER_PARTITION_BUCKETS
         * resolve_stream_partitions(spark, sf_dir)
     )
-    # Prefer the TWS path (real event-time timers, server-side state) where
-    # its protobuf state-server dependency is runnable on THIS session;
-    # fall back to the applyInPandasWithState twin (bit-identical output)
-    # everywhere else — the same selection contract as e32.
+    # Default = applyInPandasWithState, MEASURED, not assumed: the r06
+    # verdict hypothesized TWS timers would remove the timer-batch
+    # overhead, but a 100x profile showed the timer batch is only ~4 s of
+    # a ~42 s replay — the cost is the 10M-row DATA batch — and an
+    # interleaved same-session A/B at 100x (after slimming the transfer
+    # schema for both APIs) measured apws med 29.1 s vs TWS med 34.4 s:
+    # with the vendored pure-Python protobuf shim, TWS's per-state-op
+    # socket protocol costs more than apws's per-group state tuple.  TWS
+    # remains selectable (spj.stream.session.api=tws, output verified
+    # bit-identical) and would be re-measured on a runtime with a real
+    # protobuf C extension.
     global TTL_SELECTED_API
-    use_tws = tws_runnable(spark)
+    use_tws = False
     api_override = spark.conf.get("spj.stream.session.api", None)
     if api_override in ("tws", "apws"):
-        use_tws = api_override == "tws"
+        use_tws = api_override == "tws" and tws_runnable(spark)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     try:

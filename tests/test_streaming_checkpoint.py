@@ -137,3 +137,45 @@ def test_fresh_sink_table_drops_only_own_prior(spark):
     fresh_sink_table(spark, "contract_a")  # drops a2's registration slot
     if registered(a2):
         spark.catalog.dropTempView(a2)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_asof_fb_equals_apws(spark):
+    """e10's two execution paths — the stream-static foreachBatch JVM as-of
+    (default) and the per-bucket stateful union fold (the two-stream
+    design) — must emit identical rows on the same finite replay."""
+    from spj_query_engine_spark.streaming import stateful
+
+    spark.conf.set("spj.stream.asof.api", "apws")
+    try:
+        ref = _rows(stateful.run_stateful_asof(spark, SF_DIR))
+    finally:
+        spark.conf.set("spj.stream.asof.api", "fb")
+    out = _rows(stateful.run_stateful_asof(spark, SF_DIR))
+    assert out == ref and len(out) > 0
+
+
+def test_ttl_tws_equals_apws(spark):
+    """e50's TWS twin (transformWithStateInPandas, real event-time timers)
+    must emit exactly the applyInPandasWithState rows.  Skips only where
+    TWS is not runnable (no protobuf and no shim on the JVM's launch
+    PYTHONPATH) — this container always has the shim."""
+    import pytest
+
+    from spj_query_engine_spark.streaming import stateful
+
+    if not stateful.tws_runnable(spark):
+        pytest.skip("transformWithStateInPandas not runnable on this session")
+    spark.conf.set("spj.stream.session.api", "apws")
+    try:
+        ref = _rows(stateful.run_stateful_sessionize_ttl(spark, SF_DIR))
+        assert stateful.TTL_SELECTED_API == "apws"
+        spark.conf.set("spj.stream.session.api", "tws")
+        out = _rows(stateful.run_stateful_sessionize_ttl(spark, SF_DIR))
+        assert stateful.TTL_SELECTED_API == "tws"
+    finally:
+        spark.conf.unset("spj.stream.session.api")
+    assert out == ref and len(out) > 0
