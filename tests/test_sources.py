@@ -366,3 +366,108 @@ def test_python_sink_overwrite_replaces(spark):
         assert back.agg(F.sum("doc_id")).first()[0] == 15
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonlsink_two_concurrent_jobs_one_directory(spark):
+    """The VERDICT-flagged scenario as a live race, not a simulation: two
+    jobs writing INTO THE SAME directory at the same time (threads; Spark
+    schedules both jobs concurrently on the shared local executor).  With
+    job-token-scoped names and sweeps, neither job may delete or clobber
+    the other's output: the read-back must hold exactly the union of both
+    row sets, and no temp files may survive."""
+    import os
+    import tempfile
+    import threading
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spj_query_engine_spark.sources.pydatasource import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = tempfile.mkdtemp(prefix="spj_u08_race_")
+    errors = []
+
+    def job(base: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": range(base, base + 50), "n_chars": [1] * 50}
+                )
+            ).repartition(8)
+            df.write.format("jsonlsink").option("path", out).mode(
+                "append"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    try:
+        threads = [
+            threading.Thread(target=job, args=(0,)),
+            threading.Thread(target=job, args=(1000,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, f"concurrent write failed: {errors[0]}"
+        assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
+        assert back.count() == 100, "a job deleted the other's rows"
+        assert back.select(F.countDistinct("doc_id")).first()[0] == 100
+        assert back.agg(F.sum("doc_id")).first()[0] == sum(range(50)) + sum(
+            range(1000, 1050)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonlsink_overwrite_replaces_only_finals_never_inflight_tmp(spark):
+    """mode('overwrite') into a shared directory: prior jobs' FINAL part
+    files are replaced (that is the contract), but a concurrent job's
+    in-flight temp file — not yet committed — must survive the overwrite's
+    deletion pass, and the overwrite's own rows must be exactly what reads
+    back."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from spj_query_engine_spark.sources.pydatasource import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = tempfile.mkdtemp(prefix="spj_u08_ow_")
+    try:
+        old = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "n_chars": [5, 5]})
+        ).repartition(1)
+        old.write.format("jsonlsink").option("path", out).mode("append").save()
+        foreign_tmp = os.path.join(out, "part-00000-feed.jsonl.cafe.tmp")
+        with open(foreign_tmp, "w") as f:
+            f.write('{"doc_id": 7, "n_chars": 7}\n')
+        new = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10, 11, 12], "n_chars": [9, 9, 9]})
+        ).repartition(1)
+        new.write.format("jsonlsink").option("path", out).mode(
+            "overwrite"
+        ).save()
+        assert os.path.exists(foreign_tmp), (
+            "overwrite deleted a concurrent job's in-flight temp"
+        )
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
+        rows = sorted(r.doc_id for r in back.collect())
+        assert rows == [10, 11, 12], f"overwrite row set wrong: {rows}"
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
