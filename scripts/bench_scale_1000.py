@@ -40,6 +40,9 @@ from spj_query_engine_spark.workload import REGISTRY
 BASE = "/root/testdata/sf0.1"
 BASE100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/spj_scale100")
 SCALED = os.environ.get("SPARK_GRAFT_SCALE1000_DIR", "/tmp/spj_scale1000")
+SCALED_PAIRS = os.environ.get(
+    "SPARK_GRAFT_SCALE1000P_DIR", "/tmp/spj_scale1000p"
+)
 LEVEL2 = 10  # on top of the 100x base
 
 #: linear scan-bound entries: per-row cost flat, no pair generation
@@ -49,6 +52,21 @@ FAMILY = [
     "p01_train_split",
     "e01_tumbling_rollup",
     "e09_percentiles",
+]
+
+#: bucketed quadratic-hazard families at 1000x — the r06 verdict's ask.
+#: These run on a PAIR-STRUCTURE-CONTROLLED corpus (see
+#: build_scaled_pairs): the plain 1000x documents corpus deliberately
+#: leaves level-2 replicas unsalted (exact-dup groups of 10 — right for
+#: content-hash entries, but it multiplies LSH bucket membership and the
+#: verified pair count by ~45x/doc, so a d02 ratio on it measures the
+#: DATA's duplication structure, not the algorithm's scaling).  With
+#: level-2 re-salting the planted pair structure replicates exactly
+#: 1000x, the same controlled variable as the 10x/100x records.
+PAIR_FAMILY = [
+    "d02_minhash_lsh",
+    "g01_pagerank",
+    "s09_knn_join_2level",
 ]
 
 
@@ -93,13 +111,85 @@ def build_scaled(spark) -> None:
     open(marker, "w").close()
 
 
-def run(spark, name: str, sf_dir: str) -> float:
+def build_scaled_pairs(spark) -> None:
+    """Level-2 corpus for the pair families, pair structure CONTROLLED:
+
+    * documents: replica r re-salts every word with ``w<r>`` on top of the
+      level-1 ``zr`` salt (token count constant, same trick as level 1) —
+      within-replica shingle Jaccard is preserved exactly, across-replica
+      shingle sets share nothing, so the near-dup pair graph replicates
+      exactly 1000x.
+    * embeddings: replica r flips coordinate SIGNS by a fixed per-replica
+      ±1 pattern (hash(i, r) parity).  The same pattern applies to both
+      sides of every within-replica pair, so inner products — hence cosine
+      near-dups, IVF cell structure, and kNN top-k — are EXACTLY preserved
+      per replica; across replicas (and against every level-1 rotation)
+      cosines scramble.
+    """
+    marker = os.path.join(SCALED_PAIRS, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SCALED_PAIRS, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE100, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE100, "embeddings.parquet"))
+    dim = 64
+    doc_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1w{r}")
+                if r
+                else F.col("text")
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        for r in range(LEVEL2)
+    ]
+    all_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    all_docs.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SCALED_PAIRS, "documents.parquet")
+    )
+    emb_parts = []
+    for r in range(LEVEL2):
+        if r == 0:
+            rolled = emb.select(
+                F.col("vec_id").alias("vec_id"), "embedding", "label"
+            )
+        else:
+            # deterministic ±1 pattern per (replica, coordinate)
+            signs = [1.0 if (i * 2654435761 + r * 40503) % 7 < 4 else -1.0
+                     for i in range(dim)]
+            rolled = emb.select(
+                (F.col("vec_id") + F.lit(r * 10_000_000_000)).alias("vec_id"),
+                F.array(
+                    *[
+                        (F.col("embedding")[i] * F.lit(signs[i])).cast("float")
+                        for i in range(dim)
+                    ]
+                ).alias("embedding"),
+                "label",
+            )
+        emb_parts.append(rolled)
+    all_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        all_emb = all_emb.unionByName(p)
+    all_emb.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SCALED_PAIRS, "embeddings.parquet")
+    )
+    open(marker, "w").close()
+
+
+def run(spark, name: str, sf_dir: str, warmup: bool = True) -> float:
     import gc
 
     fn = REGISTRY[name].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
-    spark.catalog.clearCache()
-    gc.collect()
+    if warmup:  # pair-family 1000x runs skip it: ~2 s of codegen inside a
+        # many-minute run is noise, a second full run is half an hour
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        gc.collect()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -122,10 +212,28 @@ def main() -> None:
             "SPARK_GRAFT_SCALE_REPLICAS=100 first"
         )
     build_scaled(spark)
+    build_scaled_pairs(spark)
+    name_filter = sys.argv[2:]
+    # resume support mirrors bench_scale.py: partial results survive kills
     results: dict[str, dict] = {}
-    for name in FAMILY:
-        base_s = run(spark, name, BASE)
-        scale_s = run(spark, name, SCALED)
+    if out_path and os.path.exists(out_path):
+        try:
+            results = json.load(open(out_path)).get("queries", {})
+        except Exception:
+            results = {}
+    for name, scaled_dir in [(n, SCALED) for n in FAMILY] + [
+        (n, SCALED_PAIRS) for n in PAIR_FAMILY
+    ]:
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        if name in results:
+            continue
+        try:
+            base_s = run(spark, name, BASE)
+            scale_s = run(spark, name, scaled_dir, warmup=scaled_dir == SCALED)
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {name}: ERROR {str(exc)[:160]}", flush=True)
+            continue
         results[name] = {
             "sf0.1_sec": base_s,
             "x1000_sec": scale_s,
@@ -133,6 +241,10 @@ def main() -> None:
         }
         print(f"  {name}: 1x {base_s}s -> 1000x {scale_s}s "
               f"(ratio {results[name]['ratio']})", flush=True)
+        if out_path:
+            payload = {"replicas": 1000, "base": BASE, "queries": results}
+            with open(out_path, "w") as fh:
+                fh.write(json.dumps(payload) + "\n")
     payload = {"replicas": 1000, "base": BASE, "queries": results}
     line = json.dumps(payload)
     print(line)
