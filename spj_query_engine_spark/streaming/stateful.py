@@ -926,22 +926,26 @@ def _fold_sessions_multi(rows: pd.DataFrame, gap_ms: int, tails: tuple):
     tu, tsno, tstart, tend, tn, tmic = (
         np.asarray(a, dtype=np.int64) for a in tails
     )
-    m = len(rows)
+    if isinstance(rows, tuple):
+        # pre-sorted raw arrays (u, ts_ms, ev_micros) — the hot path: the
+        # callers lexsort the numpy columns directly instead of sorting
+        # (and copying) a whole pandas frame
+        u, ts, ev_mic = rows
+        m = len(u)
+    else:
+        m = len(rows)
     if m == 0:
         empty = np.empty(0, dtype=np.int64)
         return (empty,) * 6, (tu, tsno, tstart, tend, tn, tmic)
-    u = rows["user_id"].to_numpy(dtype=np.int64)
-    if "ts_ms" in rows.columns:
-        ts = rows["ts_ms"].to_numpy(dtype=np.int64)
-    else:
-        # millis derived worker-side from the watermark timestamp column —
-        # one numpy cast instead of an extra int64 column in every Arrow
-        # transfer (the 100x profile showed column volume, not compute,
-        # dominating the data batch)
-        ts = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-    ev_mic = np.rint(rows["value"].to_numpy(dtype=np.float64) * 1e6).astype(
-        np.int64
-    )
+    if not isinstance(rows, tuple):
+        u = rows["user_id"].to_numpy(dtype=np.int64)
+        if "ts_ms" in rows.columns:
+            ts = rows["ts_ms"].to_numpy(dtype=np.int64)
+        else:
+            ts = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        ev_mic = np.rint(
+            rows["value"].to_numpy(dtype=np.float64) * 1e6
+        ).astype(np.int64)
     new_user = np.empty(m, dtype=bool)
     new_user[0] = True
     new_user[1:] = u[1:] != u[:-1]
@@ -1071,13 +1075,21 @@ def _session_ttl_fn(gap_ms: int):
         # (user, ts) order fully determines the output: session boundaries
         # come from sorted timestamps and every aggregate (count, min/max,
         # integer-micros sum) is insensitive to tie order, so no extra
-        # tie-break column needs to ride the Arrow transfer
-        rows = rows.sort_values(["user_id", "ts"], kind="mergesort")
+        # tie-break column needs to ride the Arrow transfer.  Sort the raw
+        # numpy columns (lexsort + 3 takes) instead of the whole frame.
+        u = rows["user_id"].to_numpy(dtype=np.int64)
+        ts = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        mic = np.rint(
+            rows["value"].to_numpy(dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        order = np.lexsort((ts, u))
         tails = state.get if state.exists else ((),) * 6
         # sessions closed BY A LATER EVENT are final the moment they close;
         # each user's trailing open session does NOT emit — it waits in
         # state for the bucket timer (or a later batch that extends it)
-        closed, new_tails = _fold_sessions_multi(rows, gap_ms, tails)
+        closed, new_tails = _fold_sessions_multi(
+            (u[order], ts[order], mic[order]), gap_ms, tails
+        )
         state.update(tuple(a.tolist() for a in new_tails))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
@@ -1205,11 +1217,17 @@ def stateful_sessionize_ttl_tws(
             self._armed.update((expiry_ms,))
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-            batch = pd.concat(list(rows), ignore_index=True).sort_values(
-                ["user_id", "ts"], kind="mergesort"
+            batch = pd.concat(list(rows), ignore_index=True)
+            u = batch["user_id"].to_numpy(dtype=np.int64)
+            ts = batch["ts"].to_numpy().astype("datetime64[ms]").astype(
+                np.int64
             )
+            mic = np.rint(
+                batch["value"].to_numpy(dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            order = np.lexsort((ts, u))
             closed, new_tails = _fold_sessions_multi(
-                batch, gap_ms, self._get_tails()
+                (u[order], ts[order], mic[order]), gap_ms, self._get_tails()
             )
             self._tails.update(tuple(a.tolist() for a in new_tails))
             if len(new_tails[0]):
