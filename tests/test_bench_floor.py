@@ -127,7 +127,10 @@ def test_overrides_are_documented_subset():
     floors — a typo'd name would silently disable that query's gate."""
     path = os.path.join(ROOT, "BENCH_FLOOR_OVERRIDES.json")
     if not os.path.exists(path):
-        pytest.skip("no overrides file")
+        # the desired steady state since r07: the g-family variance was
+        # fixed at the source (BENCH_VARIANCE.md addendum) and the override
+        # file deleted — nothing to validate IS a pass, not a skip
+        return
     overrides = json.load(open(path))
     floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
     known = set(json.load(open(floors_path))) if os.path.exists(floors_path) else set()
