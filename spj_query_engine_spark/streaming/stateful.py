@@ -818,20 +818,109 @@ def tws_available() -> bool:
     return ensure_protobuf(None)
 
 
+#: cached verdict of :func:`provision_usersite_shim` — the probe spawns a
+#: fresh interpreter, so it is worth running at most once per process
+_USERSITE_PROVISIONED: bool | None = None
+
+#: name of the path-configuration file the usersite provisioning writes;
+#: one line = the shim directory, appended by ``site.addsitedir`` to the
+#: END of every fresh interpreter's ``sys.path`` (so a real google.protobuf
+#: in system site-packages always shadows it)
+USERSITE_PTH_NAME = "spj_protoshim.pth"
+
+
+def _fresh_interpreter_imports_protobuf(python_exec: str | None = None) -> bool:
+    """Empirical stand-in for the JVM-spawned worker: can a FRESH
+    interpreter — launched WITHOUT the shim on ``PYTHONPATH`` — import
+    ``google.protobuf``?  This is exactly the resolution a
+    ``PythonWorkerFactory`` simple worker performs at startup (fresh
+    process, inherited env, normal ``site`` processing, no ``-s``)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    shim_abs = os.path.abspath(PROTOSHIM_DIR)
+    parts = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != shim_abs
+    ]
+    if parts:
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+    else:
+        env.pop("PYTHONPATH", None)
+    exe = python_exec or os.environ.get("PYSPARK_PYTHON") or sys.executable
+    try:
+        r = subprocess.run(
+            [exe, "-c", "import google.protobuf"],
+            env=env,
+            capture_output=True,
+            timeout=60,
+        )
+    except Exception:
+        return False
+    return r.returncode == 0
+
+
+def provision_usersite_shim() -> bool:
+    """Make the vendored protobuf shim resolvable by FRESH interpreters of
+    this user — the self-provisioning channel for sessions whose JVM was
+    launched WITHOUT the shim on ``PYTHONPATH`` (e.g. the correctness
+    driver builds its SparkSession before importing this package, so
+    ``get_spark``'s pre-launch export never happened there).
+
+    Mechanism: write a one-line ``.pth`` file naming the shim directory
+    into ``site.getusersitepackages()``.  ``site.addpackage`` appends
+    ``.pth``-listed dirs to the END of ``sys.path``, so a real
+    ``google.protobuf`` anywhere in site-packages always wins; the file is
+    only written at all when a fresh interpreter CANNOT already import
+    protobuf.  Returns whether a fresh interpreter (shim stripped from the
+    launch env) now imports ``google.protobuf`` — verified empirically by
+    subprocess, not inferred."""
+    global _USERSITE_PROVISIONED
+    if _USERSITE_PROVISIONED is not None:
+        return _USERSITE_PROVISIONED
+    if _fresh_interpreter_imports_protobuf():
+        # a real distribution (or an already-installed .pth) resolves;
+        # nothing to provision
+        _USERSITE_PROVISIONED = True
+        return True
+    import site
+
+    try:
+        if not getattr(site, "ENABLE_USER_SITE", False):
+            _USERSITE_PROVISIONED = False
+            return False
+        usersite = site.getusersitepackages()
+        os.makedirs(usersite, exist_ok=True)
+        pth = os.path.join(usersite, USERSITE_PTH_NAME)
+        want = os.path.abspath(PROTOSHIM_DIR) + "\n"
+        if not (os.path.exists(pth) and open(pth).read() == want):
+            with open(pth, "w") as f:
+                f.write(want)
+    except OSError:
+        _USERSITE_PROVISIONED = False
+        return False
+    _USERSITE_PROVISIONED = _fresh_interpreter_imports_protobuf()
+    return _USERSITE_PROVISIONED
+
+
 def tws_runnable(spark: SparkSession) -> bool:
     """Whether ``transformWithStateInPandas`` can run on THIS session.
 
     Driver-side importability (:func:`tws_available`) is necessary but NOT
     sufficient: the TWS state-schema pre-init worker is spawned by the JVM
-    with the JVM's inherited environment and does not process ``addPyFile``
-    includes.  When ``google.protobuf`` resolves only via the vendored
-    shim, the shim directory must therefore be on the PYTHONPATH the JVM
-    was LAUNCHED with (``get_spark`` exports it pre-launch) — a FOREIGN
-    session (e.g. the correctness driver's, which builds its own
-    SparkSession before importing this package) may have launched the JVM
-    without it, and selecting TWS there crashes the pre-init worker.  A
-    real protobuf distribution needs no env plumbing: the worker resolves
-    it from site-packages."""
+    as a FRESH process with the JVM's inherited environment and does not
+    process ``addPyFile`` includes.  When ``google.protobuf`` resolves only
+    via the vendored shim, that worker reaches it through either of two
+    channels — (a) the PYTHONPATH the JVM was LAUNCHED with (``get_spark``
+    exports it pre-launch), or (b) the self-provisioned usersite ``.pth``
+    (:func:`provision_usersite_shim`), which fresh interpreters pick up via
+    normal ``site`` processing regardless of launch env.  Channel (b) is
+    what makes TWS runnable on a FOREIGN session (e.g. the correctness
+    driver's, which builds its own SparkSession before importing this
+    package).  A real protobuf distribution needs no plumbing at all: the
+    worker resolves it from site-packages."""
     if not ensure_protobuf(None):
         return False
     import google.protobuf as _gp
@@ -840,13 +929,18 @@ def tws_runnable(spark: SparkSession) -> bool:
     if not f.startswith(os.path.abspath(PROTOSHIM_DIR) + os.sep):
         return True
     try:
-        jenv = (
-            spark.sparkContext._jvm.java.lang.System.getenv("PYTHONPATH")
-            or ""
-        )
+        jget = spark.sparkContext._jvm.java.lang.System.getenv
+        if PROTOSHIM_DIR in (jget("PYTHONPATH") or "").split(os.pathsep):
+            return True
+        if jget("PYTHONNOUSERSITE"):
+            # the worker inherits the JVM's env; usersite is disabled
+            # there, so the .pth channel cannot reach it
+            return False
     except Exception:
-        return False
-    return PROTOSHIM_DIR in jenv.split(os.pathsep)
+        # no py4j gateway to inspect (e.g. Spark Connect) — fall through
+        # to the empirically-verified usersite channel
+        pass
+    return provision_usersite_shim()
 
 
 #: which stateful API the last ``run_running_totals_auto`` call actually

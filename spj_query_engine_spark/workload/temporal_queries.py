@@ -556,9 +556,13 @@ def e32_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not runnable on the driver's session instead of falling back, so the "
     "driver's oracle (not just pytest) certifies the TWS execution path - "
     "a silent apws fallback can no longer masquerade as TWS coverage. "
-    "This container always satisfies the requirement via the vendored "
-    "public-wire-format protobuf shim exported on the JVM's launch "
-    "PYTHONPATH (session.py).",
+    "SELF-PROVISIONING: where no real protobuf exists and the session's "
+    "JVM was launched without the shim on PYTHONPATH (the driver builds "
+    "its SparkSession before importing this package), tws_runnable "
+    "installs the vendored wire-format shim as a usersite .pth - appended "
+    "to every fresh interpreter's sys.path, so the JVM-spawned state "
+    "worker resolves it regardless of launch env - and verifies with a "
+    "fresh-interpreter probe before selecting TWS.",
     bench=False,  # same replay-loop-dominated shape as e32
 )
 def e32f_tws_forced(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,3 +132,86 @@ def test_real_protobuf_wins_when_present():
     import google.protobuf as gp
 
     assert gp.__version__ == "6.33.0"
+
+
+# ---------------------------------------------------------------------------
+# Usersite self-provisioning (the e32f driver-session channel)
+# ---------------------------------------------------------------------------
+
+
+def _reset_provision_cache():
+    from spj_query_engine_spark.streaming import stateful
+
+    stateful._USERSITE_PROVISIONED = None
+
+
+def test_provision_noop_when_fresh_interpreter_already_resolves(
+    monkeypatch, tmp_path
+):
+    """Real-protobuf-wins guard: when a fresh interpreter already imports
+    google.protobuf (real distribution or prior .pth), provisioning must
+    not write anything."""
+    import site
+
+    from spj_query_engine_spark.streaming import stateful
+
+    _reset_provision_cache()
+    monkeypatch.setattr(
+        stateful, "_fresh_interpreter_imports_protobuf", lambda *a, **k: True
+    )
+    monkeypatch.setattr(site, "getusersitepackages", lambda: str(tmp_path))
+    try:
+        assert stateful.provision_usersite_shim() is True
+        assert list(tmp_path.iterdir()) == []  # nothing written
+    finally:
+        _reset_provision_cache()
+
+
+def test_provision_writes_pth_then_verifies(monkeypatch, tmp_path):
+    """When a fresh interpreter cannot import protobuf, provisioning writes
+    exactly one .pth naming the shim dir into usersite, then re-probes."""
+    import os
+    import site
+
+    from spj_query_engine_spark.streaming import stateful
+
+    _reset_provision_cache()
+    calls = []
+
+    def fake_probe(*a, **k):
+        calls.append(1)
+        return len(calls) > 1  # first probe (pre-write) fails, second passes
+
+    monkeypatch.setattr(
+        stateful, "_fresh_interpreter_imports_protobuf", fake_probe
+    )
+    monkeypatch.setattr(site, "getusersitepackages", lambda: str(tmp_path))
+    monkeypatch.setattr(site, "ENABLE_USER_SITE", True, raising=False)
+    try:
+        assert stateful.provision_usersite_shim() is True
+        pth = tmp_path / stateful.USERSITE_PTH_NAME
+        assert pth.read_text() == os.path.abspath(stateful.PROTOSHIM_DIR) + "\n"
+        assert len(calls) == 2
+        # cached: a second call re-probes nothing
+        assert stateful.provision_usersite_shim() is True
+        assert len(calls) == 2
+    finally:
+        _reset_provision_cache()
+
+
+def test_provision_refuses_when_usersite_disabled(monkeypatch, tmp_path):
+    import site
+
+    from spj_query_engine_spark.streaming import stateful
+
+    _reset_provision_cache()
+    monkeypatch.setattr(
+        stateful, "_fresh_interpreter_imports_protobuf", lambda *a, **k: False
+    )
+    monkeypatch.setattr(site, "getusersitepackages", lambda: str(tmp_path))
+    monkeypatch.setattr(site, "ENABLE_USER_SITE", False, raising=False)
+    try:
+        assert stateful.provision_usersite_shim() is False
+        assert list(tmp_path.iterdir()) == []
+    finally:
+        _reset_provision_cache()
