@@ -210,6 +210,17 @@ FAMILY = [
     "q17_salted_join_agg",
     "q45_recursive_closure",
     "d29_semantic_dedup",
+    # round-8 additions: the sub-second set-op/outer-join parity family —
+    # the r07 driver sweep flagged q22/q23 at 3.4-3.7x floors with no
+    # scaling evidence either way; a measured 100x point settles whether
+    # they are fixed-overhead-dominated (expected: shuffle startup + tiny
+    # exchange on sf0.1) or hide a small-input-only plan
+    "q21_left_join_agg",
+    "q22_anti_join",
+    "q23_semi_join",
+    "q24_union",
+    "q25_intersect",
+    "q26_except",
 ]
 
 
@@ -335,6 +346,32 @@ def build_scaled_orders(spark) -> None:
     open(marker, "w").close()
 
 
+def build_scaled_customer(spark) -> None:
+    """Additive: replicate customer for the set-op/outer-join parity family
+    (q21-q26).  Replica r shifts c_custkey by the SAME +r·10^7 offset
+    orders.o_custkey gets, so per-replica join fan-out (orders per
+    customer, never-ordered customers) is exactly preserved while the
+    customer base grows — the axis an OLTP mirror actually scales on."""
+    marker = os.path.join(SCALED, "_DONE_CUSTOMER")
+    if os.path.exists(marker):
+        return
+    cust = load_tables(spark, BASE, ("customer",))["customer"]
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(r * 10_000_000)).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "customer.parquet")
+    )
+    open(marker, "w").close()
+
+
 def _scaled_fn(name: str, sf_dir: str):
     """The callable to measure — now ALWAYS the registered entry itself.
 
@@ -383,6 +420,7 @@ def main() -> None:
     build_scaled(spark)
     build_scaled_lineitem(spark)
     build_scaled_orders(spark)
+    build_scaled_customer(spark)
     # resume support: a killed run leaves its partial results on disk
     results: dict[str, dict] = {}
     if out_path and os.path.exists(out_path):

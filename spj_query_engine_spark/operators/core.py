@@ -25,6 +25,7 @@ Reference parity map (file:line into /root/reference):
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 from contextlib import contextmanager
 
@@ -213,13 +214,25 @@ def barrier(df: DataFrame) -> DataFrame:
     physical plan for cartesian products, unpushed filters, and unbounded
     nested-loop builds.  Those tests set ``SPJ_LAZY_PLANS=1`` (read at call
     time, never cached) to skip the materialization and audit the full
-    plan; every production entry point leaves it unset.
+    plan; every production entry point leaves it unset.  The flag is
+    honored ONLY under pytest (``PYTEST_CURRENT_TEST`` present): a stray
+    ``SPJ_LAZY_PLANS=1`` leaking into a production environment would
+    silently disable every barrier and reintroduce the double-derivation
+    cost the barriers exist to bound.
     """
     import os as _os
 
-    if _os.environ.get("SPJ_LAZY_PLANS", "") == "1":
+    if (
+        _os.environ.get("SPJ_LAZY_PLANS", "") == "1"
+        and "PYTEST_CURRENT_TEST" in _os.environ
+    ):
         return df
     return df.localCheckpoint(eager=True)
+
+
+#: serializes coarse_shuffle scopes — overlapping scopes from two threads
+#: would otherwise restore each other's temporary value as the "default"
+_COARSE_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -247,6 +260,16 @@ def coarse_shuffle(df: DataFrame, floor: int = 8, per_partition: int = 1 << 20):
     Only materializations INSIDE the ``with`` body (eager localCheckpoint,
     count, write) see the coarse setting; the returned lazy tail of a plan
     built here executes under the session default as usual.
+
+    CONCURRENCY CONTRACT: ``spark.sql.shuffle.partitions`` is session-
+    global, so any OTHER job on the same session that materializes while a
+    coarse scope is open would silently execute with the coarse setting.
+    Registry/bench/gate entries run sequentially, which satisfies the
+    contract by construction; concurrent-writer deployments must keep
+    coarse scopes off the shared session (or accept the coarse setting for
+    work overlapping the scope — never a correctness issue, only task
+    granularity).  Scopes themselves are serialized by a module lock so two
+    overlapping scopes cannot clobber each other's restore value.
     """
     spark = df.sparkSession
     try:
@@ -259,11 +282,12 @@ def coarse_shuffle(df: DataFrame, floor: int = 8, per_partition: int = 1 << 20):
     if target >= default:
         yield
         return
-    spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default))
+    with _COARSE_LOCK:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(default))
 
 
 def _estimated_splits(df: DataFrame) -> int:

@@ -27,6 +27,7 @@ cluster.
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
 import uuid
@@ -477,6 +478,22 @@ def stateful_asof_join(
     )
 
 
+#: output dirs created by the fb as-of path, reclaimed on the NEXT call
+#: (the returned DataFrame reads lazily, so deletion must wait until the
+#: previous result has been consumed) and at interpreter exit
+_FB_ASOF_DIRS: list[str] = []
+
+
+def _cleanup_fb_asof_dirs() -> None:
+    import shutil
+
+    while _FB_ASOF_DIRS:
+        shutil.rmtree(_FB_ASOF_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_fb_asof_dirs)
+
+
 def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming as-of over the finite events directory (orders
     static) to completion; equals batch ``asof_join`` on the same input.
@@ -506,7 +523,22 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         from spj_query_engine_spark.operators.temporal import asof_join_locf
 
         static_orders = load_table(spark, sf_dir, "orders")
+        # reclaim the PREVIOUS invocation's output dir — its result frame
+        # has been consumed by the time a new run starts (bench replays the
+        # entry 4+ times per sweep; without this each call leaked one
+        # parquet dir for the process lifetime)
+        while _FB_ASOF_DIRS:
+            shutil.rmtree(_FB_ASOF_DIRS.pop(), ignore_errors=True)
         tgt = f"/tmp/spj_asof_fb_{uuid.uuid4().hex[:8]}"
+        _FB_ASOF_DIRS.append(tgt)
+        events_batch = load_table(spark, sf_dir, "events")
+        # seed the output with a zero-row parquet of the result schema: the
+        # read below then succeeds even when the stream yields no batches
+        # (directory would otherwise never be created), and appends just
+        # add part files
+        asof_join_locf(events_batch.limit(0), static_orders).write.mode(
+            "overwrite"
+        ).parquet(tgt)
 
         def handle(batch_df: DataFrame, _batch_id: int) -> None:
             asof_join_locf(batch_df, static_orders).write.mode(
@@ -1341,7 +1373,11 @@ def stateful_sessionize_ttl_tws(
             else:
                 rest = tuple(a[~expired] for a in tails)
                 self._tails.update(tuple(a.tolist() for a in rest))
-                self._rearm(int(rest[3].min()) + gap_ms)
+                # clamp like the apws timeout path: surviving tails satisfy
+                # end + gap >= wm, so the natural re-arm ts can equal the
+                # CURRENT watermark exactly — a timer at ts == wm may never
+                # fire again, stranding the tails until a later data batch
+                self._rearm(max(int(rest[3].min()) + gap_ms, wm + 1))
             yield out
 
         def close(self) -> None:

@@ -114,9 +114,14 @@ def p01_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e10_stream_asof",
     temporal.asof_join_sql(),
-    doc="Streaming AS-OF join via applyInPandasWithState: last-order-per-"
-    "user carried in state (LOCF on a stream); finite replay equals the "
-    "batch as-of join — the oracle.",
+    doc="Streaming AS-OF join, stream-static: default path is foreachBatch "
+    "+ the JVM batch LOCF as-of against the static order side (no custom "
+    "state - each micro-batch's enrichment is a pure function of the "
+    "dimension, whole-stage codegen end to end); spj.stream.asof.api=apws "
+    "selects the two-stream applyInPandasWithState union fold "
+    "(last-order-per-user carried in state) for when orders also arrive "
+    "incrementally. Both paths' finite replay equals the batch as-of join "
+    "- the oracle.",
 )
 def e10_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.streaming.stateful import run_stateful_asof
