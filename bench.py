@@ -45,7 +45,9 @@ def prior_floors() -> dict[str, float]:
                 {
                     k: float(v)
                     for k, v in json.load(open(fpath)).items()
-                    if isinstance(v, (int, float)) and v == v
+                    if isinstance(v, (int, float))
+                    and v == v
+                    and not k.startswith("__")  # reserved: __epoch_probe__
                 }
             )
         except Exception:
@@ -85,6 +87,58 @@ def prior_floors() -> dict[str, float]:
     return floors
 
 
+def epoch_probe(spark) -> dict:
+    """Machine-epoch marker: a fixed, REPO-CODE-INDEPENDENT pyspark-only
+    workload (range sources, no input data, no package imports) whose wall
+    time tracks host-level speed — the same sweep-to-sweep shift
+    BENCH_VARIANCE.md's r07 addendum measured with identical-code A/Bs
+    (morning sweeps 241-266 s vs afternoon 273-295 s on unchanged trees).
+
+    Two legs, covering the two observed epoch axes:
+    * scheduler leg — 4 chained shuffles of 32 sub-100 ms tasks (the
+      multi-stage tiny-task shape the g-family variance concentrated in);
+    * bandwidth/codegen leg — one wide hash aggregation over 10M rows
+      (the scan/codegen-bound shape d22's epoch shift concentrated in).
+
+    Because no repo code executes here, a CODE regression cannot inflate
+    the probe — so the regression gate (scripts/compare_bench.py) can use
+    the probe ratio vs the committed baseline to scale floors for a slow
+    epoch without ever excusing a real code slowdown."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        df = spark.range(0, 64_000, 1, 32)
+        for i in range(4):
+            df = (
+                df.groupBy((F.col("id") % (193 + i)).alias("k"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select((F.col("k") * 1315423911 + F.col("c")).alias("id"))
+            )
+        df.write.format("noop").mode("overwrite").save()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            # mask to 32 bits before summing: 10M full-range xxhash64
+            # values overflow long under ANSI mode
+            .select(
+                F.sum(
+                    F.xxhash64(F.col("id")).bitwiseAND(F.lit(0xFFFFFFFF))
+                ).alias("s")
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.time() - t0
+
+    one(), one()  # codegen + scheduler warmup — measure the machine, not janino
+    samples = [one() for _ in range(3)]
+    return {
+        "samples": [round(s, 3) for s in samples],
+        "med": round(statistics.median(samples), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -99,6 +153,10 @@ def main() -> None:
     # Warm the JVM/session on the smallest table so the first measured query
     # doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    # Machine-epoch marker, sampled before AND after the sweep so a
+    # mid-sweep epoch change is visible; the gate reads the pooled median.
+    probe_pre = epoch_probe(spark)
 
     # Each unique plan shape pays 1-3 s of one-time codegen compilation on
     # first execution; one unmeasured warmup run per query reports engine
@@ -287,10 +345,25 @@ def main() -> None:
     # to BENCH_DETAIL.json at the repo root, and the printed line carries
     # the total plus as many of the SLOWEST queries (the ones perf grading
     # cares about) as fit a conservative 1900-char budget.
+    probe_post = epoch_probe(spark)
+    import statistics as _st
+
+    probe_all = probe_pre["samples"] + probe_post["samples"]
     detail = {
         "metric": "workload_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
+        # Machine-epoch marker (see epoch_probe): pure-pyspark fixed
+        # workload, pre+post sweep.  scripts/compare_bench.py scales floors
+        # by med vs the committed __epoch_probe__ baseline (clamped), so a
+        # documented slow epoch stops flagging a rotating handful of
+        # queries while code regressions (which cannot move this probe)
+        # still fail.
+        "epoch_probe": {
+            "pre": probe_pre,
+            "post": probe_post,
+            "med": round(_st.median(probe_all), 3),
+        },
         # json.dump would emit a bare (non-strict-JSON) NaN token for failed
         # queries; serialize them as null instead.
         "queries": {n: (t if t == t else None) for n, t in timings.items()},

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Identical-code A/B across two git trees — the attribution standard
+BENCH_VARIANCE.md established for telling machine epoch from code
+regression (r07: d22, s02).
+
+For each named registry entry, measure tree A and tree B ALTERNATELY in
+fresh sessions (one subprocess each), so a session-phase or epoch shift
+lands on both trees symmetrically.  A code regression shows as tree B
+consistently slower than tree A; an epoch shift elevates both equally.
+
+Usage:
+    git worktree add /tmp/r06tree <sha>   # once
+    python scripts/ab_trees.py /tmp/r06tree /root/repo q1 q2 ... [--iters 4]
+
+Prints per-query medians for both trees and the B/A ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+PAYLOAD = r"""
+import gc
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+from spj_query_engine_spark.session import get_spark
+from spj_query_engine_spark.workload import REGISTRY
+
+name = sys.argv[1]
+spark = get_spark(app_name="ab", master="local[32]", shuffle_partitions=32)
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+fn = REGISTRY[name].fn
+runs = []
+for i in range(3):
+    t0 = time.time()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
+    runs.append(round(time.time() - t0, 3))
+    spark.catalog.clearCache()
+    gc.collect()
+print(
+    "ABRESULT "
+    + json.dumps(
+        {"name": name, "runs": runs, "med": round(statistics.median(runs[1:]), 3)}
+    )
+)
+"""
+
+
+def measure(tree: str, name: str) -> dict | None:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    r = subprocess.run(
+        [sys.executable, "-c", PAYLOAD, name],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            return json.loads(line[len("ABRESULT "):])
+    print(f"  !! {tree} {name} produced no result\n{r.stderr[-1500:]}",
+          file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iters = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--iters"):
+            iters = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    tree_a, tree_b, names = args[0], args[1], args[2:]
+    out: dict[str, dict] = {}
+    for name in names:
+        meds = {"a": [], "b": []}
+        for i in range(iters):
+            for key, tree in (("a", tree_a), ("b", tree_b)):
+                res = measure(tree, name)
+                if res:
+                    meds[key].append(res["med"])
+                    print(f"  iter {i} {key}={tree.split('/')[-1]} {name}: "
+                          f"runs {res['runs']} med {res['med']}", flush=True)
+        med_a = statistics.median(meds["a"]) if meds["a"] else None
+        med_b = statistics.median(meds["b"]) if meds["b"] else None
+        out[name] = {
+            "tree_a": tree_a, "meds_a": meds["a"], "med_a": med_a,
+            "tree_b": tree_b, "meds_b": meds["b"], "med_b": med_b,
+            "b_over_a": round(med_b / med_a, 3) if med_a and med_b else None,
+        }
+        print(f"{name}: A med {med_a} vs B med {med_b} "
+              f"(B/A {out[name]['b_over_a']})", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

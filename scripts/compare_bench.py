@@ -40,6 +40,8 @@ def prior_times() -> dict[str, float]:
     floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
     if os.path.exists(floors_path):
         for name, sec in json.load(open(floors_path)).items():
+            if name.startswith("__"):
+                continue  # reserved keys (__epoch_probe__), not query floors
             if isinstance(sec, (int, float)) and sec == sec:
                 best[name] = float(sec)
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
@@ -110,15 +112,66 @@ def current_medians(detail: dict) -> dict[str, float | None]:
     }
 
 
+def probe_baseline() -> float | None:
+    """Committed machine-epoch probe baseline: the __epoch_probe__ key
+    scripts/update_floors.py writes into BENCH_FLOORS.json (median of the
+    probe medians across committed sweep history)."""
+    floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
+    if not os.path.exists(floors_path):
+        return None
+    try:
+        val = json.load(open(floors_path)).get("__epoch_probe__")
+    except (OSError, ValueError):
+        return None
+    return float(val) if isinstance(val, (int, float)) and val > 0 else None
+
+
+#: epoch scaling is applied only past this ratio (below it is probe noise)
+#: and never beyond the cap — a slower-than-1.6x "epoch" is something to
+#: investigate at the machine level, not to silently excuse
+EPOCH_APPLY_MIN = 1.1
+EPOCH_CAP = 1.6
+
+
+def epoch_factor(detail: dict) -> float:
+    """Floor-scaling factor for the sweep's machine epoch.
+
+    bench.py samples a fixed pure-pyspark workload (bench.epoch_probe — no
+    repo code, no input data) before and after every sweep; this compares
+    its median against the committed baseline.  Because repo code never
+    executes in the probe, a CODE regression cannot raise the factor: the
+    only thing that can is the host running slower, which is exactly the
+    case (BENCH_VARIANCE.md r07 addendum: identical-code A/Bs measuring
+    morning 241-266 s vs afternoon 273-295 s sweeps) the per-query floors
+    kept false-flagging.  Sweeps or baselines without a probe get 1.0 —
+    the gate is unchanged for them."""
+    probe = (detail.get("epoch_probe") or {}).get("med")
+    base = probe_baseline()
+    if (
+        not isinstance(probe, (int, float))
+        or probe != probe
+        or not base
+    ):
+        return 1.0
+    ratio = float(probe) / base
+    if ratio < EPOCH_APPLY_MIN:
+        return 1.0
+    return min(ratio, EPOCH_CAP)
+
+
 def violations(detail: dict, bar: float = 1.5) -> list[tuple]:
-    """(name, judged_now, floor) rows exceeding the bar, worst first."""
+    """(name, judged_now, effective_floor) rows exceeding the bar, worst
+    first.  Floors are scaled by the sweep's machine-epoch factor (see
+    epoch_factor) before judging."""
     current = current_medians(detail)
     best = prior_times()
+    k = epoch_factor(detail)
     bad = []
     for name in sorted(set(current) & set(best)):
         now = current[name]
+        floor = round(best[name] * k, 3)
         if now is None:
-            bad.append((name, None, best[name]))
+            bad.append((name, None, floor))
             continue
         # Absolute guard 0.4 s: sub-second entries are dominated by fixed
         # per-query overhead (scan planning, noop commit) that drifts a few
@@ -126,8 +179,8 @@ def violations(detail: dict, bar: float = 1.5) -> list[tuple]:
         # flagged in r03-r05 (e01/e02/d01/...) vanished in a fresh session,
         # and no true regression has ever been sub-second.  Multi-second
         # regressions (the r03 class, 2-6x) clear this guard trivially.
-        if now > bar * best[name] and now - best[name] > 0.4:
-            bad.append((name, now, best[name]))
+        if now > bar * floor and now - floor > 0.4:
+            bad.append((name, now, floor))
     return sorted(bad, key=lambda r: -(r[1] or 1e9) / r[2])
 
 
@@ -196,8 +249,16 @@ def main(argv: list[str] | None = None) -> int:
     bad = violations(detail, bar)
     fresh = reverified(detail)
     real = []
+    k = epoch_factor(detail)
     print(f"common queries: {len(set(current_medians(detail)) & set(best))}; "
           f"floor source: BENCH_FLOORS.json + BENCH_r*.json tails")
+    probe = (detail.get("epoch_probe") or {}).get("med")
+    if k > 1.0:
+        print(f"  machine-epoch factor {k:.2f}x applied to floors "
+              f"(sweep probe {probe} s vs baseline {probe_baseline()} s)")
+    elif probe is not None and probe_baseline() is not None:
+        print(f"  machine-epoch probe {probe} s vs baseline "
+              f"{probe_baseline()} s - no scaling applied")
     for name, now, floor in bad:
         if now is not None and reverify_excused(name, fresh, floor, bar):
             row = fresh[name]
@@ -219,8 +280,11 @@ def main(argv: list[str] | None = None) -> int:
     import statistics as _st
 
     current = current_medians(detail)
+    # The epoch factor divides out here too: the backstop exists to catch a
+    # CODE change that slows everything, and the probe (no repo code) is
+    # immune to code changes by construction.
     ratios = [
-        current[n] / best[n]
+        current[n] / (best[n] * k)
         for n in set(current) & set(best)
         if current[n] is not None and best[n] > 0
     ]

@@ -97,11 +97,18 @@ def historical_detail_floors() -> dict[str, float]:
                 ["git", "show", f"{sha}:BENCH_DETAIL.json"],
                 cwd=ROOT, capture_output=True, text=True, check=True,
             ).stdout
-            times = _detail_times(json.loads(blob))
+            payload = json.loads(blob)
+            times = _detail_times(payload)
         except Exception:
             continue
         for name, sec in times.items():
             samples.setdefault(name, []).append(sec)
+        # machine-epoch probe baseline (bench.epoch_probe, r08+): median of
+        # the per-sweep probe medians rides along under a reserved key the
+        # per-query consumers skip (names starting "__")
+        probe = (payload.get("epoch_probe") or {}).get("med")
+        if isinstance(probe, (int, float)) and probe == probe:
+            samples.setdefault("__epoch_probe__", []).append(float(probe))
     return {name: statistics.median(vals) for name, vals in samples.items()}
 
 

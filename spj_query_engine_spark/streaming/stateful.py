@@ -1016,16 +1016,31 @@ TTL_WATERMARK_MIN = 60
 #: it the final timer batch).  Per-bucket keys pay O(buckets); the bucket's
 #: timer is armed at the MIN over its open tails of ``end + gap``, and each
 #: firing emits exactly the expired tails and re-arms for the rest.
-BUCKET_STATE = T.StructType(
-    [
-        T.StructField("users", T.ArrayType(T.LongType())),
-        T.StructField("snos", T.ArrayType(T.LongType())),
-        T.StructField("starts", T.ArrayType(T.LongType())),
-        T.StructField("ends", T.ArrayType(T.LongType())),
-        T.StructField("ns", T.ArrayType(T.LongType())),
-        T.StructField("micros", T.ArrayType(T.LongType())),
-    ]
-)
+#: The 6 tail arrays travel as ONE little-endian int64 BINARY blob
+#: (row-major 6×n), not six ARRAY<BIGINT> columns: apws round-trips the
+#: whole state value through Arrow on EVERY bucket invocation, and the
+#: array encoding pays per-element Python boxing both ways
+#: (``.tolist()`` on update, list-of-int on get).  ``tobytes``/
+#: ``frombuffer`` moves the same bytes with zero boxing — the same
+#: column-volume economics that took e10's do-nothing fold 17.2 s -> 3.7 s
+#: (BENCH_VARIANCE.md, r07) applied to the TTL session state.
+BUCKET_STATE = T.StructType([T.StructField("tails", T.BinaryType())])
+
+
+def _pack_tails(tails: tuple) -> tuple:
+    """k equal-length int64 arrays -> one-element state tuple (blob)."""
+    import numpy as np
+
+    return (np.concatenate([np.asarray(a, dtype=np.int64) for a in tails]).tobytes(),)
+
+
+def _unpack_tails(blob: bytes, k: int = 6) -> tuple:
+    """Inverse of :func:`_pack_tails` (arrays are read-only views)."""
+    import numpy as np
+
+    a = np.frombuffer(blob, dtype=np.int64)
+    n = len(a) // k
+    return tuple(a[i * n : (i + 1) * n] for i in range(k))
 
 #: open-session tails per bucket; one state-function invocation folds every
 #: user of the bucket in one vectorized pass
@@ -1183,7 +1198,7 @@ def _session_ttl_fn(gap_ms: int):
             # the watermark passed min(end)+gap for this bucket: emit the
             # tails that can never be extended again as FINAL, expire them
             # from state, and re-arm the timer for whatever remains
-            tails = tuple(np.asarray(a, dtype=np.int64) for a in state.get)
+            tails = _unpack_tails(state.get[0])
             wm = state.getCurrentWatermarkMs()
             expired = tails[3] + gap_ms < wm
             out = _frame(tuple(a[expired] for a in tails))
@@ -1191,7 +1206,7 @@ def _session_ttl_fn(gap_ms: int):
                 state.remove()
             else:
                 rest = tuple(a[~expired] for a in tails)
-                state.update(tuple(a.tolist() for a in rest))
+                state.update(_pack_tails(rest))
                 state.setTimeoutTimestamp(
                     max(int(rest[3].min()) + gap_ms, wm + 1)
                 )
@@ -1209,14 +1224,14 @@ def _session_ttl_fn(gap_ms: int):
             rows["value"].to_numpy(dtype=np.float64) * 1e6
         ).astype(np.int64)
         order = np.lexsort((ts, u))
-        tails = state.get if state.exists else ((),) * 6
+        tails = _unpack_tails(state.get[0]) if state.exists else ((),) * 6
         # sessions closed BY A LATER EVENT are final the moment they close;
         # each user's trailing open session does NOT emit — it waits in
         # state for the bucket timer (or a later batch that extends it)
         closed, new_tails = _fold_sessions_multi(
             (u[order], ts[order], mic[order]), gap_ms, tails
         )
-        state.update(tuple(a.tolist() for a in new_tails))
+        state.update(_pack_tails(new_tails))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
             max(int(new_tails[3].min()) + gap_ms, wm + 1)
@@ -1315,10 +1330,11 @@ def stateful_sessionize_ttl_tws(
     from pyspark.sql.streaming import StatefulProcessor
 
     gap_ms = gap_minutes * 60 * 1000
-    state_ddl = (
-        "users ARRAY<BIGINT>, snos ARRAY<BIGINT>, starts ARRAY<BIGINT>, "
-        "ends ARRAY<BIGINT>, ns ARRAY<BIGINT>, micros ARRAY<BIGINT>"
-    )
+    # same packed-blob state encoding as the apws twin (see BUCKET_STATE):
+    # one BINARY value instead of six ARRAY<BIGINT> columns — TWS ships the
+    # touched value over the state-server socket per get/update, and the
+    # blob avoids per-element boxing on both sides
+    state_ddl = "tails BINARY"
 
     class SessionTTL(StatefulProcessor):
         def init(self, handle) -> None:  # noqa: ANN001
@@ -1328,9 +1344,7 @@ def stateful_sessionize_ttl_tws(
 
         def _get_tails(self):
             if self._tails.exists():
-                return tuple(
-                    np.asarray(a, dtype=np.int64) for a in self._tails.get()
-                )
+                return _unpack_tails(self._tails.get()[0])
             return tuple(np.empty(0, dtype=np.int64) for _ in range(6))
 
         def _rearm(self, expiry_ms: int) -> None:
@@ -1355,7 +1369,7 @@ def stateful_sessionize_ttl_tws(
             closed, new_tails = _fold_sessions_multi(
                 (u[order], ts[order], mic[order]), gap_ms, self._get_tails()
             )
-            self._tails.update(tuple(a.tolist() for a in new_tails))
+            self._tails.update(_pack_tails(new_tails))
             if len(new_tails[0]):
                 self._rearm(int(new_tails[3].min()) + gap_ms)
             yield _ttl_frame(closed)
@@ -1372,7 +1386,7 @@ def stateful_sessionize_ttl_tws(
                 self._tails.clear()
             else:
                 rest = tuple(a[~expired] for a in tails)
-                self._tails.update(tuple(a.tolist() for a in rest))
+                self._tails.update(_pack_tails(rest))
                 # clamp like the apws timeout path: surviving tails satisfy
                 # end + gap >= wm, so the natural re-arm ts can equal the
                 # CURRENT watermark exactly — a timer at ts == wm may never

@@ -137,3 +137,61 @@ def test_overrides_are_documented_subset():
     for name, sec in overrides.items():
         assert isinstance(sec, (int, float)) and sec > 0, name
         assert name in known, f"override for unknown query {name}"
+
+
+def test_epoch_factor_scales_floors_but_not_code_regressions(monkeypatch):
+    """The machine-epoch probe (bench.epoch_probe; pure pyspark, no repo
+    code) scales floors for a documented slow epoch — but a code
+    regression, which cannot move the probe, must still be flagged."""
+    floors = compare_bench.prior_times()
+    name = next(n for n, v in sorted(floors.items()) if v > 1.0)
+    floor = floors[name]
+    monkeypatch.setattr(compare_bench, "probe_baseline", lambda: 2.0)
+
+    # slow epoch: query at 1.9x floor, probe at 1.3x baseline -> 1.9/1.3
+    # is under the 1.5x bar -> no flag
+    slow = round(floor * 1.9, 3)
+    detail = {
+        "queries": {name: slow},
+        "runs": {name: {"med": slow, "min": slow, "n": 2}},
+        "epoch_probe": {"med": 2.6},
+    }
+    assert compare_bench.epoch_factor(detail) == 1.3
+    assert compare_bench.violations(detail) == []
+
+    # same 1.9x query with the probe at baseline -> code-attributable flag
+    detail["epoch_probe"] = {"med": 2.0}
+    assert compare_bench.epoch_factor(detail) == 1.0
+    assert [v[0] for v in compare_bench.violations(detail)] == [name]
+
+    # a real 3x regression fails even in the slow epoch (3/1.3 > 1.5)
+    detail["epoch_probe"] = {"med": 2.6}
+    worse = round(floor * 3.0, 3)
+    detail["queries"][name] = worse
+    detail["runs"][name]["med"] = worse
+    assert [v[0] for v in compare_bench.violations(detail)] == [name]
+
+
+def test_epoch_factor_clamps_and_noise_gates(monkeypatch):
+    monkeypatch.setattr(compare_bench, "probe_baseline", lambda: 2.0)
+    # below the apply threshold: probe noise, no scaling
+    assert compare_bench.epoch_factor({"epoch_probe": {"med": 2.1}}) == 1.0
+    # beyond the cap: clamp — a >1.6x machine is investigated, not excused
+    assert compare_bench.epoch_factor({"epoch_probe": {"med": 6.0}}) == compare_bench.EPOCH_CAP
+    # a FASTER machine never deflates floors
+    assert compare_bench.epoch_factor({"epoch_probe": {"med": 1.0}}) == 1.0
+    # no probe / no baseline -> unchanged gate
+    assert compare_bench.epoch_factor({}) == 1.0
+    monkeypatch.setattr(compare_bench, "probe_baseline", lambda: None)
+    assert compare_bench.epoch_factor({"epoch_probe": {"med": 9.9}}) == 1.0
+
+
+def test_reserved_floor_keys_not_query_floors():
+    """__epoch_probe__ (and any future __-reserved key) in BENCH_FLOORS.json
+    must never be treated as a query floor by either consumer."""
+    floors = compare_bench.prior_times()
+    assert not any(k.startswith("__") for k in floors)
+    sys.path.insert(0, ROOT)
+    import bench
+
+    assert not any(k.startswith("__") for k in bench.prior_floors())
