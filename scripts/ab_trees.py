@@ -85,7 +85,14 @@ def main() -> None:
     for name in names:
         meds = {"a": [], "b": []}
         for i in range(iters):
-            for key, tree in (("a", tree_a), ("b", tree_b)):
+            # alternate which tree goes first: with a monotone machine
+            # drift (observed live in r08: both trees degraded 8x in
+            # lockstep over 3 iterations) a fixed order makes the
+            # second-place tree look slower than it is
+            order = (("a", tree_a), ("b", tree_b))
+            if i % 2:
+                order = order[::-1]
+            for key, tree in order:
                 res = measure(tree, name)
                 if res:
                     meds[key].append(res["med"])
