@@ -179,3 +179,37 @@ def test_ttl_tws_equals_apws(spark):
     finally:
         spark.conf.unset("spj.stream.session.api")
     assert out == ref and len(out) > 0
+
+
+def test_pack_tails_roundtrip():
+    """The TTL session state travels as one binary blob (6xN little-endian
+    int64); pack/unpack must be an exact inverse, including empty tails and
+    negative values (micros can be negative)."""
+    import numpy as np
+
+    from spj_query_engine_spark.streaming.stateful import (
+        _pack_tails,
+        _unpack_tails,
+    )
+
+    tails = tuple(
+        np.array(vals, dtype=np.int64)
+        for vals in (
+            [1, 2, 3],
+            [1, 1, 2],
+            [10, 20, 30],
+            [15, 25, 35],
+            [2, 3, 1],
+            [-5, 0, 7_000_000_000_000],
+        )
+    )
+    blob = _pack_tails(tails)
+    assert isinstance(blob, tuple) and len(blob) == 1
+    back = _unpack_tails(blob[0])
+    assert len(back) == 6
+    for a, b in zip(tails, back):
+        assert np.array_equal(a, b)
+    # empty state and the k-parameterized variant
+    empty = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
+    back4 = _unpack_tails(_pack_tails(empty)[0], 4)
+    assert len(back4) == 4 and all(len(a) == 0 for a in back4)
