@@ -478,20 +478,74 @@ def stateful_asof_join(
     )
 
 
-#: output dirs created by the fb as-of path, reclaimed on the NEXT call
-#: (the returned DataFrame reads lazily, so deletion must wait until the
-#: previous result has been consumed) and at interpreter exit
-_FB_ASOF_DIRS: list[str] = []
+#: output dirs created by parquet-backed stream runners, keyed by runner
+#: prefix; each is reclaimed on that runner's NEXT call (the returned
+#: DataFrame reads lazily, so deletion must wait until the previous result
+#: has been consumed) and at interpreter exit
+_STREAM_OUT_DIRS: dict[str, list[str]] = {}
 
 
-def _cleanup_fb_asof_dirs() -> None:
+def _fresh_stream_out_dir(prefix: str) -> str:
     import shutil
 
-    while _FB_ASOF_DIRS:
-        shutil.rmtree(_FB_ASOF_DIRS.pop(), ignore_errors=True)
+    dirs = _STREAM_OUT_DIRS.setdefault(prefix, [])
+    while dirs:
+        shutil.rmtree(dirs.pop(), ignore_errors=True)
+    tgt = f"/tmp/spj_{prefix}_{uuid.uuid4().hex[:8]}"
+    dirs.append(tgt)
+    return tgt
 
 
-atexit.register(_cleanup_fb_asof_dirs)
+def _cleanup_stream_out_dirs() -> None:
+    import shutil
+
+    for dirs in _STREAM_OUT_DIRS.values():
+        while dirs:
+            shutil.rmtree(dirs.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_stream_out_dirs)
+
+
+def run_stream_to_parquet(
+    spark: SparkSession, sdf: DataFrame, prefix: str, seed: DataFrame
+) -> DataFrame:
+    """Drive a finite streaming query to completion through a PARQUET
+    ``foreachBatch`` sink and return the batch frame over the result.
+
+    Why not the memory sink: it materializes every output row ON THE
+    DRIVER.  Fine for rollup-sized results; fatal for event-sized ones —
+    e50's 100x profile measured the apws machinery floor at 2.7 s (4-col
+    data batch, do-nothing fold) while the full query took 27.6 s, almost
+    all of it the ~9.5M-row session output crossing into driver memory.
+    ``foreachBatch`` + parquet keeps the output executor-side end to end
+    (the e10 pattern — 100x ratio 3.2 with a 10M-row result).
+
+    ``seed`` provides the output schema: a zero-row parquet is written
+    first so the read-back succeeds even when the stream yields no batches,
+    and because ``foreachBatch`` writes BATCH parquet there is no
+    ``_spark_metadata`` log to hide the seed file."""
+    tgt = _fresh_stream_out_dir(prefix)
+    seed.limit(0).write.mode("overwrite").parquet(tgt)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(tgt)
+
+    import shutil
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(tgt)
+    shutil.rmtree(f"{tgt}_ckpt", ignore_errors=True)
+    return out
 
 
 def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,19 +577,11 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         from spj_query_engine_spark.operators.temporal import asof_join_locf
 
         static_orders = load_table(spark, sf_dir, "orders")
-        # reclaim the PREVIOUS invocation's output dir — its result frame
-        # has been consumed by the time a new run starts (bench replays the
-        # entry 4+ times per sweep; without this each call leaked one
-        # parquet dir for the process lifetime)
-        while _FB_ASOF_DIRS:
-            shutil.rmtree(_FB_ASOF_DIRS.pop(), ignore_errors=True)
-        tgt = f"/tmp/spj_asof_fb_{uuid.uuid4().hex[:8]}"
-        _FB_ASOF_DIRS.append(tgt)
+        # dir lifecycle (reclaim-previous + atexit) and the zero-batch seed
+        # are owned by run_stream_to_parquet; the per-batch transform rides
+        # inside its foreachBatch via a wrapper sink
+        tgt = _fresh_stream_out_dir("asof_fb")
         events_batch = load_table(spark, sf_dir, "events")
-        # seed the output with a zero-row parquet of the result schema: the
-        # read below then succeeds even when the stream yields no batches
-        # (directory would otherwise never be created), and appends just
-        # add part files
         asof_join_locf(events_batch.limit(0), static_orders).write.mode(
             "overwrite"
         ).parquet(tgt)
@@ -1046,6 +1092,11 @@ def _unpack_tails(blob: bytes, k: int = 6) -> tuple:
 #: user of the bucket in one vectorized pass
 USERS_PER_PARTITION_BUCKETS = 8
 
+#: source-size threshold above which event-sized streaming outputs go to
+#: the parquet foreachBatch sink instead of the driver-materializing
+#: memory sink (see run_stateful_sessionize_ttl's sink selection)
+STREAM_PARQUET_SINK_BYTES = 64 << 20
+
 
 def _fold_sessions_multi(rows: pd.DataFrame, gap_ms: int, tails: tuple):
     """Vectorized gap-split of one (user, ts)-sorted multi-user batch
@@ -1426,8 +1477,11 @@ def run_stateful_sessionize_ttl(
     """Drive the TTL sessionizer over the finite events directory:
     ``processAllAvailable`` covers the trailing no-data micro-batch that
     fires the event-time timers once the watermark reaches ``max(ts) −
-    watermark``, so the memory sink holds the full append-mode output."""
-    name = fresh_sink_table(spark, "stream_session_ttl")
+    watermark``.  Output goes through the parquet ``foreachBatch`` sink
+    (:func:`run_stream_to_parquet`) — the session output is event-sized
+    (~1 row per event on this corpus's sparse users), and the memory sink
+    materializing it on the driver was 90% of the 100x wall (27.6 s vs a
+    2.7 s machinery floor)."""
     # Input-sized state partitions (see ingest.stream_state_conf): the
     # per-partition state-store + Python-worker fixed cost dominates small
     # replays.  Bucket count rides the same derivation — a handful of
@@ -1475,20 +1529,48 @@ def run_stateful_sessionize_ttl(
         else:
             TTL_SELECTED_API = "apws"
             build = stateful_sessionize_ttl
+        sdf = build(
+            stream_events(spark, sf_dir), gap_minutes, buckets=buckets
+        )
         with stream_state_conf(spark, sf_dir):
-            q = (
-                build(
-                    stream_events(spark, sf_dir), gap_minutes, buckets=buckets
+            # Scale-adaptive sink (conf spj.stream.sink overrides): the
+            # session output is event-sized, so past the byte threshold the
+            # memory sink's driver materialization IS the wall (27.6 s of a
+            # 100x replay vs the 2.7 s machinery floor) and parquet keeps it
+            # executor-side; below it the parquet sink's fixed jobs (seed
+            # write, per-batch commit, read-back) cost more than the rows.
+            # Same adaptive-to-input convention as resolve_stream_partitions
+            # and the d06 flat/two-level switch: a deployment pins the conf.
+            from spj_query_engine_spark.catalog import table_path
+            from spj_query_engine_spark.streaming.ingest import _source_bytes
+
+            sink = spark.conf.get("spj.stream.sink", None)
+            if sink is None:
+                try:
+                    big = _source_bytes(table_path(sf_dir, "events")) > (
+                        STREAM_PARQUET_SINK_BYTES
+                    )
+                except OSError:
+                    big = True
+                sink = "parquet" if big else "memory"
+            if sink == "parquet":
+                out = run_stream_to_parquet(
+                    spark, sdf, "session_ttl",
+                    spark.createDataFrame([], OUTPUT_SCHEMA),
                 )
-                .writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+            else:
+                name = fresh_sink_table(spark, "stream_session_ttl")
+                q = (
+                    sdf.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                out = spark.table(name)
     finally:
         if prev_provider is None:
             try:
@@ -1497,7 +1579,7 @@ def run_stateful_sessionize_ttl(
                 pass
         else:
             spark.conf.set(provider_key, prev_provider)
-    return spark.table(name)
+    return out
 
 
 def sessionize_ttl_sql(
