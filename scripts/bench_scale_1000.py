@@ -52,6 +52,12 @@ FAMILY = [
     "p01_train_split",
     "e01_tumbling_rollup",
     "e09_percentiles",
+    # r08: the TTL sessionize replay — 1e8 events through the stateful fold
+    # with the parquet foreachBatch sink (event-sized output stays
+    # executor-side; the r07 memory sink would materialize ~1e8 session
+    # rows on the driver).  Per-row cost flat: one lexsort + numpy fold per
+    # bucket, state one blob per bucket.
+    "e50_session_ttl",
 ]
 
 #: bucketed quadratic-hazard families at 1000x — the r06 verdict's ask.

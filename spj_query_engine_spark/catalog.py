@@ -57,6 +57,28 @@ def _nano_ts_columns(path: str) -> list[str]:
         return []
 
 
+#: table-metadata cache: (abspath, mtime) -> (inferred Spark schema, nano
+#: columns).  Every load_table call used to pay a driver-side schema
+#: inference (footer read + merge job) plus a pyarrow footer scan; both are
+#: pure functions of the files, which a real catalog caches — Spark itself
+#: caches FileIndex per DataFrame but re-infers across reads.  mtime keying
+#: invalidates on rewrite (overwrite mode replaces the dir's entries).
+_META_CACHE: dict = {}
+
+
+def _table_meta(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (os.path.abspath(path), mtime)
+    hit = _META_CACHE.get(key)
+    if hit is None:
+        hit = (spark.read.parquet(path).schema, _nano_ts_columns(path))
+        _META_CACHE[key] = hit
+    return hit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan operator: the reference's full-table ``Scan``
     (``src/qp/operators/Scan.java:43-86``) is a parquet DataFrame source —
@@ -67,9 +89,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(path)
+    schema, nano_cols = _table_meta(spark, path)
+    df = spark.read.schema(schema).parquet(path)
     dtypes = dict(df.dtypes)
-    for col in _nano_ts_columns(path):
+    for col in nano_cols:
         # nanos → micros → TimestampType; DuckDB applies the same truncation
         # (its timestamps are microsecond), keeping oracle comparison exact.
         # Integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double division

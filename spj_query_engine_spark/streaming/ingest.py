@@ -142,7 +142,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    schema = spark.read.parquet(path).schema
+    from spj_query_engine_spark.catalog import _table_meta
+
+    schema = _table_meta(spark, path)[0]
     # the file-stream source wants a directory.  Two table layouts exist:
     # a single file <sf_dir>/<name>.parquet (the shipped testdata) — stream
     # the sf dir with a glob pinned to that file — and a directory of part
