@@ -265,41 +265,56 @@ def lsh_topk(
     # would silently ignore the tail, hence the cap is deliberately large.
     with_bucket = _sign_buckets(embeddings, vec_col, id_col)
     mask = (1 << _BAND_WIDTH) - 1
-    chunks = with_bucket.select(
-        "vid",
-        "vec",
-        "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("bucket"), b * _BAND_WIDTH)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(SIGN_BANDS)
-                ]
-            )
-        ).alias("bc"),
-    ).select("vid", "vec", "norm", "bc.band", "bc.chunk")
-    q = chunks.filter(F.col("vid") < n_queries).select(
+
+    # Band-chunk keys as IDS ONLY: the multi-probe dedup below needs just
+    # (query_id, cand_id), and carrying the two 64-double vectors through
+    # that distinct made the pair shuffle ~16x wider than the ids (the one
+    # corpus-volume exchange in the old plan — also its phase-jitter
+    # exposure at bench scale).  Column pruning then strips `vec` (and the
+    # unused plane sums) out of the id-side _sign_buckets derivations.
+    def band_chunks(src: DataFrame) -> DataFrame:
+        return src.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("bucket"), b * _BAND_WIDTH)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for b in range(SIGN_BANDS)
+                    ]
+                )
+            ).alias("bc"),
+        ).select("vid", "bc.band", "bc.chunk")
+
+    q_side = with_bucket.filter(F.col("vid") < n_queries)
+    q_ids = band_chunks(q_side).select(
+        F.col("vid").alias("query_id"), "band", "chunk"
+    )
+    cand_ids = (
+        band_chunks(with_bucket)
+        .join(F.broadcast(q_ids), ["band", "chunk"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"))
+        .distinct()
+    )
+    # Vectors attach AFTER the dedup, both joins broadcast on the bounded
+    # side (queries; then query×candidate pairs) — the corpus never
+    # shuffles, at sf0.1 or at 100 TB.
+    q_vecs = q_side.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
-        F.col("band"),
-        F.col("chunk"),
     )
-    c = chunks.select(
-        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"),
-        F.col("norm").alias("c_norm"), "band", "chunk"
-    )
-    cand = (
-        c.join(F.broadcast(q), ["band", "chunk"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "q_norm", "cand_id", "c_vec", "c_norm")
-        .distinct()
-    )
+    enriched = cand_ids.join(F.broadcast(q_vecs), "query_id")
+    cand = with_bucket.select(
+        F.col("vid").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    ).join(F.broadcast(enriched), "cand_id")
     sim = portable_round(
         dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         6,
