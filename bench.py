@@ -399,6 +399,7 @@ def main() -> None:
             "metric": "workload_wall_sec",
             "value": round(total, 3),
             "unit": "sec",
+            "epoch_probe_med": detail["epoch_probe"]["med"],
             "queries": line_queries,
             "n_queries": len(timings),
             "detail": "BENCH_DETAIL.json",
@@ -413,6 +414,9 @@ def main() -> None:
                 "metric": "workload_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                # machine-epoch marker in the bounded tail too, so probe
+                # history survives even if a round's BENCH_DETAIL is lost
+                "epoch_probe_med": detail["epoch_probe"]["med"],
                 "queries": line_queries,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
