@@ -215,6 +215,7 @@ FAMILY = [
     # scaling evidence either way; a measured 100x point settles whether
     # they are fixed-overhead-dominated (expected: shuffle startup + tiny
     # exchange on sf0.1) or hide a small-input-only plan
+    "e06_stream_sessionize",
     "q21_left_join_agg",
     "q22_anti_join",
     "q23_semi_join",

@@ -186,13 +186,24 @@ def run_stateful_sessionize(
     spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MIN
 ) -> DataFrame:
     """Drive the stateful sessionizer over the finite events directory to
-    completion and return the final per-session rows (update-mode memory
-    sink; the finite input arrives as one micro-batch, so each session is
-    emitted exactly once and the result equals batch ``sessionize``)."""
+    completion and return the final per-session rows (update mode; the
+    finite input arrives as one micro-batch, so each session is emitted
+    exactly once and the result equals batch ``sessionize``).  The sink is
+    scale-adaptive (:func:`resolve_stream_sink`): the session output is
+    event-sized, so past the source-byte threshold it goes through the
+    parquet ``foreachBatch`` sink instead of materializing on the driver."""
+    sdf = stateful_sessionize(stream_events(spark, sf_dir), gap_minutes)
+    if resolve_stream_sink(spark, sf_dir) == "parquet":
+        return run_stream_to_parquet(
+            spark,
+            sdf,
+            "sessionize",
+            spark.createDataFrame([], sdf.schema),
+            output_mode="update",
+        )
     name = fresh_sink_table(spark, "stream_sessionize")
     q = (
-        stateful_sessionize(stream_events(spark, sf_dir), gap_minutes)
-        .writeStream.outputMode("update")
+        sdf.writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .start()
@@ -507,8 +518,34 @@ def _cleanup_stream_out_dirs() -> None:
 atexit.register(_cleanup_stream_out_dirs)
 
 
+def resolve_stream_sink(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
+    """Scale-adaptive sink selection for finite streaming replays whose
+    output is EVENT-SIZED (sessionize, as-of — ~1 output row per input row
+    on sparse-user corpora): past ``STREAM_PARQUET_SINK_BYTES`` of source
+    the memory sink's driver materialization is the wall (e50 at 100x:
+    27.6 s total vs the 2.7 s apws machinery floor), below it the parquet
+    sink's fixed jobs (seed write, per-batch commit, read-back) cost more
+    than the rows.  Conf ``spj.stream.sink`` pins it in deployment —
+    rollup-sized outputs should stay on the memory sink regardless."""
+    sink = spark.conf.get("spj.stream.sink", None)
+    if sink is not None:
+        return sink
+    from spj_query_engine_spark.catalog import table_path
+    from spj_query_engine_spark.streaming.ingest import _source_bytes
+
+    try:
+        big = _source_bytes(table_path(sf_dir, table)) > STREAM_PARQUET_SINK_BYTES
+    except OSError:
+        big = True
+    return "parquet" if big else "memory"
+
+
 def run_stream_to_parquet(
-    spark: SparkSession, sdf: DataFrame, prefix: str, seed: DataFrame
+    spark: SparkSession,
+    sdf: DataFrame,
+    prefix: str,
+    seed: DataFrame,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drive a finite streaming query to completion through a PARQUET
     ``foreachBatch`` sink and return the batch frame over the result.
@@ -536,7 +573,7 @@ def run_stream_to_parquet(
     q = (
         sdf.writeStream.foreachBatch(handle)
         .option("checkpointLocation", f"{tgt}_ckpt")
-        .outputMode("append")
+        .outputMode(output_mode)
         .start()
     )
     try:
@@ -1533,27 +1570,11 @@ def run_stateful_sessionize_ttl(
             stream_events(spark, sf_dir), gap_minutes, buckets=buckets
         )
         with stream_state_conf(spark, sf_dir):
-            # Scale-adaptive sink (conf spj.stream.sink overrides): the
-            # session output is event-sized, so past the byte threshold the
-            # memory sink's driver materialization IS the wall (27.6 s of a
-            # 100x replay vs the 2.7 s machinery floor) and parquet keeps it
-            # executor-side; below it the parquet sink's fixed jobs (seed
-            # write, per-batch commit, read-back) cost more than the rows.
-            # Same adaptive-to-input convention as resolve_stream_partitions
-            # and the d06 flat/two-level switch: a deployment pins the conf.
-            from spj_query_engine_spark.catalog import table_path
-            from spj_query_engine_spark.streaming.ingest import _source_bytes
-
-            sink = spark.conf.get("spj.stream.sink", None)
-            if sink is None:
-                try:
-                    big = _source_bytes(table_path(sf_dir, "events")) > (
-                        STREAM_PARQUET_SINK_BYTES
-                    )
-                except OSError:
-                    big = True
-                sink = "parquet" if big else "memory"
-            if sink == "parquet":
+            # Scale-adaptive sink — see resolve_stream_sink: the session
+            # output is event-sized, so past the byte threshold the memory
+            # sink's driver materialization IS the wall and parquet keeps
+            # it executor-side.
+            if resolve_stream_sink(spark, sf_dir) == "parquet":
                 out = run_stream_to_parquet(
                     spark, sdf, "session_ttl",
                     spark.createDataFrame([], OUTPUT_SCHEMA),
