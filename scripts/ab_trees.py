@@ -75,12 +75,18 @@ def measure(tree: str, name: str) -> dict | None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iters = 4
-    for a in sys.argv[1:]:
-        if a.startswith("--iters"):
-            iters = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    tree_a, tree_b, names = args[0], args[1], args[2:]
+    import argparse
+
+    # argparse (not a hand-rolled startswith scan): space-separated
+    # `--iters 4` previously left the bare `4` in the positional list, so
+    # every iteration also ran a doomed subprocess for a "query" named 4.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("tree_a")
+    ap.add_argument("tree_b")
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--iters", type=int, default=4)
+    ns = ap.parse_args()
+    tree_a, tree_b, names, iters = ns.tree_a, ns.tree_b, ns.names, ns.iters
     out: dict[str, dict] = {}
     for name in names:
         meds = {"a": [], "b": []}

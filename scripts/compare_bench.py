@@ -131,6 +131,13 @@ def probe_baseline() -> float | None:
 #: investigate at the machine level, not to silently excuse
 EPOCH_APPLY_MIN = 1.1
 EPOCH_CAP = 1.6
+#: pre/post probe divergence past this ratio forfeits the factor: the two
+#: probes bracket the sweep in the SAME JVM, so a divergence means the
+#: sweep itself moved the probe (leaked persisted RDDs, executor memory/GC
+#: pressure, leftover streaming state) — or the epoch changed mid-sweep —
+#: and in either case the pooled/post readings no longer measure only the
+#: machine.  Refusing is itself a signal worth investigating.
+EPOCH_DIVERGE_MAX = 1.3
 
 
 def epoch_factor(detail: dict) -> float:
@@ -138,19 +145,42 @@ def epoch_factor(detail: dict) -> float:
 
     bench.py samples a fixed pure-pyspark workload (bench.epoch_probe — no
     repo code, no input data) before and after every sweep; this compares
-    its median against the committed baseline.  Because repo code never
-    executes in the probe, a CODE regression cannot raise the factor: the
-    only thing that can is the host running slower, which is exactly the
-    case (BENCH_VARIANCE.md r07 addendum: identical-code A/Bs measuring
-    morning 241-266 s vs afternoon 273-295 s sweeps) the per-query floors
-    kept false-flagging.  Sweeps or baselines without a probe get 1.0 —
-    the gate is unchanged for them."""
-    probe = (detail.get("epoch_probe") or {}).get("med")
+    the PRE-sweep median against the committed baseline.  Pre-only (r09+):
+    the pre samples run in a fresh session before any repo code has
+    executed, so neither a code regression nor sweep-leaked session state
+    (persisted RDDs, GC pressure) can inflate them — the post samples
+    share the sweep's JVM and CAN be inflated that way, which is exactly
+    the laundering channel using the pooled median left open (a leaky code
+    change could earn up to a 1.6x floor discount).  The post samples are
+    kept as a tripwire instead: when pre and post diverge beyond
+    EPOCH_DIVERGE_MAX the factor is refused entirely — divergence is
+    evidence the sweep (or a mid-sweep epoch flip) moved the probe, and a
+    refused factor fails loudly at the floors rather than silently
+    excusing.  The host-epoch case the factor exists for
+    (BENCH_VARIANCE.md r07 addendum: identical-code A/Bs measuring morning
+    241-266 s vs afternoon 273-295 s sweeps) shifts pre and post together.
+    Sweeps or baselines without a probe get 1.0 — the gate is unchanged
+    for them; legacy payloads without the pre/post split fall back to the
+    pooled median."""
+    ep = detail.get("epoch_probe") or {}
+    pre = (ep.get("pre") or {}).get("med")
+    post = (ep.get("post") or {}).get("med")
+    probe = pre if isinstance(pre, (int, float)) else ep.get("med")
     base = probe_baseline()
     if (
         not isinstance(probe, (int, float))
         or probe != probe
         or not base
+    ):
+        return 1.0
+    if (
+        isinstance(pre, (int, float))
+        and isinstance(post, (int, float))
+        and pre == pre
+        and post == post
+        and pre > 0
+        and post > 0
+        and max(pre, post) / min(pre, post) > EPOCH_DIVERGE_MAX
     ):
         return 1.0
     ratio = float(probe) / base

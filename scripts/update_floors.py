@@ -105,10 +105,29 @@ def historical_detail_floors() -> dict[str, float]:
             samples.setdefault(name, []).append(sec)
         # machine-epoch probe baseline (bench.epoch_probe, r08+): median of
         # the per-sweep probe medians rides along under a reserved key the
-        # per-query consumers skip (names starting "__")
-        probe = (payload.get("epoch_probe") or {}).get("med")
+        # per-query consumers skip (names starting "__").  PRE-sweep probe
+        # only (r09+): the post-sweep samples run in the same JVM the sweep
+        # just exercised, so sweep-leaked session state (persisted RDDs, GC
+        # pressure) can inflate them — the pre samples are taken in a fresh
+        # session before any repo code runs and measure only the machine.
+        ep = payload.get("epoch_probe") or {}
+        pre = ep.get("pre") or {}
+        probe = pre.get("med", ep.get("med"))
         if isinstance(probe, (int, float)) and probe == probe:
-            samples.setdefault("__epoch_probe__", []).append(float(probe))
+            # version-2 probes (adaptive warmup, bench.epoch_probe) measure
+            # the settled regime; version-1 pre samples still paid fresh-JVM
+            # C2 compilation and read high.  Keep them in separate pools and
+            # prefer v2 once any exist (below) so the baseline matches the
+            # definition the gate's current sweeps report.
+            key = (
+                "__epoch_probe__"
+                if pre.get("version") == 2
+                else "__epoch_probe_v1__"
+            )
+            samples.setdefault(key, []).append(float(probe))
+    if "__epoch_probe__" not in samples and "__epoch_probe_v1__" in samples:
+        samples["__epoch_probe__"] = samples["__epoch_probe_v1__"]
+    samples.pop("__epoch_probe_v1__", None)
     return {name: statistics.median(vals) for name, vals in samples.items()}
 
 

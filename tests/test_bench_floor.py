@@ -186,6 +186,31 @@ def test_epoch_factor_clamps_and_noise_gates(monkeypatch):
     assert compare_bench.epoch_factor({"epoch_probe": {"med": 9.9}}) == 1.0
 
 
+def test_epoch_factor_pre_only_and_divergence_tripwire(monkeypatch):
+    """r09 hardening (ADVICE r08): the factor scales from the PRE-sweep
+    probe alone — post-sweep samples share the sweep's JVM, so sweep-leaked
+    session state (persisted RDDs, GC pressure) could inflate a pooled
+    median and launder a real regression into a floor discount.  Pre/post
+    divergence beyond EPOCH_DIVERGE_MAX refuses the factor outright."""
+    monkeypatch.setattr(compare_bench, "probe_baseline", lambda: 2.0)
+    # pre slow (1.3x baseline), post agrees -> factor from pre
+    detail = {"epoch_probe": {
+        "med": 2.55, "pre": {"med": 2.6}, "post": {"med": 2.5}}}
+    assert compare_bench.epoch_factor(detail) == 1.3
+    # post inflated by the sweep (leak direction): pooled median would have
+    # earned a discount; pre-only + divergence refusal yields none
+    detail = {"epoch_probe": {
+        "med": 2.8, "pre": {"med": 2.0}, "post": {"med": 3.6}}}
+    assert compare_bench.epoch_factor(detail) == 1.0
+    # pre slow but machine recovered mid-sweep (post fast): applying the
+    # pre factor would discount floors measured on a fast machine — refuse
+    detail = {"epoch_probe": {
+        "med": 2.8, "pre": {"med": 3.6}, "post": {"med": 2.0}}}
+    assert compare_bench.epoch_factor(detail) == 1.0
+    # legacy pooled-only payloads keep the old behavior
+    assert compare_bench.epoch_factor({"epoch_probe": {"med": 2.6}}) == 1.3
+
+
 def test_reserved_floor_keys_not_query_floors():
     """__epoch_probe__ (and any future __-reserved key) in BENCH_FLOORS.json
     must never be treated as a query floor by either consumer."""
