@@ -25,9 +25,8 @@ Reference parity map (file:line into /root/reference):
 
 from __future__ import annotations
 
-import threading
+import itertools
 from collections.abc import Sequence
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -230,64 +229,133 @@ def barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: serializes coarse_shuffle scopes — overlapping scopes from two threads
-#: would otherwise restore each other's temporary value as the "default"
-_COARSE_LOCK = threading.Lock()
+#: one coarse sub-session per Spark application (keyed by applicationId);
+#: created lazily by :func:`_coarse_subsession`, marked with the
+#: ``_spj_coarse_sub`` attribute nested scopes use to no-op
+_COARSE_SUBSESSIONS: dict[str, SparkSession] = {}
+_COARSE_SEQ = itertools.count()
 
 
-@contextmanager
-def coarse_shuffle(df: DataFrame, floor: int = 8, per_partition: int = 1 << 20):
-    """Scope ``spark.sql.shuffle.partitions`` DOWN while materializing a
-    provably-small subplan, then restore it.
-
-    Why: the bench-variance investigation (BENCH_VARIANCE.md) localized the
-    g-family's ~2x session-phase jitter to multi-shuffle subplans whose
-    stages are dozens of sub-100 ms tasks — per-stage scheduler latency
-    multiplies across ~10 stages.  Coarser tasks amortize it: an interleaved
-    same-session A/B (scripts/variance_ab.py) measured the MinHash pair
-    derivation at med 2.6 s / range 2.4-3.3 under the session default vs
-    med 1.1 s / range 1.0-1.3 with the subplan scoped to 8 partitions.
-
-    100 TB safety: the target is sized from Catalyst's own input-size
+def _coarse_target(df: DataFrame, floor: int, per_partition: int) -> int | None:
+    """Coarse shuffle-partition target for materializing ``df``, or None
+    when coarsening is not warranted.  Sized from Catalyst's own input-size
     estimate at ``per_partition`` bytes of INPUT per post-shuffle partition
-    and clamped to ``[floor, session default]`` — the scope can only LOWER
-    the setting, and only when the optimizer proves the input tiny
+    and clamped to ``[floor, session default)`` — coarsening only ever
+    LOWERS the count, and only when the optimizer proves the input tiny
     (< default × per_partition bytes).  On a production cluster reading
-    terabytes the estimate blows past the clamp and this is a strict no-op.
-    Unknown / non-scan estimates (Catalyst returns 8 EB defaults for
-    checkpointed or UDF-bearing leaves) also no-op.
-
-    Only materializations INSIDE the ``with`` body (eager localCheckpoint,
-    count, write) see the coarse setting; the returned lazy tail of a plan
-    built here executes under the session default as usual.
-
-    CONCURRENCY CONTRACT: ``spark.sql.shuffle.partitions`` is session-
-    global, so any OTHER job on the same session that materializes while a
-    coarse scope is open would silently execute with the coarse setting.
-    Registry/bench/gate entries run sequentially, which satisfies the
-    contract by construction; concurrent-writer deployments must keep
-    coarse scopes off the shared session (or accept the coarse setting for
-    work overlapping the scope — never a correctness issue, only task
-    granularity).  Scopes themselves are serialized by a module lock so two
-    overlapping scopes cannot clobber each other's restore value.
-    """
+    terabytes the estimate blows past the clamp → None (strict no-op);
+    unknown / non-scan estimates (Catalyst returns 8 EB defaults for
+    checkpointed or UDF-bearing leaves) also → None."""
     spark = df.sparkSession
     try:
         default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        yield
-        return
+        return None
     target = max(floor, min(default, size // per_partition + 1))
-    if target >= default:
-        yield
-        return
-    with _COARSE_LOCK:
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", str(default))
+    return None if target >= default else target
+
+
+def _coarse_subsession(parent: SparkSession) -> SparkSession:
+    """The application's PRIVATE coarse-materialization session:
+    ``parent.newSession()`` shares the SparkContext, table cache, and
+    global temp views but has an ISOLATED SQLConf — so lowering its
+    ``spark.sql.shuffle.partitions`` can never leak into jobs running on
+    the parent (the session-global mutation + module lock + sequential-
+    execution contract the r07/r08 design needed are all gone).  The
+    package's runtime confs (UTC timezone, AQE, Arrow, nanos-as-long) are
+    re-applied because ``newSession`` inherits only launch-time conf, not
+    the parent's later ``conf.set`` calls."""
+    from spj_query_engine_spark.session import tune_session
+
+    key = parent.sparkContext.applicationId
+    sub = _COARSE_SUBSESSIONS.get(key)
+    if sub is None:
+        sub = parent.newSession()
+        tune_session(sub)
+        sub._spj_coarse_sub = True  # nested-scope marker
+        _COARSE_SUBSESSIONS[key] = sub
+    return sub
+
+
+def _reroot(df: DataFrame, to_session: SparkSession) -> DataFrame:
+    """Re-bind ``df``'s logical plan to another session of the same
+    application via a (dropped-immediately) global temp view — global temp
+    views are the one catalog surface shared across sessions, and classic
+    Spark analyzes eagerly at ``table()``, so the view can be dropped as
+    soon as the new Dataset exists."""
+    name = f"spj_coarse_{next(_COARSE_SEQ)}"
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        return to_session.table(f"global_temp.{name}")
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
+
+
+def coarse_materialize(
+    build,
+    df: DataFrame,
+    floor: int = 8,
+    per_partition: int = 1 << 20,
+) -> DataFrame:
+    """Materialize ``barrier(build(df))`` with every shuffle in the built
+    plan running at a coarse partition count — per-plan, on an isolated
+    sub-session, with no mutation of the caller's session conf.
+
+    Why coarse at all: the bench-variance investigation
+    (BENCH_VARIANCE.md) localized the g-family's ~2x session-phase jitter
+    to multi-shuffle subplans whose stages are dozens of sub-100 ms tasks —
+    per-stage scheduler latency multiplies across ~10 stages.  Coarser
+    tasks amortize it: an interleaved same-session A/B
+    (scripts/variance_ab.py) measured the MinHash pair derivation at med
+    2.6 s / range 2.4-3.3 under the session default vs med 1.1 s / range
+    1.0-1.3 with the subplan scoped to 8 partitions.
+
+    Why a sub-session (r09, replacing the r07 ``coarse_shuffle`` context
+    manager): a single ``df.repartition(n)`` / REBALANCE hint coarsens only
+    ONE exchange, but the win lives in the ~10 interior shuffles of the
+    banded derivation — the only per-plan way to coarsen all of them is to
+    plan the subtree under a conf where ``spark.sql.shuffle.partitions`` is
+    low.  ``SparkSession.newSession()`` gives exactly that scope: an
+    isolated SQLConf over the same SparkContext.  The input plan crosses
+    sessions via a global temp view, the built plan materializes eagerly
+    (``barrier``) under the coarse conf, and the ExistingRDD-backed result
+    is re-rooted to the caller's session so every downstream consumer
+    plans under the caller's own conf.  A concurrent job on the caller's
+    session is untouched by construction — no lock, no restore window, no
+    sequential-execution contract.
+
+    100 TB safety is unchanged from r07: the target comes from
+    :func:`_coarse_target`'s optimizer-estimate clamp, so terabyte inputs
+    (or unknown estimates) take the plain ``barrier(build(df))`` path.
+    Nested scopes (e.g. ``lsh_pairs_ckpt`` invoked inside a graph builder
+    that is itself coarse-materializing) detect the sub-session marker and
+    no-op into the enclosing scope's conf.
+
+    Under the plan-hygiene suite's ``SPJ_LAZY_PLANS=1`` (pytest only, see
+    :func:`barrier`) the full lazy plan is returned on the caller's session
+    so physical-plan audits see the whole subtree.
+    """
+    import os as _os
+
+    spark = df.sparkSession
+    if getattr(spark, "_spj_coarse_sub", False):
+        # nested scope: already planning under a coarse conf — re-scoping
+        # would just recompute a target for the same frame (and the old
+        # lock-based design could self-deadlock here)
+        return barrier(build(df))
+    if (
+        _os.environ.get("SPJ_LAZY_PLANS", "") == "1"
+        and "PYTEST_CURRENT_TEST" in _os.environ
+    ):
+        return barrier(build(df))
+    target = _coarse_target(df, floor, per_partition)
+    if target is None:
+        return barrier(build(df))
+    sub = _coarse_subsession(spark)
+    sub.conf.set("spark.sql.shuffle.partitions", str(target))
+    out = barrier(build(_reroot(df, sub)))
+    return _reroot(out, spark)
 
 
 def _estimated_splits(df: DataFrame) -> int:

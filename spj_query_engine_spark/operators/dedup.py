@@ -300,8 +300,8 @@ def lsh_pairs_ckpt(
     id_col: str = "doc_id",
     with_jaccard: bool = False,
 ) -> DataFrame:
-    """:func:`minhash_lsh_pairs`, eagerly materialized under a
-    :func:`~spj_query_engine_spark.operators.core.coarse_shuffle` scope —
+    """:func:`minhash_lsh_pairs`, eagerly materialized via
+    :func:`~spj_query_engine_spark.operators.core.coarse_materialize` —
     the shared entry point for every graph-family consumer of the near-dup
     pair graph.
 
@@ -322,13 +322,13 @@ def lsh_pairs_ckpt(
     the executor-memory materialization is 100 TB-safe, and the scope
     no-ops on large inputs by construction (optimizer-estimate clamp).
     """
-    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+    from spj_query_engine_spark.operators.core import coarse_materialize
 
-    with coarse_shuffle(docs):
-        pairs = minhash_lsh_pairs(docs, text_col, id_col)
-        if not with_jaccard:
-            pairs = pairs.select("doc_a", "doc_b")
-        return barrier(pairs)
+    def _build(d: DataFrame) -> DataFrame:
+        pairs = minhash_lsh_pairs(d, text_col, id_col)
+        return pairs if with_jaccard else pairs.select("doc_a", "doc_b")
+
+    return coarse_materialize(_build, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -2536,11 +2536,10 @@ def common_neighbor_pairs(docs: DataFrame) -> DataFrame:
     generation, everything else is equi-joins + one rollup on the
     candidate pair.  Degrees always count the FULL graph (the cap limits
     wedge generation only, not the denominator)."""
-    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+    from spj_query_engine_spark.operators.core import coarse_materialize
 
-    with coarse_shuffle(docs):
-        # all five modality derivations materialize here, under the scope
-        pairs = barrier(fused_dup_edges(docs))
+    # all five modality derivations materialize inside the coarse scope
+    pairs = coarse_materialize(fused_dup_edges, docs)
     return common_neighbor_pairs_from_pairs(pairs)
 
 
@@ -2647,30 +2646,32 @@ def dedup_impact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     is a tagged union → one rollup keyed by pair (pairs, not corpus) → one
     rollup keyed by modality (six rows out).  The FUSED row reports the
     distinct union and the total single-modality pairs."""
-    inv = shingle_index(docs, text_col, id_col).persist()
-    tagged = None
-    sources = [
-        ("minhash", minhash_lsh_pairs(docs, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
-        ("simhash", simhash_pairs(docs, text_col, id_col).select("doc_a", "doc_b")),
-        ("ngram", ngram_jaccard_pairs(docs, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
-        (
-            "containment",
-            containment_pairs(docs, text_col, id_col, inv=inv)
-            .select(
-                F.least("inner_id", "outer_id").alias("doc_a"),
-                F.greatest("inner_id", "outer_id").alias("doc_b"),
-            )
-            .distinct(),
-        ),
-        ("span", span_dup_pairs(docs, text_col, id_col).select("doc_a", "doc_b")),
-    ]
-    for tag, df in sources:
-        t = df.select("doc_a", "doc_b", F.lit(tag).alias("modality"))
-        tagged = t if tagged is None else tagged.unionByName(t)
-    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+    from spj_query_engine_spark.operators.core import coarse_materialize
 
-    with coarse_shuffle(docs):
-        tagged = barrier(tagged)
+    def _build_tagged(d: DataFrame) -> DataFrame:
+        inv = shingle_index(d, text_col, id_col).persist()
+        sources = [
+            ("minhash", minhash_lsh_pairs(d, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
+            ("simhash", simhash_pairs(d, text_col, id_col).select("doc_a", "doc_b")),
+            ("ngram", ngram_jaccard_pairs(d, text_col, id_col, inv=inv).select("doc_a", "doc_b")),
+            (
+                "containment",
+                containment_pairs(d, text_col, id_col, inv=inv)
+                .select(
+                    F.least("inner_id", "outer_id").alias("doc_a"),
+                    F.greatest("inner_id", "outer_id").alias("doc_b"),
+                )
+                .distinct(),
+            ),
+            ("span", span_dup_pairs(d, text_col, id_col).select("doc_a", "doc_b")),
+        ]
+        out = None
+        for tag, df in sources:
+            t = df.select("doc_a", "doc_b", F.lit(tag).alias("modality"))
+            out = t if out is None else out.unionByName(t)
+        return out
+
+    tagged = coarse_materialize(_build_tagged, docs)
     nm = tagged.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_modalities")
     )

@@ -797,8 +797,13 @@ def foreach_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "sum_cents")
         )
-        rows = merged.collect()  # one row per user — state, not events
-        schema = merged.schema
+        # Executor-side materialization so the frame survives the temp-dir
+        # rmtree below: the r08 version collect()ed one row per user onto
+        # the driver and re-created a DataFrame, which is bounded by user
+        # population, not events — fine at sf0.1, a driver OOM at billions
+        # of users.  localCheckpoint keeps the merged totals as executor
+        # blocks (the same pattern operators/core.barrier uses).
+        merged = merged.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return merged

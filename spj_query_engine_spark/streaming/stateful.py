@@ -944,12 +944,19 @@ _USERSITE_PROVISIONED: bool | None = None
 USERSITE_PTH_NAME = "spj_protoshim.pth"
 
 
-def _fresh_interpreter_imports_protobuf(python_exec: str | None = None) -> bool:
+def _fresh_interpreter_imports_protobuf(
+    python_exec: str | None = None, no_user_site: bool = False
+) -> bool:
     """Empirical stand-in for the JVM-spawned worker: can a FRESH
     interpreter — launched WITHOUT the shim on ``PYTHONPATH`` — import
     ``google.protobuf``?  This is exactly the resolution a
     ``PythonWorkerFactory`` simple worker performs at startup (fresh
-    process, inherited env, normal ``site`` processing, no ``-s``)."""
+    process, inherited env, normal ``site`` processing, no ``-s``).
+
+    ``no_user_site=True`` probes with ``-s`` (usersite disabled): success
+    there means a REAL distribution resolves from system site-packages —
+    the signal that any provisioned usersite ``.pth`` is now pure residue
+    and must be retired so it can never mask the real one."""
     import subprocess
     import sys
 
@@ -965,16 +972,63 @@ def _fresh_interpreter_imports_protobuf(python_exec: str | None = None) -> bool:
     else:
         env.pop("PYTHONPATH", None)
     exe = python_exec or os.environ.get("PYSPARK_PYTHON") or sys.executable
+    cmd = [exe] + (["-s"] if no_user_site else []) + ["-c", "import google.protobuf"]
     try:
-        r = subprocess.run(
-            [exe, "-c", "import google.protobuf"],
-            env=env,
-            capture_output=True,
-            timeout=60,
-        )
+        r = subprocess.run(cmd, env=env, capture_output=True, timeout=60)
     except Exception:
         return False
     return r.returncode == 0
+
+
+def _usersite_pth_path() -> str | None:
+    """Path of the provisioning ``.pth`` under the ACTIVE usersite (honors
+    ``PYTHONUSERBASE``, so tests can point the whole lifecycle at a scratch
+    dir), or None when usersite processing is disabled."""
+    import site
+
+    if not getattr(site, "ENABLE_USER_SITE", False):
+        return None
+    return os.path.join(site.getusersitepackages(), USERSITE_PTH_NAME)
+
+
+def remove_usersite_shim() -> bool:
+    """Uninstall the provisioned ``.pth`` — but only when the file is OURS
+    (single line naming the vendored shim directory); a foreign path
+    configuration file that happens to share the name is left alone.
+    Returns whether a file was removed.  Resets the per-process probe
+    cache so a later call re-probes reality."""
+    global _USERSITE_PROVISIONED
+    pth = _usersite_pth_path()
+    if not pth or not os.path.exists(pth):
+        return False
+    try:
+        if open(pth).read().strip() != os.path.abspath(PROTOSHIM_DIR):
+            return False
+        os.remove(pth)
+    except OSError:
+        return False
+    _USERSITE_PROVISIONED = None
+    return True
+
+
+_CLEANUP_REGISTERED = False
+
+
+def _register_pth_cleanup() -> None:
+    """Bound the ``.pth``'s lifetime to THIS process: remove it at exit.
+    The JVM-spawned workers that need it only exist while the owning
+    SparkSession (and hence this process) is alive, so exit-time removal
+    loses nothing — and the host is left exactly as found instead of with
+    a machine-global import-behavior change (r08's version never removed
+    the file, so every future interpreter of this user silently resolved
+    the shim for ``import google.protobuf`` instead of ImportError)."""
+    global _CLEANUP_REGISTERED
+    if _CLEANUP_REGISTERED:
+        return
+    import atexit
+
+    atexit.register(remove_usersite_shim)
+    _CLEANUP_REGISTERED = True
 
 
 def provision_usersite_shim() -> bool:
@@ -985,34 +1039,75 @@ def provision_usersite_shim() -> bool:
     ``get_spark``'s pre-launch export never happened there).
 
     Mechanism: write a one-line ``.pth`` file naming the shim directory
-    into ``site.getusersitepackages()``.  ``site.addpackage`` appends
-    ``.pth``-listed dirs to the END of ``sys.path``, so a real
-    ``google.protobuf`` anywhere in site-packages always wins; the file is
-    only written at all when a fresh interpreter CANNOT already import
-    protobuf.  Returns whether a fresh interpreter (shim stripped from the
-    launch env) now imports ``google.protobuf`` — verified empirically by
-    subprocess, not inferred."""
+    into ``site.getusersitepackages()`` — atomically (temp file +
+    ``os.replace``), so a concurrently starting interpreter can never read
+    a truncated file.  ``site.addpackage`` appends ``.pth``-listed dirs to
+    the END of ``sys.path``, so a real ``google.protobuf`` anywhere in
+    site-packages always wins; the file is only written at all when a
+    fresh interpreter CANNOT already import protobuf.  Returns whether a
+    fresh interpreter (shim stripped from the launch env) now imports
+    ``google.protobuf`` — verified empirically by subprocess, not
+    inferred.
+
+    Lifecycle (r09): the write registers an atexit removal, so the
+    mutation is scoped to this process's lifetime rather than machine-
+    global; when a REAL distribution resolves (probed with ``-s``) any
+    leftover shim ``.pth`` of ours is removed on the spot, so a later
+    ``pip install protobuf`` wins immediately and permanently.  Setting
+    ``SPJ_NO_USERSITE_SHIM=1`` disables provisioning entirely (the probe
+    still answers honestly); the e32f driver entry then reports TWS as not
+    runnable instead of self-provisioning."""
     global _USERSITE_PROVISIONED
+    if os.environ.get("SPJ_NO_USERSITE_SHIM", "") == "1":
+        # opt-out: never write; answer from reality, uncached so the flag
+        # can be flipped within a process (tests)
+        return _fresh_interpreter_imports_protobuf()
     if _USERSITE_PROVISIONED is not None:
         return _USERSITE_PROVISIONED
-    if _fresh_interpreter_imports_protobuf():
-        # a real distribution (or an already-installed .pth) resolves;
-        # nothing to provision
+    if _fresh_interpreter_imports_protobuf(no_user_site=True):
+        # a REAL distribution resolves with usersite disabled — retire any
+        # shim .pth of ours (pre-lifecycle residue) so it can never mask
+        # a breakage of the real one
+        remove_usersite_shim()
         _USERSITE_PROVISIONED = True
         return True
-    import site
-
+    if _fresh_interpreter_imports_protobuf():
+        # resolves only WITH usersite: either our .pth from a previous
+        # run or a foreign path configuration.  Adopt ours into this
+        # process's cleanup scope; leave foreign files alone.
+        pth = _usersite_pth_path()
+        try:
+            ours = bool(pth) and os.path.exists(pth) and (
+                open(pth).read().strip() == os.path.abspath(PROTOSHIM_DIR)
+            )
+        except OSError:
+            ours = False
+        if ours:
+            _register_pth_cleanup()
+        _USERSITE_PROVISIONED = True
+        return True
+    pth = _usersite_pth_path()
+    if pth is None:
+        _USERSITE_PROVISIONED = False
+        return False
     try:
-        if not getattr(site, "ENABLE_USER_SITE", False):
-            _USERSITE_PROVISIONED = False
-            return False
-        usersite = site.getusersitepackages()
+        usersite = os.path.dirname(pth)
         os.makedirs(usersite, exist_ok=True)
-        pth = os.path.join(usersite, USERSITE_PTH_NAME)
         want = os.path.abspath(PROTOSHIM_DIR) + "\n"
-        if not (os.path.exists(pth) and open(pth).read() == want):
-            with open(pth, "w") as f:
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=usersite, suffix=".pth.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
                 f.write(want)
+            os.replace(tmp, pth)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        _register_pth_cleanup()
     except OSError:
         _USERSITE_PROVISIONED = False
         return False
@@ -1042,6 +1137,21 @@ def tws_runnable(spark: SparkSession) -> bool:
 
     f = os.path.abspath(getattr(_gp, "__file__", None) or "")
     if not f.startswith(os.path.abspath(PROTOSHIM_DIR) + os.sep):
+        # a REAL distribution resolves driver-side: if a shim .pth of ours
+        # is still installed (pre-lifecycle residue or an earlier run),
+        # re-probe the WORKER python with usersite disabled and retire the
+        # shim the moment the real one covers the worker too — a later
+        # `pip install protobuf` wins immediately instead of being masked
+        # for a probe cycle
+        pth = _usersite_pth_path()
+        try:
+            ours = bool(pth) and os.path.exists(pth) and (
+                open(pth).read().strip() == os.path.abspath(PROTOSHIM_DIR)
+            )
+        except OSError:
+            ours = False
+        if ours and _fresh_interpreter_imports_protobuf(no_user_site=True):
+            remove_usersite_shim()
         return True
     try:
         jget = spark.sparkContext._jvm.java.lang.System.getenv

@@ -9,22 +9,21 @@ from spj_query_engine_spark.operators import dedup
 from spj_query_engine_spark.workload.registry import register
 
 def _graph_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    """Materialize an iterative graph query under a coarse-shuffle scope.
+    """Materialize an iterative graph query under a coarse scope.
 
     The graph family's plans are many short join/agg stages over tiny
     frames (pair graphs are near-dup OUTPUT); at local bench scale their
     per-stage scheduler jitter was the documented ~2x session variance
-    (BENCH_VARIANCE.md).  coarse_shuffle only LOWERS the partition count
+    (BENCH_VARIANCE.md).  coarse_materialize only LOWERS the partition
+    count — on an isolated sub-session, never the caller's conf — and only
     when the optimizer proves the input small, so this is a no-op at
     production scale; the eager localCheckpoint pulls the whole iteration
     under the scope and bounds re-execution of shared subplans.  Values,
     schema, and the DuckDB oracle are untouched.
     """
-    from spj_query_engine_spark.operators.core import barrier, coarse_shuffle
+    from spj_query_engine_spark.operators.core import coarse_materialize
 
-    docs = _docs(spark, sf_dir)
-    with coarse_shuffle(docs):
-        return barrier(build(docs))
+    return coarse_materialize(build, _docs(spark, sf_dir))
 
 
 

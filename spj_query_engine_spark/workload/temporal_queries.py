@@ -543,9 +543,21 @@ from spj_query_engine_spark.streaming.stateful import tws_running_totals_sql
     bench=False,  # dominated by the micro-batch replay loop, not throughput
 )
 def e32_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spj_query_engine_spark.streaming.stateful import run_running_totals_auto
+    from spj_query_engine_spark.streaming import stateful
 
-    return run_running_totals_auto(spark, sf_dir)
+    out = stateful.run_running_totals_auto(spark, sf_dir)
+    # selector assertion (mirrors e32f): whichever branch ran must agree
+    # with the capability probes — a TWS selection on a session where the
+    # driver-side API is not importable would mean the probe and the
+    # execution path diverged, i.e. this proof no longer certifies what
+    # its name claims
+    if stateful.SELECTED_API == "tws":
+        assert stateful.tws_available(), (
+            "e32 selected TWS but tws_available() is False post-run"
+        )
+    else:
+        assert stateful.SELECTED_API == "apws", stateful.SELECTED_API
+    return out
 
 
 @register(

@@ -179,8 +179,10 @@ def test_provision_writes_pth_then_verifies(monkeypatch, tmp_path):
     calls = []
 
     def fake_probe(*a, **k):
-        calls.append(1)
-        return len(calls) > 1  # first probe (pre-write) fails, second passes
+        # r09 flow: (1) -s probe (real dist?) fails, (2) plain pre-write
+        # probe fails, (3) post-write verify passes
+        calls.append(k.get("no_user_site", False))
+        return len(calls) > 2
 
     monkeypatch.setattr(
         stateful, "_fresh_interpreter_imports_protobuf", fake_probe
@@ -191,10 +193,10 @@ def test_provision_writes_pth_then_verifies(monkeypatch, tmp_path):
         assert stateful.provision_usersite_shim() is True
         pth = tmp_path / stateful.USERSITE_PTH_NAME
         assert pth.read_text() == os.path.abspath(stateful.PROTOSHIM_DIR) + "\n"
-        assert len(calls) == 2
+        assert calls == [True, False, False]
         # cached: a second call re-probes nothing
         assert stateful.provision_usersite_shim() is True
-        assert len(calls) == 2
+        assert len(calls) == 3
     finally:
         _reset_provision_cache()
 

@@ -225,3 +225,72 @@ def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
     z_a = per_file_range(zpath, "a")
     assert sum(z_a) / len(z_a) <= 40
     assert sorted(z_a)[len(z_a) // 2] <= 32
+
+
+# ---------------------------------------------------------------------------
+# coarse_materialize: per-plan coarse shuffles on an isolated sub-session
+# ---------------------------------------------------------------------------
+
+
+def test_coarse_materialize_isolates_caller_conf(spark):
+    """The coarse scope must never touch the caller's session conf — the
+    r07/r08 design mutated session-global spark.sql.shuffle.partitions
+    (with a lock + sequential-execution contract); the r09 design plans the
+    subtree on a private newSession() instead."""
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    tiny = spark.range(0, 1000, 1, 4).withColumn("k", F.col("id") % 7)
+
+    seen = {}
+
+    def build(d):
+        seen["conf"] = int(
+            d.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        seen["session_is_caller"] = d.sparkSession is spark
+        return d.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+    out = coarse_materialize(build, tiny, floor=2)
+    assert out.count() == 7
+    # result is re-rooted to the caller's session for downstream planning
+    assert out.sparkSession is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # a provably-tiny input earns a coarse target on the PRIVATE session
+    assert seen["session_is_caller"] is False
+    assert seen["conf"] < int(before)
+    # values match the same plan built on the caller's session
+    expect = dict(
+        tiny.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert dict(out.collect()) == expect
+    # no global temp views leak
+    assert spark.sql("SHOW TABLES IN global_temp").count() == 0
+
+
+def test_coarse_materialize_nested_scopes_noop(spark):
+    """Nested scopes (a graph builder coarse-materializing a helper that
+    itself coarse-materializes, e.g. dup_clusters -> lsh_pairs_ckpt) must
+    no-op into the enclosing scope — the r07 lock-based design could
+    self-deadlock on a nested scope with a smaller target."""
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    tiny = spark.range(0, 2000, 1, 4).withColumn("k", F.col("id") % 5)
+    sessions = []
+
+    def inner(d):
+        sessions.append(d.sparkSession)
+        return d.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+    def outer(d):
+        sessions.append(d.sparkSession)
+        # nested coarse scope over an even smaller frame (the deadlock
+        # shape): must run inline on the enclosing scope's session
+        inner_out = coarse_materialize(inner, d.limit(50), floor=1)
+        return inner_out
+
+    out = coarse_materialize(outer, tiny, floor=2)
+    assert out.count() > 0
+    # both levels planned on the SAME private session (inner no-oped)
+    assert sessions[0] is sessions[1]
+    assert sessions[0] is not spark
