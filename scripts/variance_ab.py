@@ -140,10 +140,20 @@ def edges_variant(docs, P, bucket_pairs):
 def main():
     spark = get_spark("variance_ab", master="local[32]")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from spj_query_engine_spark.operators.core import barrier
+
     variants = {
         "A_current": lambda: edges_current(docs),
         "B_flat_join": lambda: edges_variant(docs, 8, False),
         "C_flat_bucket": lambda: edges_variant(docs, 8, True),
+        # D vs E: the SAME pair materialization under the session default
+        # vs through coarse_materialize (r09's isolated-subsession scope) —
+        # the coarse-win attribution the r07 A/B established, re-proven
+        # against the per-plan mechanism
+        "D_pairs_default": lambda: barrier(
+            minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        ),
+        "E_pairs_coarse": lambda: dedup.lsh_pairs_ckpt(docs),
     }
     # correctness cross-check first (also warms cache/JIT)
     counts = {}

@@ -301,20 +301,28 @@ def lsh_topk(
         .select("query_id", F.col("vid").alias("cand_id"))
         .distinct()
     )
-    # Vectors attach AFTER the dedup, both joins broadcast on the bounded
-    # side (queries; then query×candidate pairs) — the corpus never
-    # shuffles, at sf0.1 or at 100 TB.
+    # Vectors attach AFTER the dedup.  Only q_vecs — bounded by n_queries —
+    # carries an explicit broadcast hint; the pairs↔corpus attach is left
+    # UN-hinted because pair volume grows with band-collision structure
+    # (the bucket cap is deliberately large), not with the bounded query
+    # count: AQE broadcasts the pair side while its runtime size is small
+    # (the sf0.1 plan is unchanged) and degrades to a shuffle join on
+    # cand_id past the broadcast threshold, where a pinned pair-volume
+    # broadcast would instead exceed driver/broadcast limits.
     q_vecs = q_side.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    enriched = cand_ids.join(F.broadcast(q_vecs), "query_id")
-    cand = with_bucket.select(
-        F.col("vid").alias("cand_id"),
-        F.col("vec").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
-    ).join(F.broadcast(enriched), "cand_id")
+    cand = (
+        with_bucket.select(
+            F.col("vid").alias("cand_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+        .join(cand_ids, "cand_id")
+        .join(F.broadcast(q_vecs), "query_id")
+    )
     sim = portable_round(
         dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         6,
