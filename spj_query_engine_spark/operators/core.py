@@ -262,17 +262,15 @@ def _coarse_subsession(parent: SparkSession) -> SparkSession:
     global temp views but has an ISOLATED SQLConf — so lowering its
     ``spark.sql.shuffle.partitions`` can never leak into jobs running on
     the parent (the session-global mutation + module lock + sequential-
-    execution contract the r07/r08 design needed are all gone).  The
-    package's runtime confs (UTC timezone, AQE, Arrow, nanos-as-long) are
-    re-applied because ``newSession`` inherits only launch-time conf, not
-    the parent's later ``conf.set`` calls."""
-    from spj_query_engine_spark.session import tune_session
+    execution contract the r07/r08 design needed are all gone).  Created
+    via :func:`…session.clone_session`, so the parent's explicit conf
+    (UTC timezone, AQE, Arrow, nanos-as-long, …) carries over."""
+    from spj_query_engine_spark.session import clone_session
 
     key = parent.sparkContext.applicationId
     sub = _COARSE_SUBSESSIONS.get(key)
     if sub is None:
-        sub = parent.newSession()
-        tune_session(sub)
+        sub = clone_session(parent)
         sub._spj_coarse_sub = True  # nested-scope marker
         _COARSE_SUBSESSIONS[key] = sub
     return sub

@@ -74,6 +74,42 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def clone_session(
+    spark: SparkSession, shuffle_partitions: int | None = None
+) -> SparkSession:
+    """A fresh ISOLATED session over the same SparkContext whose SQLConf
+    mirrors the parent's explicit settings, optionally with its own
+    shuffle-partition count.
+
+    ``newSession()`` shares the context, table cache, and global temp views
+    but starts its SQLConf from launch-time conf only — the parent's later
+    ``conf.set`` calls (engine tuning, test-set ``spj.*`` overrides) are
+    not inherited.  ``RuntimeConfig.getAll`` enumerates exactly those
+    explicit entries (~30, one py4j hop each), so the clone behaves like
+    the parent in every observable way while a conf change on it can never
+    leak back — the primitive both :func:`…operators.core.coarse_materialize`
+    and the streaming runners use instead of mutating the session-global
+    ``spark.sql.shuffle.partitions``."""
+    sub = spark.newSession()
+    try:
+        jconf = spark._jsparkSession.conf().getAll()
+        jmap = spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jconf
+        )
+        for e in jmap.entrySet().toArray():
+            try:
+                sub.conf.set(e.getKey(), e.getValue())
+            except Exception:
+                pass  # frozen/static conf — already inherited at launch
+    except Exception:
+        # no py4j gateway to enumerate (e.g. Spark Connect) — fall back to
+        # the package's own runtime confs
+        tune_session(sub)
+    if shuffle_partitions is not None:
+        sub.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return sub
+
+
 def get_spark(
     app_name: str = "spj_query_engine_spark",
     master: str | None = None,

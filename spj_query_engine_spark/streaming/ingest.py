@@ -23,12 +23,12 @@ from __future__ import annotations
 
 import os
 import uuid
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spj_query_engine_spark.catalog import table_path
+from spj_query_engine_spark.session import clone_session
 from spj_query_engine_spark.operators.temporal import ROLLUP_HOURS
 
 WATERMARK = "1 hour"
@@ -116,21 +116,25 @@ def resolve_stream_partitions(
     return max(4, min(cur, -(-size // STREAM_STATE_TARGET_BYTES)))
 
 
-@contextmanager
-def stream_state_conf(spark: SparkSession, sf_dir: str, table: str = "events"):
-    """Scope ``spark.sql.shuffle.partitions`` to the resolved stream-state
-    count for the duration of one streaming query (the count is baked into
-    the query's state layout at start; each runner uses a fresh checkpoint,
-    so no stored state can disagree).  Restores the session value after."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(resolve_stream_partitions(spark, sf_dir, table)),
+def stream_session(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> SparkSession:
+    """An ISOLATED session for one streaming query, with
+    ``spark.sql.shuffle.partitions`` set to the resolved stream-state count
+    (the count is baked into the query's state layout at start; each
+    runner uses a fresh checkpoint, so no stored state can disagree).
+
+    Replaces the r08 ``stream_state_conf`` context manager, which scoped
+    the SESSION-GLOBAL conf: any other job materializing while a stream
+    replay was in flight silently ran at the stream's (usually tiny) state
+    partition count.  :func:`…session.clone_session` mirrors the parent's
+    explicit conf — including test-set ``spj.*`` overrides — into a fresh
+    ``newSession``, so each runner swaps its local ``spark`` to the clone
+    as its first statement and every frame, sink table, and post-replay
+    read lives there; the caller's session is untouched by construction."""
+    return clone_session(
+        spark, resolve_stream_partitions(spark, sf_dir, table)
     )
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -203,19 +207,19 @@ def run_streaming_rollup(
     """Drive the streaming rollup over the finite events directory to
     completion (memory sink, complete mode) and return the result as a
     batch DataFrame."""
+    spark = stream_session(spark, sf_dir)
     name = fresh_sink_table(spark, "stream_rollup")
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            streaming_rollup(stream_events(spark, sf_dir), hours)
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        streaming_rollup(stream_events(spark, sf_dir), hours)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -230,21 +234,21 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the key state expires instead of growing forever — the bounded-state
     variant of the same plan.
     """
+    spark = stream_session(spark, sf_dir)
     name = fresh_sink_table(spark, "stream_dedup")
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stream_events(spark, sf_dir)
-            .select("event_id")
-            .dropDuplicates(["event_id"])
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_id")
+        .dropDuplicates(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -260,6 +264,7 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     and leave state once the watermark passes their end — bounded state; the
     complete-mode memory sink exists to drive finite replay in the harness.
     """
+    spark = stream_session(spark, sf_dir)
     from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
 
     name = fresh_sink_table(spark, "stream_session")
@@ -286,17 +291,16 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -314,6 +318,7 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional table (Delta/Iceberg) instead of appending fragments; the
     compaction then happens in the table format rather than at read time.
     """
+    spark = stream_session(spark, sf_dir)
     from pyspark.sql import Window
 
     tgt = f"/tmp/spj_upsert_{uuid.uuid4().hex[:8]}"
@@ -336,17 +341,16 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         latest_per_user(batch_df).write.mode("append").parquet(tgt)
 
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stream_events(spark, sf_dir)
-            .writeStream.foreachBatch(handle)
-            .option("checkpointLocation", f"{tgt}_ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     # merge-on-read: latest per key across the appended fragments.  Read with
     # the EXPLICIT output schema: an empty stream appends no fragment at all,
     # and schema inference on a missing/empty target would throw instead of
@@ -384,6 +388,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the streaming surface the sessionize/rollup entries don't touch:
     two buffered sides with watermark-driven state eviction, the shape of
     real-time attribution pipelines."""
+    spark = stream_session(spark, sf_dir)
     band_ms = STREAM_JOIN_MINUTES * 60 * 1000
     # ms truncation on both sides: the oracle's band/ordering predicates are
     # epoch_ms comparisons; raw microsecond residue would include/exclude
@@ -422,12 +427,11 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("c_ts").alias("c_ts_ms"),
     )
     name = fresh_sink_table(spark, "ss_join")
-    with stream_state_conf(spark, sf_dir):
-        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -455,6 +459,7 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driven over the finite events directory the result equals the batch
     equi-join — the oracle."""
+    spark = stream_session(spark, sf_dir)
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -481,17 +486,16 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lifetime_spend"), F.lit(0.0)).alias("lifetime_spend"),
         )
     )
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            enriched.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -502,6 +506,7 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is the strictly harder bookkeeping).  Driven to completion in
     complete mode the result equals the batch sliding rollup — the
     oracle."""
+    spark = stream_session(spark, sf_dir)
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -534,17 +539,16 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -563,6 +567,7 @@ def run_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production shape: the same body MERGEs into Delta/Iceberg with
     ``WHEN MATCHED AND op = 'D' THEN DELETE``; tombstone compaction then
     lives in the table format."""
+    spark = stream_session(spark, sf_dir)
     from pyspark.sql import Window
 
     tgt = f"/tmp/spj_cdc_{uuid.uuid4().hex[:8]}"
@@ -587,17 +592,16 @@ def run_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         latest_op_per_user(batch_df).write.mode("append").parquet(tgt)
 
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stream_events(spark, sf_dir)
-            .writeStream.foreachBatch(handle)
-            .option("checkpointLocation", f"{tgt}_ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     from pyspark.sql import Window
 
     out_schema = (
@@ -629,6 +633,7 @@ def run_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream equals e35, which is this entry's oracle.  At scale the
     append is day-partitionable and old fragments compact away; per-batch
     state is zero (no watermark needed — late user-days still merge)."""
+    spark = stream_session(spark, sf_dir)
     from spj_query_engine_spark.operators.temporal import active_users_from_ud
 
     tgt = f"/tmp/spj_dauwau_{uuid.uuid4().hex[:8]}"
@@ -645,17 +650,16 @@ def run_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tgt)
         )
 
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stream_events(spark, sf_dir)
-            .writeStream.foreachBatch(handle)
-            .option("checkpointLocation", f"{tgt}_ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     import os as _os
 
     out_schema = "user_id long, day_no int"
@@ -677,6 +681,7 @@ def run_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer; per-batch streaming state is zero.  This is the production
     shape: sketch partials land next to the data, every later rollup is a
     merge of stored partials, and the raw stream is never replayed."""
+    spark = stream_session(spark, sf_dir)
     from spj_query_engine_spark.operators.temporal import (
         SKETCH_LG_K,
         SKETCH_MAX_ERR,
@@ -692,17 +697,16 @@ def run_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("append").parquet(f"{tgt}_sk")
         b.distinct().write.mode("append").parquet(f"{tgt}_ud")
 
-    with stream_state_conf(spark, sf_dir):
-        q = (
-            stream_events(spark, sf_dir)
-            .writeStream.foreachBatch(handle)
-            .option("checkpointLocation", f"{tgt}_ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tgt}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     import os as _os
 
     if not _os.path.isdir(f"{tgt}_sk"):

@@ -44,7 +44,7 @@ from spj_query_engine_spark.operators.temporal import SESSION_GAP_MIN
 from spj_query_engine_spark.streaming.ingest import (
     fresh_sink_table,
     stream_events,
-    stream_state_conf,
+    stream_session,
 )
 
 OUTPUT_SCHEMA = T.StructType(
@@ -608,6 +608,11 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       tests); selectable for A/B and for the stream-stream deployment.
     """
     if spark.conf.get("spj.stream.asof.api", "fb") != "apws":
+        # isolated stream clone for the fb replay only: the apws branch
+        # below deliberately keeps the CALLER's shuffle partitions (its
+        # merge fold is heavy — downsizing measured 4x slower) and mutates
+        # no conf, so it stays on the caller's session
+        spark = stream_session(spark, sf_dir)
         import shutil
 
         from spj_query_engine_spark.catalog import load_table
@@ -628,17 +633,16 @@ def run_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(tgt)
 
-        with stream_state_conf(spark, sf_dir):
-            q = (
-                stream_events(spark, sf_dir)
-                .writeStream.foreachBatch(handle)
-                .option("checkpointLocation", f"{tgt}_ckpt")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tgt}_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         out = spark.read.parquet(tgt)
         shutil.rmtree(f"{tgt}_ckpt", ignore_errors=True)
         return out
@@ -740,6 +744,10 @@ def run_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # isolated clone (r09): the RocksDB provider conf below lands on a
+    # session private to this query, so the save/restore can never race a
+    # concurrent job on the caller's session
+    spark = stream_session(spark, sf_dir)
     name = fresh_sink_table(spark, "tws_totals")
     # TWS state lives in named column families, which only the RocksDB
     # state store provider supports (HDFS-backed throws
@@ -1629,7 +1637,8 @@ def run_stateful_sessionize_ttl(
     (~1 row per event on this corpus's sparse users), and the memory sink
     materializing it on the driver was 90% of the 100x wall (27.6 s vs a
     2.7 s machinery floor)."""
-    # Input-sized state partitions (see ingest.stream_state_conf): the
+    spark = stream_session(spark, sf_dir)
+    # Input-sized state partitions (see ingest.stream_session): the
     # per-partition state-store + Python-worker fixed cost dominates small
     # replays.  Bucket count rides the same derivation — a handful of
     # buckets per state partition keeps every partition busy in both the
@@ -1679,29 +1688,28 @@ def run_stateful_sessionize_ttl(
         sdf = build(
             stream_events(spark, sf_dir), gap_minutes, buckets=buckets
         )
-        with stream_state_conf(spark, sf_dir):
-            # Scale-adaptive sink — see resolve_stream_sink: the session
-            # output is event-sized, so past the byte threshold the memory
-            # sink's driver materialization IS the wall and parquet keeps
-            # it executor-side.
-            if resolve_stream_sink(spark, sf_dir) == "parquet":
-                out = run_stream_to_parquet(
-                    spark, sdf, "session_ttl",
-                    spark.createDataFrame([], OUTPUT_SCHEMA),
-                )
-            else:
-                name = fresh_sink_table(spark, "stream_session_ttl")
-                q = (
-                    sdf.writeStream.outputMode("append")
-                    .format("memory")
-                    .queryName(name)
-                    .start()
-                )
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-                out = spark.table(name)
+        # Scale-adaptive sink — see resolve_stream_sink: the session
+        # output is event-sized, so past the byte threshold the memory
+        # sink's driver materialization IS the wall and parquet keeps
+        # it executor-side.
+        if resolve_stream_sink(spark, sf_dir) == "parquet":
+            out = run_stream_to_parquet(
+                spark, sdf, "session_ttl",
+                spark.createDataFrame([], OUTPUT_SCHEMA),
+            )
+        else:
+            name = fresh_sink_table(spark, "stream_session_ttl")
+            q = (
+                sdf.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = spark.table(name)
     finally:
         if prev_provider is None:
             try:

@@ -744,8 +744,11 @@ def test_resolve_stream_partitions(spark):
         spark.conf.set("spj.stream.state.partitions", "7")
         assert ingest.resolve_stream_partitions(spark, "/root/testdata/sf0.01") == 7
         spark.conf.unset("spj.stream.state.partitions")
-        with ingest.stream_state_conf(spark, "/root/testdata/sf0.01"):
-            assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n
+        # stream_session (r09): the resolved count lands on an ISOLATED
+        # clone; the caller's conf is untouched by construction
+        sub = ingest.stream_session(spark, "/root/testdata/sf0.01")
+        assert int(sub.conf.get("spark.sql.shuffle.partitions")) == n
+        assert sub is not spark
         assert spark.conf.get("spark.sql.shuffle.partitions") == prev
         # missing file -> clamp floor, never crash
         assert ingest.resolve_stream_partitions(spark, "/nonexistent") == 4
