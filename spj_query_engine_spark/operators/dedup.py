@@ -798,6 +798,27 @@ NEARDUP_CELL_TARGET = 100
 FLAT_ASSIGN_MAX = 64  # above this many cells, assignment goes two-level
 
 
+def prefix_rows(df: DataFrame, id_col: str, n) -> DataFrame:
+    """First ``n`` rows by ascending id — the deterministic centroid seed
+    set shared by the quantizer family (d06/d12/s06/s09).
+
+    A raw ``id < n`` predicate selects the same rows ONLY on a dense
+    0..N-1 id space.  Real corpora — and the replica-scaled bench
+    corpora, whose ids are offset by 1e7/1e10 per replica — are sparse:
+    there the predicate silently under-selects centroids.  At 1000x
+    (2M vectors, intended 20,000 leaves) it found only the 2,000
+    base-corpus ids, inflating mean cell size — hence exact-rerank pair
+    volume — 10x: the r08 s09 kill (SCALING1000_r08) was this geometry
+    defect, not rerank cost.  ``orderBy(id).limit(n)`` selects the n
+    smallest ids whatever the id space; Spark compiles it to
+    TakeOrderedAndProject (per-partition top-n, single merge — never a
+    global sort), and every caller broadcasts the result anyway.  The
+    SQL twins make the matching move: ``ORDER BY id LIMIT n`` replaces
+    ``WHERE id < n``, value-identical on dense ids, so gate-scale
+    results are unchanged."""
+    return df.orderBy(F.col(id_col).asc()).limit(n)
+
+
 def resolve_quantizer_cells(
     embeddings: DataFrame,
     conf_key: str = "spj.neardup.cells",
@@ -917,7 +938,7 @@ def embedding_near_dup(
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    cent = base.filter(F.col("id") < n_cells).select(
+    cent = prefix_rows(base, "id", n_cells).select(
         F.col("id").alias("cid"),
         F.col("v").alias("c_vec"),
         F.col("norm").alias("c_nrm"),
@@ -1023,12 +1044,12 @@ def embedding_near_dup_2level(
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    c1 = base.filter(F.col("id") < branch).select(
+    c1 = prefix_rows(base, "id", branch).select(
         F.col("id").alias("c1"),
         F.col("v").alias("c1_vec"),
         F.col("norm").alias("c1_nrm"),
     )
-    leaf = base.filter(F.col("id") < n_cells).select(
+    leaf = prefix_rows(base, "id", n_cells).select(
         F.col("id").alias("leaf"),
         F.col("v").alias("leaf_vec"),
         F.col("norm").alias("leaf_nrm"),
@@ -1136,8 +1157,8 @@ def embedding_near_dup_2level_sql(
     asim = cosine_sim_sql("v.v", "lp.leaf_vec")
     sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
     return f"""
-    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} WHERE vec_id < {branch}),
-    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} WHERE vec_id < {n_cells}),
+    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} ORDER BY vec_id LIMIT {branch}),
+    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} ORDER BY vec_id LIMIT {n_cells}),
     leaf_parent AS (
       SELECT leaf, leaf_vec, c1 FROM (
         SELECT l.leaf, l.embedding AS leaf_vec, c.c1,
@@ -1202,7 +1223,7 @@ def embedding_near_dup_sql(
     sim = portable_round_sql(cosine_sim_sql("a.v", "b.v"), 6)
     return f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} ORDER BY vec_id LIMIT {n_cells}
     ),
     ranked AS (
       SELECT b.vec_id AS id, b.embedding AS v, c.cid,

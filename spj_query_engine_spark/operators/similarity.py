@@ -866,6 +866,7 @@ def knn_join(
     from spj_query_engine_spark.operators.core import spread
     from spj_query_engine_spark.operators.dedup import (
         FLAT_ASSIGN_MAX,
+        prefix_rows,
         resolve_quantizer_cells,
     )
 
@@ -895,7 +896,7 @@ def knn_join(
     emb_n = emb.withColumn(
         "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
     )
-    cent = emb_n.filter(F.col("vid") < n_cells).select(
+    cent = prefix_rows(emb_n, "vid", n_cells).select(
         F.col("vid").alias("cid"),
         F.col("vec").alias("c_vec"),
         F.col("nrm").alias("c_nrm"),
@@ -946,7 +947,7 @@ def knn_join_sql(
     sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
     return f"""
     WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_vec FROM {table} WHERE vec_id < {n_cells}
+      SELECT vec_id AS cid, embedding AS c_vec FROM {table} ORDER BY vec_id LIMIT {n_cells}
     ),
     ranked AS (
       SELECT b.vec_id AS vid, c.cid,
@@ -1304,6 +1305,7 @@ def knn_join_2level(
     from spj_query_engine_spark.operators.core import spread
     from spj_query_engine_spark.operators.dedup import (
         cosine_sim,
+        prefix_rows,
         resolve_quantizer_cells,
     )
 
@@ -1321,12 +1323,12 @@ def knn_join_2level(
     base_n = base.withColumn(
         "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
     )
-    c1 = base_n.filter(F.col("vid") < branch).select(
+    c1 = prefix_rows(base_n, "vid", branch).select(
         F.col("vid").alias("c1"),
         F.col("vec").alias("c1_vec"),
         F.col("nrm").alias("c1_nrm"),
     )
-    leaf = base_n.filter(F.col("vid") < n_cells).select(
+    leaf = prefix_rows(base_n, "vid", n_cells).select(
         F.col("vid").alias("leaf"),
         F.col("vec").alias("leaf_vec"),
         F.col("nrm").alias("leaf_nrm"),
@@ -1432,8 +1434,8 @@ def knn_join_2level_sql(
     asim = cosine_sim_sql("v.v", "lp.leaf_vec")
     sim = portable_round_sql(cosine_sim_sql("q.embedding", "m.embedding"), 6)
     return f"""
-    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} WHERE vec_id < {branch}),
-    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} WHERE vec_id < {n_cells}),
+    WITH c1 AS (SELECT vec_id AS c1, embedding FROM {table} ORDER BY vec_id LIMIT {branch}),
+    leafc AS (SELECT vec_id AS leaf, embedding FROM {table} ORDER BY vec_id LIMIT {n_cells}),
     leaf_parent AS (
       SELECT leaf, leaf_vec, c1 FROM (
         SELECT l.leaf, l.embedding AS leaf_vec, c.c1,
