@@ -1255,3 +1255,43 @@ def test_dup_span_extents_islands(spark):
     con.register("documents", docs.toPandas())
     assert_same_result(dedup.dup_span_extents(docs), con, dedup.dup_span_extents_sql())
     con.close()
+
+
+def test_quantizer_sparse_id_space(spark, tmp_path):
+    """prefix_rows (r09): centroid/leaf seed sets must be the n SMALLEST
+    ids, not ``id < n``.  On a sparse id space (replica-offset or hashed
+    ids — any real corpus) the old predicate silently under-selected
+    centroids: at 1000x it found 2k of the intended 20k leaves, inflating
+    mean cell size and rerank pair volume ~10x (the r08 s09 kill).
+    Re-id the real embeddings by ``vec_id*1000+7`` — NO id satisfies
+    ``id < n_cells`` — and assert (a) the seed set keeps full cardinality
+    and (b) engine still matches the SQL twin on the sparse corpus."""
+    import duckdb as _duck
+
+    from spj_query_engine_spark.catalog import load_tables
+    from tests.conftest import SF_DIR, assert_same_result
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    sparse = emb.withColumn(
+        "vec_id", (F.col("vec_id") * 1000 + 7).cast("long")
+    )
+    path = str(tmp_path / "sparse_emb.parquet")
+    sparse.write.parquet(path)
+    sp = spark.read.parquet(path)
+    assert dedup.prefix_rows(sp, "vec_id", 16).count() == 16
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    try:
+        assert_same_result(
+            similarity.knn_join_2level(sp),
+            con,
+            similarity.knn_join_2level_sql(),
+        )
+        assert_same_result(
+            dedup.embedding_near_dup(sp), con, dedup.embedding_near_dup_sql()
+        )
+    finally:
+        con.close()
