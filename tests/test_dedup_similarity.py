@@ -765,10 +765,16 @@ def test_nn_descent_monotone_improvement(emb):
     }
     vids = {v for v, _ in old}
     assert vids == {v for v, _ in new}
-    for v in vids:
-        worst_old = min(c for (vv, _), c in old.items() if vv == v)
-        worst_new = min(c for (vv, _), c in new.items() if vv == v)
-        assert worst_new >= worst_old, f"vec {v}: descent made the graph worse"
+    # The invariant is PER-RANK pointwise dominance over the ranks the seed
+    # fills: candidates ⊇ old edges, so new rank-r cosine >= old rank-r
+    # cosine.  (min-over-ranks is wrong when descent FILLS MORE ranks than
+    # the seed — extra, lower-cosine tail neighbors are an improvement, not
+    # a regression.  A tiny corpus where every vector seeds its own
+    # singleton cell produces exactly that shape.)
+    for (v, r), c_old in old.items():
+        assert new[(v, r)] >= c_old, (
+            f"vec {v} rank {r}: descent made the graph worse"
+        )
 
 
 def test_dedup_weights_inverse_copies(docs):

@@ -264,8 +264,16 @@ def test_coarse_materialize_isolates_caller_conf(spark):
         tiny.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
     )
     assert dict(out.collect()) == expect
-    # no global temp views leak
-    assert spark.sql("SHOW TABLES IN global_temp").count() == 0
+    # no re-root views leak (SHOW TABLES IN global_temp also lists the
+    # session's LOCAL temp views, which other suite tests legitimately
+    # create on the shared session — assert only on the spj_coarse_*
+    # names this mechanism owns)
+    leaked = [
+        r.tableName
+        for r in spark.sql("SHOW TABLES IN global_temp").collect()
+        if r.tableName.startswith("spj_coarse_")
+    ]
+    assert leaked == []
 
 
 def test_coarse_materialize_nested_scopes_noop(spark):
