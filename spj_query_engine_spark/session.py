@@ -26,6 +26,14 @@ _BUILD_TIME_CONF = {
     # activates when tables carry ANALYZE statistics.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Fresh NON-daemon python workers (the TWS pre-init runner, python
+    # streaming sources) must connect back within this window or the query
+    # dies with "Python worker failed to connect back".  The 15s default
+    # assumes an idle machine; a cold interpreter start (pyspark imports +
+    # usersite processing) under a loaded/slow host was measured tripping
+    # it twice in one full-suite run (r09).  Context-level conf — read at
+    # launch, no effect on steady-state throughput.
+    "spark.python.authenticate.socketTimeout": "120s",
 }
 
 # Configs that are safe to (re)apply on an existing session — used when the

@@ -80,6 +80,7 @@ BNLJ_OK = {
 BNLJ_BUILD_ROW_BOUND = 4096
 
 _LESS_THAN = re.compile(r"LessThan\(\w+,(\d+)\)")
+_TOP_LIMIT = re.compile(r"(?:TakeOrderedAndProject|GlobalLimit|CollectLimit)\(?limit=(\d+)")
 
 
 def _bounded_build_side(subtree: str) -> str | None:
@@ -87,6 +88,12 @@ def _bounded_build_side(subtree: str) -> str | None:
     head = "\n".join(subtree.splitlines()[:2])
     if "HashAggregate(keys=[]" in head:
         return "scalar-agg"
+    # prefix_rows (dedup.py): orderBy(id).limit(n) compiles to
+    # TakeOrderedAndProject(limit=n, ...) — bounded by construction
+    # whatever the id space, provided the literal is within the bound
+    m = _TOP_LIMIT.search(head)
+    if m and int(m.group(1)) <= BNLJ_BUILD_ROW_BOUND:
+        return "limit"
     lits = [int(x) for x in _LESS_THAN.findall(subtree)]
     scans = [ln for ln in subtree.splitlines() if "FileScan" in ln]
     if (
