@@ -1,0 +1,40 @@
+"""Dump .explain('formatted') for the named registry entries to files.
+
+Usage: python scripts/dump_plans.py <outdir> <suffix> <name...>
+Writes <outdir>/<name>_<suffix>.txt for each entry.  SPJ_LAZY_PLANS is NOT
+set, so the plans show exactly what executes (barriers included).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spj_query_engine_spark.session import get_spark  # noqa: E402
+from spj_query_engine_spark.workload import REGISTRY  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    outdir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("dump_plans", master="local[32]")
+    for name in names:
+        wq = REGISTRY[name]
+        df = wq.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,7 +67,7 @@ def _inv_flat(docs, P):
 
 
 def _pairs_from_inv(inv, bucket_pairs: bool):
-    bands = _minhash_bands(inv)
+    bands = _minhash_bands(dedup.minhash_perdoc(inv))
     if bucket_pairs:
         buckets = (
             bands.groupBy("band", "key")

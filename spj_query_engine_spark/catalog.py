@@ -66,6 +66,21 @@ def _nano_ts_columns(path: str) -> list[str]:
 _META_CACHE: dict = {}
 
 
+def _footer_row_count(path: str) -> int | None:
+    """Exact row count from the parquet footer(s) — pure metadata, no data
+    I/O; the same number DuckDB's ``count(*)`` and a Spark count job
+    compute, read without running a job."""
+    try:
+        import pyarrow.dataset as ds
+
+        return sum(
+            frag.metadata.num_rows
+            for frag in ds.dataset(path, format="parquet").get_fragments()
+        )
+    except Exception:
+        return None
+
+
 def _table_meta(spark: SparkSession, path: str):
     try:
         mtime = os.path.getmtime(path)
@@ -74,7 +89,11 @@ def _table_meta(spark: SparkSession, path: str):
     key = (os.path.abspath(path), mtime)
     hit = _META_CACHE.get(key)
     if hit is None:
-        hit = (spark.read.parquet(path).schema, _nano_ts_columns(path))
+        hit = (
+            spark.read.parquet(path).schema,
+            _nano_ts_columns(path),
+            _footer_row_count(path),
+        )
         _META_CACHE[key] = hit
     return hit
 
@@ -89,7 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    schema, nano_cols = _table_meta(spark, path)
+    schema, nano_cols, n_rows = _table_meta(spark, path)
     df = spark.read.schema(schema).parquet(path)
     dtypes = dict(df.dtypes)
     for col in nano_cols:
@@ -101,7 +120,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reads those as TimestampType already — only long nanos convert.
         if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    return _normalize_timestamps(df)
+    df = _normalize_timestamps(df)
+    if n_rows is not None:
+        # footer-exact row count for operators that size structures from the
+        # corpus (resolve_quantizer_cells): saves a count() JOB per query —
+        # metadata, not a cached result, invalidated with the schema cache
+        df._spj_rowcount = n_rows
+    return df
 
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:

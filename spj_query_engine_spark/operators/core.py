@@ -285,9 +285,15 @@ def _reroot(df: DataFrame, to_session: SparkSession) -> DataFrame:
     name = f"spj_coarse_{next(_COARSE_SEQ)}"
     df.createOrReplaceGlobalTempView(name)
     try:
-        return to_session.table(f"global_temp.{name}")
+        out = to_session.table(f"global_temp.{name}")
     finally:
         df.sparkSession.catalog.dropGlobalTempView(name)
+    n_rows = getattr(df, "_spj_rowcount", None)
+    if n_rows is not None:
+        # keep catalog.load_table's footer-metadata row count visible to
+        # operators sizing structures from the corpus (resolve_quantizer_cells)
+        out._spj_rowcount = n_rows
+    return out
 
 
 def coarse_materialize(

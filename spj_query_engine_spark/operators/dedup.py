@@ -173,19 +173,34 @@ def minhash_signature(shingles: Column) -> Column:
     return F.array(*mins)
 
 
-def _minhash_bands(inv: DataFrame) -> DataFrame:
-    """(doc_id, band, key) LSH band rows from a shingle inverted index.
-    Signatures as MINHASH_K codegen'd MIN aggregates over the index (one
-    shuffle on doc_id, map-side partial mins) — NOT array HOFs, which run
-    interpreted.  Docs without shingles have no rows here; they could only
-    ever form jaccard-0 pairs, which the threshold filter drops anyway."""
-    sigs = inv.groupBy("doc_id").agg(
+def minhash_perdoc(inv: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature AND distinct shingle-hash set from ONE
+    aggregate over the inverted index: (doc_id, gs, m0..m{K-1}).
+
+    The signature mins are MINHASH_K codegen'd MIN aggregates (one shuffle
+    on doc_id, map-side partial mins) — NOT array HOFs, which run
+    interpreted.  ``gs`` (collect_list over the DISTINCT index rows — a
+    set, order immaterial) rides the same exchange for free and lets the
+    Jaccard verify run as a codegen'd ``array_intersect`` on the candidate
+    pair instead of re-joining the exploded index twice and re-aggregating
+    (r09 A/B, scripts/ab_minhash_r09.py: pair derivation med 2.6 → 1.6 s,
+    interleaved).  Per-doc arrays are bounded by doc length — the same
+    frame the DuckDB twin's ``shset`` CTE carries — so the exchange width
+    is index-sized, never pair-sized.  Docs without shingles have no rows
+    here; they could only ever form jaccard-0 pairs, which the threshold
+    filter drops anyway."""
+    return inv.groupBy("doc_id").agg(
+        F.collect_list("g").alias("gs"),
         *[
             F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
             for j, (a, b) in enumerate(_MINHASH_AB)
-        ]
+        ],
     )
-    return sigs.select(
+
+
+def _minhash_bands(perdoc: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from :func:`minhash_perdoc`."""
+    return perdoc.select(
         "doc_id",
         F.explode(
             F.array(
@@ -213,16 +228,26 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
     on the shingle-hash sets.
 
-    Plan shape: per-row signature → explode LSH_BANDS band keys per doc →
-    self-equi-join on (band, key) → distinct candidate pairs → join shingle
-    sets back by id → Jaccard filter.  Every join is an equi-join on a short
-    hash key; at 100 TB the band join dominates and AQE's skew splitting
-    handles hot buckets (plus: identical empty-signature docs all land in one
-    bucket — the n>=SHINGLE_N guard keeps that bucket bounded).
-    """
+    Plan shape: ONE per-doc aggregate (signature mins + shingle set,
+    :func:`minhash_perdoc`) → explode LSH_BANDS band keys per doc →
+    self-equi-join on (band, key) → distinct candidate pairs → attach the
+    two per-doc shingle sets → codegen'd ``array_intersect`` Jaccard
+    filter.  Every join is an equi-join on a short hash key; at 100 TB the
+    band join dominates and AQE's skew splitting handles hot buckets
+    (plus: identical empty-signature docs all land in one bucket — the
+    n>=SHINGLE_N guard keeps that bucket bounded).  The verify shuffles
+    are candidate-bounded rows carrying one doc-length-bounded array each
+    — strictly narrower than the previous cand×shingles explode that
+    re-joined the index twice and re-aggregated (5 exchanges → 2)."""
     if inv is None:
-        inv = shingle_index(docs, text_col, id_col).persist()
-    bands = _minhash_bands(inv)
+        inv = shingle_index(docs, text_col, id_col)
+    perdoc = minhash_perdoc(inv).persist()
+    return _pairs_from_perdoc(perdoc)
+
+
+def _pairs_from_perdoc(perdoc: DataFrame) -> DataFrame:
+    """Banded candidates + array-verify from a (persisted) perdoc frame."""
+    bands = _minhash_bands(perdoc)
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -235,26 +260,31 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verify through the same inverted index: common-shingle
-    # counts per candidate pair + set sizes (shuffles carry (id, hash) pairs)
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    ib = inv.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
-    common = (
-        cand.join(ia, "doc_a")
-        .join(ib, (F.col("doc_b") == F.col("doc_b2")) & (F.col("g_a") == F.col("g_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jacc = F.col("n_common").cast("double") / F.greatest(
-        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    return _verify_jaccard(cand, perdoc)
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    perdoc: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact-Jaccard verify on candidate pairs via the per-doc shingle
+    SETS: ``|a∩b| / |a∪b|`` with ``array_intersect`` (a codegen'd
+    expression, not an interpreted HOF).  The arrays are distinct by
+    construction (the inverted index is), so sizes and intersection counts
+    are identical to the old explode-join-reaggregate form — same doubles,
+    same rounding, same oracle."""
+    pa = perdoc.select(F.col("doc_id").alias(a_col), F.col("gs").alias("gs_a"))
+    pb = perdoc.select(F.col("doc_id").alias(b_col), F.col("gs").alias("gs_b"))
+    n_common = F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b")))
+    jacc = n_common.cast("double") / F.greatest(
+        F.size(F.col("gs_a")) + F.size(F.col("gs_b")) - n_common, F.lit(1)
     ).cast("double")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", portable_round(jacc, 6).alias("jaccard"))
+        cand.join(pa, a_col)
+        .join(pb, b_col)
+        .select(a_col, b_col, portable_round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -358,8 +388,9 @@ def incremental_dedup(
     each new doc's BEST corpus match at Jaccard ≥ JACCARD_T (drop these,
     keep the rest of the batch)."""
     if inv is None:
-        inv = shingle_index(docs, text_col, id_col).persist()
-    bands = _minhash_bands(inv)
+        inv = shingle_index(docs, text_col, id_col)
+    perdoc = minhash_perdoc(inv).persist()
+    bands = _minhash_bands(perdoc)
     is_new = (F.col("doc_id") % INC_MOD) >= INC_NEW
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "key"
@@ -368,29 +399,7 @@ def incremental_dedup(
         F.col("doc_id").alias("corpus_id"), "band", "key"
     )
     cand = nb.join(cb, ["band", "key"]).select("new_id", "corpus_id").distinct()
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = inv.select(F.col("doc_id").alias("new_id"), F.col("g").alias("g_a"))
-    ib = inv.select(F.col("doc_id").alias("corpus_id2"), F.col("g").alias("g_b"))
-    common = (
-        cand.join(ia, "new_id")
-        .join(
-            ib,
-            (F.col("corpus_id") == F.col("corpus_id2")) & (F.col("g_a") == F.col("g_b")),
-        )
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_b"))
-    jacc = F.col("n_common").cast("double") / F.greatest(
-        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
-    ).cast("double")
-    scored = (
-        common.join(sa, "new_id")
-        .join(sb, "corpus_id")
-        .select("new_id", "corpus_id", portable_round(jacc, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    scored = _verify_jaccard(cand, perdoc, a_col="new_id", b_col="corpus_id")
     from pyspark.sql import Window
 
     w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
@@ -840,7 +849,13 @@ def resolve_quantizer_cells(
         conf = ""
     if conf:
         return int(conf)
-    n = embeddings.count()
+    # footer-exact row count attached by catalog.load_table (parquet
+    # metadata, same value a count() job returns) — skips one Spark job per
+    # query for every quantizer-family entry; any transformation between
+    # load and here drops the attribute and the count() fallback runs
+    n = getattr(embeddings, "_spj_rowcount", None)
+    if n is None:
+        n = embeddings.count()
     return max(default_cells, math.ceil(n / target))
 
 
@@ -1044,12 +1059,21 @@ def embedding_near_dup_2level(
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    c1 = prefix_rows(base, "id", branch).select(
+    from spj_query_engine_spark.operators.core import barrier
+
+    # ONE TakeOrdered pass over the corpus yields every centroid: the
+    # level-1 set is by construction the first `branch` rows of the leaf
+    # set (both are ascending-id prefixes), so materialize the n_cells-row
+    # leaf prefix once (bounded: n_cells ≪ corpus) and slice c1 from it —
+    # each broadcast build below then reads the tiny materialized frame
+    # instead of re-scanning the corpus per centroid set (3 scans → 1).
+    leaf_all = barrier(prefix_rows(base, "id", n_cells))
+    c1 = prefix_rows(leaf_all, "id", branch).select(
         F.col("id").alias("c1"),
         F.col("v").alias("c1_vec"),
         F.col("norm").alias("c1_nrm"),
     )
-    leaf = prefix_rows(base, "id", n_cells).select(
+    leaf = leaf_all.select(
         F.col("id").alias("leaf"),
         F.col("v").alias("leaf_vec"),
         F.col("norm").alias("leaf_nrm"),
@@ -2297,20 +2321,13 @@ def minhash_calibration(
     indicts) MINHASH_K before anyone trusts the sketch at 100 TB, as an
     engine query over the same one inverted-index pass.
 
-    Shapes: signatures are the d02 MIN aggregates (one doc_id shuffle),
-    the component comparison is a 12-row-per-doc explode equi-joined on
-    (pair, component index) — bounded by pairs × K, never corpus²."""
-    inv = shingle_index(docs, text_col, id_col).persist()
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, inv=inv).select(
-        "doc_a", "doc_b", "jaccard"
-    )
-    sigs = inv.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB)
-        ]
-    )
-    comp = sigs.select(
+    Shapes: ONE :func:`minhash_perdoc` aggregate feeds both the pair
+    derivation and the component comparison (a 12-row-per-doc explode
+    equi-joined on (pair, component index)) — bounded by pairs × K,
+    never corpus²."""
+    perdoc = minhash_perdoc(shingle_index(docs, text_col, id_col)).persist()
+    pairs = _pairs_from_perdoc(perdoc).select("doc_a", "doc_b", "jaccard")
+    comp = perdoc.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{j}") for j in range(len(_MINHASH_AB))])).alias(
             "j", "m"
@@ -2519,16 +2536,36 @@ def fused_dup_edges(docs: DataFrame) -> DataFrame:
     spans (d19).  Each modality catches duplicates the others miss; their
     union is the graph a production dedup pipeline actually reasons over.
     Each source is a bounded equi-join pipeline, so the union inherits
-    every skew cap; distinct() collapses cross-modality agreement."""
-    inv = shingle_index(docs).persist()  # ONE index serves mh/ng/ct
-    mh = minhash_lsh_pairs(docs, inv=inv).select("doc_a", "doc_b")
-    sh = simhash_pairs(docs).select("doc_a", "doc_b")
-    ng = ngram_jaccard_pairs(docs, inv=inv).select("doc_a", "doc_b")
-    ct = containment_pairs(docs, inv=inv).select(
-        F.least("inner_id", "outer_id").alias("doc_a"),
-        F.greatest("inner_id", "outer_id").alias("doc_b"),
-    )
-    sp = span_dup_pairs(docs).select("doc_a", "doc_b")
+    every skew cap; distinct() collapses cross-modality agreement.
+
+    Execution shape (guide §2.6): the five modality pipelines are
+    INDEPENDENT — one union plan runs them as one mostly-serial stage DAG,
+    leaving the cluster idle through every pipeline's straggler tail.
+    Materializing each modality as its own concurrent job (a small driver
+    thread pool; actions were only sequential because the driver called
+    them sequentially) bounds the wall by the slowest modality instead of
+    the sum.  The shared shingle index materializes ONCE (eager barrier)
+    before the fan-out so concurrent branches read it instead of racing to
+    compute it.  Pair frames are near-dup OUTPUT — bounded — so the
+    barriers are 100 TB-safe; under SPJ_LAZY_PLANS (plan-hygiene audits)
+    every barrier no-ops and the full lazy union is returned unchanged."""
+    from spj_query_engine_spark.operators.core import barrier
+
+    inv = barrier(shingle_index(docs))  # ONE index serves mh/ng/ct
+    builders = [
+        lambda: minhash_lsh_pairs(docs, inv=inv).select("doc_a", "doc_b"),
+        lambda: simhash_pairs(docs).select("doc_a", "doc_b"),
+        lambda: ngram_jaccard_pairs(docs, inv=inv).select("doc_a", "doc_b"),
+        lambda: containment_pairs(docs, inv=inv).select(
+            F.least("inner_id", "outer_id").alias("doc_a"),
+            F.greatest("inner_id", "outer_id").alias("doc_b"),
+        ),
+        lambda: span_dup_pairs(docs).select("doc_a", "doc_b"),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        mh, sh, ng, ct, sp = pool.map(lambda b: barrier(b()), builders)
     return (
         mh.unionByName(sh)
         .unionByName(ng)
@@ -2802,13 +2839,7 @@ def lsh_band_tuning(
     lies inside a 4-row band), so the union — not a superset assumption —
     is what makes one verification pass sound.  Output is one row per
     config — integers only."""
-    inv = shingle_index(docs, text_col, id_col).persist()
-    sigs = inv.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_perm(F.col("g"), a, b)).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB)
-        ]
-    ).persist()
+    sigs = minhash_perdoc(shingle_index(docs, text_col, id_col)).persist()
     k = len(_MINHASH_AB)
     all_cands = None
     for nb in BAND_SWEEP:
@@ -2847,29 +2878,7 @@ def lsh_band_tuning(
         all_cands = cand if all_cands is None else all_cands.unionByName(cand)
     all_cands = all_cands.localCheckpoint(eager=True)
     distinct_pairs = all_cands.select("doc_a", "doc_b").distinct()
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = inv.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    ib = inv.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
-    common = (
-        distinct_pairs.join(ia, "doc_a")
-        .join(
-            ib.withColumnRenamed("doc_b", "doc_b2"),
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("g_a") == F.col("g_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jacc = F.col("n_common").cast("double") / F.greatest(
-        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
-    ).cast("double")
-    verified = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(portable_round(jacc, 6) >= JACCARD_T)
-        .select("doc_a", "doc_b")
-    )
+    verified = _verify_jaccard(distinct_pairs, sigs).select("doc_a", "doc_b")
     tagged = all_cands.join(verified.withColumn("ok", F.lit(1)), ["doc_a", "doc_b"], "left")
     prec = F.expr("(n_verified * 1000000) div greatest(n_candidates, 1)")
     return (

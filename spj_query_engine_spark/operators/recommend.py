@@ -30,12 +30,25 @@ def copurchase_topk(lineitem: DataFrame) -> DataFrame:
     the long tail before the ranking shuffle, and the window runs over
     the pair-support frame (bounded by co-occurring pairs, never
     lineitems)."""
-    baskets = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    sizes = baskets.groupBy("okey").agg(F.count(F.lit(1)).alias("bs"))
-    ok = sizes.filter(F.col("bs") <= BASKET_CAP).select("okey")
-    b = baskets.join(ok, "okey")
+    # ONE exchange (hash on okey) serves the whole basket side: the
+    # explicit repartition's okey partitioning satisfies the distinct's
+    # clustering (subset of its keys), the size-cap window's, and both
+    # sides of the within-basket self-join — the previous shape
+    # (corpus-wide distinct + a separate size aggregate joined back) paid
+    # three exchanges of the same posting rows for the same grouping
+    # (guide §2.4: operations keyed the same way share one exchange).
+    # The size cap itself is a count window over the basket partition —
+    # identical filter semantics, no join.
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .repartition("okey")
+        .dropDuplicates()
+    )
+    b = baskets.withColumn(
+        "bs", F.count(F.lit(1)).over(Window.partitionBy("okey"))
+    ).filter(F.col("bs") <= BASKET_CAP).select("okey", "part")
     p1, p2 = b.alias("p1"), b.alias("p2")
     co = (
         p1.join(

@@ -1323,12 +1323,19 @@ def knn_join_2level(
     base_n = base.withColumn(
         "nrm", F.sqrt(dot_product(F.col("vec"), F.col("vec")))
     )
-    c1 = prefix_rows(base_n, "vid", branch).select(
+    from spj_query_engine_spark.operators.core import barrier
+
+    # one TakeOrdered pass serves both centroid sets: c1 is the first
+    # `branch` rows of the leaf prefix (both ascending-id prefixes), so
+    # materialize the bounded n_cells-row frame once and slice — the
+    # broadcast builds stop re-scanning the corpus per centroid set
+    leaf_all = barrier(prefix_rows(base_n, "vid", n_cells))
+    c1 = prefix_rows(leaf_all, "vid", branch).select(
         F.col("vid").alias("c1"),
         F.col("vec").alias("c1_vec"),
         F.col("nrm").alias("c1_nrm"),
     )
-    leaf = prefix_rows(base_n, "vid", n_cells).select(
+    leaf = leaf_all.select(
         F.col("vid").alias("leaf"),
         F.col("vec").alias("leaf_vec"),
         F.col("nrm").alias("leaf_nrm"),

@@ -31,6 +31,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
+def _emb_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """d14/d29's twin of :func:`_graph_materialized` over the embeddings
+    table: the quantizer pair derivation PLUS the connected-component
+    iteration (many short join/agg stages over pair-sized frames)
+    materialize under the same coarse scope the graph family uses — a
+    no-op at production scale by the optimizer-estimate clamp; values,
+    schema, and the oracle are untouched."""
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return coarse_materialize(build, emb)
+
+
 @register(
     "d01_exact_dedup",
     dedup.exact_dedup_sql(),
@@ -207,8 +220,7 @@ def d13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vectors - the embedding twin of d08.",
 )
 def d14_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return dedup.apply_embedding_dedup(emb)
+    return _emb_materialized(spark, sf_dir, dedup.apply_embedding_dedup)
 
 
 @register(
@@ -466,7 +478,9 @@ def g09_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one corpus left join, bodies never shuffle.",
 )
 def d25_neardup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.neardup_weights(_docs(spark, sf_dir))
+    # the pair graph + CC iteration + rollup all coarse-materialize (the
+    # d07/_graph_materialized treatment; nested lsh_pairs_ckpt scope no-ops)
+    return _graph_materialized(spark, sf_dir, dedup.neardup_weights)
 
 
 @register(
@@ -557,5 +571,4 @@ def d28_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step one id-only left join - vectors never shuffle after scoring.",
 )
 def d29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return dedup.semantic_dedup(emb)
+    return _emb_materialized(spark, sf_dir, dedup.semantic_dedup)

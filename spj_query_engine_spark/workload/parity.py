@@ -1454,28 +1454,38 @@ def _q45_oracle() -> str:
 )
 def q45_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.operators import dedup
+    from spj_query_engine_spark.operators.core import coarse_materialize
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    # Materialize the pair list once: the recursive CTE references the view
-    # in both UNION branches and in every recursion step, and each reference
-    # would otherwise re-derive the full MinHash pipeline.
-    pairs = pairs.localCheckpoint(eager=True)
-    pairs.createOrReplaceTempView("q45_pairs")
-    return spark.sql(f"""
-    WITH RECURSIVE edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM q45_pairs
-      UNION ALL
-      SELECT doc_b AS u, doc_a AS v FROM q45_pairs
-    ),
-    reach(u, r, d) AS (
-      SELECT u, v AS r, 1 AS d FROM edges
-      UNION ALL
-      SELECT e.u, r.r, r.d + 1 FROM edges e JOIN reach r ON e.v = r.u
-      WHERE r.d < {Q45_HOPS}
-    )
-    SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id FROM reach GROUP BY u
-    """)
+
+    def build(d: DataFrame) -> DataFrame:
+        s = d.sparkSession  # the coarse sub-session when the scope is live
+        # Materialize the pair list once: the recursive CTE references the
+        # view in both UNION branches and in every recursion step, and each
+        # reference would otherwise re-derive the full MinHash pipeline.
+        # lsh_pairs_ckpt = the shared coarse-materialized derivation every
+        # graph-family entry uses (nested scope no-ops under this one).
+        pairs = dedup.lsh_pairs_ckpt(d)
+        pairs.createOrReplaceTempView("q45_pairs")
+        return s.sql(f"""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM q45_pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM q45_pairs
+        ),
+        reach(u, r, d) AS (
+          SELECT u, v AS r, 1 AS d FROM edges
+          UNION ALL
+          SELECT e.u, r.r, r.d + 1 FROM edges e JOIN reach r ON e.v = r.u
+          WHERE r.d < {Q45_HOPS}
+        )
+        SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id
+        FROM reach GROUP BY u
+        """)
+
+    # the recursion's per-step join/agg stages materialize under the same
+    # coarse scope as the rest of the graph family (no-op at scale)
+    return coarse_materialize(build, docs)
 
 
 # --- q46: PIVOT — wide status × priority report ---

@@ -275,8 +275,13 @@ def p06_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the split stays a hash projection.",
 )
 def p07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return sampling.leakage_safe_split(docs)
+    # pair derivation + the cc_alternating fixpoint loop (many short
+    # join/agg/checkpoint stages) materialize under the graph family's
+    # coarse scope — a no-op at scale via the optimizer-estimate clamp
+    return coarse_materialize(sampling.leakage_safe_split, docs)
 
 
 @register(

@@ -14,6 +14,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
+def _emb_coarse(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Materialize a multi-stage embedding query under the coarse scope
+    (the d07/_graph_materialized treatment): assignment aggregates,
+    candidate joins, rerank windows and iteration barriers are dozens of
+    short stages at bench scale — coarse tasks amortize the per-stage
+    scheduler latency.  Strict no-op at production scale via the
+    optimizer-estimate clamp; values and oracles untouched."""
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    return coarse_materialize(build, _emb(spark, sf_dir))
+
+
 @register(
     "s01_ann_bruteforce",
     similarity.brute_force_topk_sql(),
@@ -105,8 +117,7 @@ def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs." % (similarity.KNN_K, similarity.N_PROBE),
 )
 def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.knn_join(emb)
+    return _emb_coarse(spark, sf_dir, similarity.knn_join)
 
 
 @register(
@@ -151,8 +162,7 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the leaf id.",
 )
 def s09_knn_join_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.knn_join_2level(emb)
+    return _emb_coarse(spark, sf_dir, similarity.knn_join_2level)
 
 
 @register(
@@ -315,8 +325,7 @@ def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the middle vertex, never all-pairs.",
 )
 def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.nn_descent_round(emb)
+    return _emb_coarse(spark, sf_dir, similarity.nn_descent_round)
 
 
 @register(
@@ -371,7 +380,7 @@ def s20_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rational in ppm." % (similarity.PROBE_SWEEP,),
 )
 def s21_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_probe_sweep(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.ivf_probe_sweep)
 
 
 @register(

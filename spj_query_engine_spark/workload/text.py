@@ -239,7 +239,11 @@ def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary rollup + one per-doc window pass." % textops.BPE_ROUNDS,
 )
 def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.bpe_apply(_docs(spark, sf_dir))
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    # per-round window passes + lineage barriers are many short stages at
+    # bench scale — materialize under the coarse scope (no-op at 100 TB)
+    return coarse_materialize(textops.bpe_apply, _docs(spark, sf_dir))
 
 
 @register(
