@@ -82,6 +82,31 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_active_session(spark: SparkSession) -> None:
+    """Pin the JVM thread-local ACTIVE session to ``spark``.
+
+    Spark resolves USER-DEFINED (Python) data sources through
+    ``SparkSession.getActiveSession``'s per-session DataSourceManager — not
+    through the DataFrame's own session — and ``DataFrameWriter.save`` /
+    ``DataFrameReader.load`` do not re-scope the thread-local before that
+    lookup.  A py4j call can land on a connection thread whose active
+    session is unset (a fresh connection spun up mid-application) or points
+    at a clone (:func:`clone_session` work), at which point a source
+    registered on the main session moments earlier resolves to
+    [DATA_SOURCE_NOT_FOUND] (observed: u08's ``jsonlsink`` failing only in
+    full 259-entry runs; reproduced deterministically by setting the active
+    session to a clone before ``save()``).  Pinning is exactly what
+    ``builder.getOrCreate`` does on the calling thread and has no other
+    observable effect; call it before registering/using a Python data
+    source."""
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        pass  # no py4j gateway (e.g. Spark Connect) — nothing to pin
+
+
 def clone_session(
     spark: SparkSession, shuffle_partitions: int | None = None
 ) -> SparkSession:

@@ -58,6 +58,12 @@ class DetRangeReader(DataSourceReader):
 
 def register_detrange(spark) -> None:  # noqa: ANN001
     """Idempotent registration (re-registering the same name raises)."""
+    from spj_query_engine_spark.session import ensure_active_session
+
+    # user-defined source lookup goes through the JVM ACTIVE session's
+    # DataSourceManager (see ensure_active_session) — pin it to the session
+    # we register on, or the source can be invisible at save()/load() time
+    ensure_active_session(spark)
     try:
         spark.dataSource.register(DetRangeDataSource)
     except Exception:
@@ -214,6 +220,12 @@ class JsonlSinkWriter(DataSourceWriter):
 
 
 def register_jsonlsink(spark) -> None:  # noqa: ANN001
+    from spj_query_engine_spark.session import ensure_active_session
+
+    # user-defined source lookup goes through the JVM ACTIVE session's
+    # DataSourceManager (see ensure_active_session) — pin it to the session
+    # we register on, or the source can be invisible at save()/load() time
+    ensure_active_session(spark)
     try:
         spark.dataSource.register(JsonlSinkDataSource)
     except Exception:
@@ -341,6 +353,12 @@ class DetStreamReader:
 
 
 def register_detstream(spark) -> None:  # noqa: ANN001
+    from spj_query_engine_spark.session import ensure_active_session
+
+    # user-defined source lookup goes through the JVM ACTIVE session's
+    # DataSourceManager (see ensure_active_session) — pin it to the session
+    # we register on, or the source can be invisible at save()/load() time
+    ensure_active_session(spark)
     try:
         spark.dataSource.register(DetStreamDataSource)
     except Exception:

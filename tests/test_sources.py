@@ -258,6 +258,30 @@ def test_orc_roundtrip_matches_parquet_path(spark, tmp_path):
     assert "PushedFilters: [" in plan and "LessThan(n_nationkey,5)" in plan
 
 
+def test_python_sink_survives_foreign_active_session(spark):
+    """Regression (r09): user-defined (Python) data source lookup resolves
+    through the JVM thread-local ACTIVE session's DataSourceManager, not the
+    DataFrame's own session — with the active session pointing at a clone
+    (or unset, as on a fresh py4j connection thread), ``jsonlsink`` raised
+    [DATA_SOURCE_NOT_FOUND] in full-suite runs even though it was registered
+    moments earlier.  register_jsonlsink must pin the active session so the
+    save succeeds regardless of what the thread-local held before."""
+    import pandas as pd
+
+    from spj_query_engine_spark.session import clone_session
+    from spj_query_engine_spark.sources.pydatasource import sink_roundtrip_rollup
+
+    sub = clone_session(spark)
+    # poison the thread-local exactly the way the failing runs observed it
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        sub._jsparkSession
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [5, 6, 7]})
+    docs = spark.createDataFrame(pdf)
+    got = {r["shard"]: r for r in sink_roundtrip_rollup(spark, docs).collect()}
+    assert {s: got[s]["n_docs"] for s in got} == {1: 1, 2: 1, 3: 1}
+
+
 def test_python_sink_roundtrip(spark):
     """u08: rows pushed through the custom Python DataSourceWriter and read
     back must reproduce the source exactly (per-shard counts, char totals
