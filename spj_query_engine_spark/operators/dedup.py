@@ -1567,8 +1567,16 @@ def chunk_dedup_stats(
 
     Scale shape: chunking is a pure projection (token array → ``F.slice``
     per block — no explode of raw text rows); only 16-byte md5 digests enter
-    the two aggregates (global block counts, then per-doc rollup).  Digest
-    keys are uniform, so neither shuffle can skew."""
+    the shuffles (a count window keyed on digest, then the per-doc rollup).
+    Digest keys are uniform, so neither shuffle can skew.
+
+    r09 (§2.3/§2.4): the global block count is a COUNT WINDOW partitioned
+    by digest instead of a groupBy(digest) aggregate joined back — the join
+    form planned the tokenize+chunk+md5 subtree twice (build and probe side
+    are different subtrees, so Spark cannot share the scan) and paid three
+    exchanges; the window form tokenizes once and pays two.  ``n_occ`` per
+    (doc, digest) row is identical by definition, so every downstream
+    number (and the oracle) is unchanged."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -1587,9 +1595,11 @@ def chunk_dedup_stats(
         )
         .select(id_col, F.explode("digests").alias("digest"))
     )
-    counts = chunked.groupBy("digest").agg(F.count(F.lit(1)).alias("n_occ"))
+    from pyspark.sql import Window as _W
+
+    n_occ = F.count(F.lit(1)).over(_W.partitionBy("digest"))
     per_doc = (
-        chunked.join(counts, "digest")
+        chunked.withColumn("n_occ", n_occ)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -1715,7 +1725,23 @@ def strip_boilerplate(
             ).alias("blocks"),
         )
     )
-    blocks = base.select(id_col, F.posexplode("blocks").alias("idx", "block"))
+    # r09 (§2.3): ONE explode pass carries n_blocks alongside each block, a
+    # LEFT join against the tiny boilerplate digest list marks (instead of
+    # dropping) boilerplate rows, and one per-doc aggregate produces count,
+    # kept-count and the rebuilt text — collect_list skips the NULL structs
+    # of marked rows, so the reassembly is identical to the old anti-join
+    # form.  The previous shape planned the tokenize+chunk subtree three
+    # times (boiler counts, anti-join probe, totals) and paid a final
+    # totals⋈rebuilt join; this shape tokenizes twice (the digest-count
+    # pass is unavoidable without materializing corpus-scale state) and
+    # keeps every row in one rollup, so no doc can drop out.  Raw text
+    # still shuffles exactly once (the per-doc rollup); the boilerplate
+    # side still moves 16-byte digests only.
+    blocks = base.select(
+        id_col,
+        F.size("blocks").cast("long").alias("n_blocks"),
+        F.posexplode("blocks").alias("idx", "block"),
+    )
     boiler = (
         blocks.select(F.md5("block").alias("digest"))
         .groupBy("digest")
@@ -1723,22 +1749,24 @@ def strip_boilerplate(
         .filter(F.col("n_occ") > max_occ)
         .select("digest")
     )
-    kept = blocks.join(
-        boiler, F.md5(F.col("block")) == F.col("digest"), "left_anti"
+    marked = blocks.join(
+        boiler, F.md5(F.col("block")) == F.col("digest"), "left"
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(idx, block))), "
-            "s -> s.block), ' ')"
+    keep = F.col("digest").isNull()
+    return marked.groupBy(id_col).agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("idx"), F.col("block")))
+                    )
+                ),
+                lambda s: s.block,
+            ),
+            " ",
         ).alias("clean_text"),
-    )
-    totals = base.select(id_col, F.size("blocks").cast("long").alias("n_blocks"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_blocks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 

@@ -2651,9 +2651,14 @@ def sim_histogram(
     Pair-identical in SQL: the oracle replays h32, the same corpus-derived
     block count, the same fold-order cosine."""
     if n_blocks is None:
-        n_blocks = max(
-            HIST_BLOCKS, math.ceil(embeddings.count() / HIST_BLOCK_TARGET)
-        )
+        # footer-exact row count attached by catalog.load_table (parquet
+        # metadata, same value a count() job returns) — skips one Spark job;
+        # any transformation between load and here drops the attribute and
+        # the count() fallback runs (same pattern as resolve_quantizer_cells)
+        n = getattr(embeddings, "_spj_rowcount", None)
+        if n is None:
+            n = embeddings.count()
+        n_blocks = max(HIST_BLOCKS, math.ceil(n / HIST_BLOCK_TARGET))
     emb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

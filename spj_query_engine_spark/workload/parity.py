@@ -382,8 +382,15 @@ def q17_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spj_query_engine_spark.operators.scale import salted_join
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    # Project the fact side to the two columns the join+aggregate need
+    # BEFORE salting (guide §2.3): salted_join's salt hashes every input
+    # column, so an unprojected lineitem forces the scan to read all 16
+    # columns and shuffle them.  The salt only routes rows to reducers —
+    # any deterministic per-row value splits a hot key equally well — so
+    # the join result and the oracle are untouched.
     joined = salted_join(
-        t["lineitem"], t["orders"].select("o_orderkey", "o_orderpriority"),
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        t["orders"].select("o_orderkey", "o_orderpriority"),
         "l_orderkey", "o_orderkey", n_salts=8,
     )
     return joined.groupBy("o_orderpriority").agg(
@@ -1125,22 +1132,34 @@ def q39_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slow"),
         )
     )
-    l1 = li.filter(F.col("slow") & (F.col("o_orderstatus") == "F")).alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = li.filter(F.col("slow")).select("l_orderkey", "l_suppkey").alias("l3")
-    waited = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    # r09 (§2.4): the semi/anti pair re-planned the lineitem⋈orders subtree
+    # three times and shuffled it twice more for the joins.  Both
+    # existence tests depend only on the set of (distinct) supplier keys
+    # within the row's own order, so two collect_set windows over ONE
+    # l_orderkey exchange answer them row-for-row:
+    #   * semi-join l2 ("another supplier in this order")  ⇔ the order has
+    #     ≥ 2 distinct suppliers;
+    #   * anti-join l3 ("no OTHER supplier shipped slow")  ⇔ the distinct
+    #     slow-supplier set is exactly {own} — the row itself is slow, so
+    #     the set is non-empty and ==1 pins it to the own key.
+    # Identical qualifying rows, one pass, one exchange; the oracle's
+    # semi/anti SQL is untouched.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    li_w = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_slow_supp",
+        F.size(
+            F.collect_set(F.when(F.col("slow"), F.col("l_suppkey"))).over(w)
+        ),
+    )
+    waited = li_w.filter(
+        F.col("slow")
+        & (F.col("o_orderstatus") == "F")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_slow_supp") == 1)
     )
     s = t["supplier"].select("s_suppkey", "s_name")
     return (
