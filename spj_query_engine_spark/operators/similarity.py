@@ -902,7 +902,15 @@ def knn_join(
         F.col("nrm").alias("c_nrm"),
     )
     aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
-    ranked = (
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): homes (rnk=1) and probes (rnk<=n_probe) both hang off the
+    # assignment window — as two filters over an UNMATERIALIZED frame the
+    # whole crossJoin+window chain planned (and ran) twice, with no exchange
+    # reuse because the filters differ.  Materialize the pruned assignment
+    # ONCE (n x n_probe narrow rows — linear in the corpus, no vectors) and
+    # slice homes out of probes, which strictly contain them.
+    assign = barrier(
         emb_n.crossJoin(F.broadcast(cent))
         .select(
             "vid",
@@ -913,13 +921,13 @@ def knn_join(
             ).alias("sim"),
         )
         .withColumn("rnk", F.row_number().over(aw))
+        .filter(F.col("rnk") <= n_probe)
+        .select("vid", "cid", "rnk")
     )
-    homes = ranked.filter(F.col("rnk") == 1).select(
+    homes = assign.filter(F.col("rnk") == 1).select(
         F.col("vid").alias("mid"), "cid"
     )
-    probes = ranked.filter(F.col("rnk") <= n_probe).select(
-        F.col("vid").alias("qid"), "cid"
-    )
+    probes = assign.select(F.col("vid").alias("qid"), "cid")
     return _ivf_rerank(emb, probes, homes, id_col, k, "cid")
 
 
@@ -1413,6 +1421,11 @@ def knn_join_2level(
             (F.col("pos") + 1).alias("rnk"),
         )
     )
+    # r09 (§2.4): homes and probes are two filters over topp — without a
+    # barrier the whole two-level assignment chain (v_l1 + leaf_parent +
+    # topp aggregates) planned and ran twice.  topp is n x n_probe narrow
+    # rows (no vectors) — materialize once, slice homes out of probes.
+    topp = barrier(topp)
     homes = topp.filter(F.col("rnk") == 1).select(
         F.col("vid").alias("mid"), "leaf"
     )
@@ -2420,13 +2433,20 @@ def nn_descent_round(
     und = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # r09 (§2.4): one exchange serves both the dedup and the final top-k
+    # window — repartition by qid, then dropDuplicates((qid, mid)): hash
+    # partitioning on qid satisfies the aggregate's (qid, mid) clustering
+    # AND the window's qid clustering, so .distinct()'s (qid, mid) exchange
+    # and the window's qid exchange collapse into this single one (the
+    # vector-attach joins broadcast at gate scale and keep partitioning).
     cand = (
         und.alias("x")
         .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
         .select(F.col("x.a").alias("qid"), F.col("y.b").alias("mid"))
         .filter(F.col("qid") != F.col("mid"))
         .unionByName(fwd.select(F.col("a").alias("qid"), F.col("b").alias("mid")))
-        .distinct()
+        .repartition("qid")
+        .dropDuplicates(["qid", "mid"])
     )
     from spj_query_engine_spark.operators.core import spread
 
@@ -2819,12 +2839,71 @@ def ivf_probe_sweep(
     exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
         "query_id", "cand_id"
     )
+    # r09 (§2.4): the sweep points differ ONLY in how many of the query's
+    # ranked probe cells they admit, and the top-p probe lists are prefixes
+    # of the top-max(PROBE_SWEEP) list (same window, same tiebreak) — so
+    # derive the assignment ONCE at the maximum probe count, score the
+    # maximal candidate set ONCE, and slice each sweep point as a filter on
+    # the candidate's probe rank.  Was: |PROBE_SWEEP| full ivf_topk
+    # pipelines (each internally deriving its assignment window twice).
+    # Value-identical: each candidate's home cell is unique and a query
+    # probes each cell once, so (query_id, cand_id) pairs are distinct by
+    # construction with a single well-defined probe rank, and the per-point
+    # top-k window is the same expression over the same admitted set.
+    from spj_query_engine_spark.operators.core import barrier, spread
+
+    max_p = max(PROBE_SWEEP)
+    emb = spread(embeddings, "vec_id").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    cent = emb.filter(F.col("vid") < N_CELLS).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("c_vec")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = barrier(
+        emb.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", cosine_sim(F.col("vec"), F.col("c_vec")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(aw))
+        .filter(
+            (F.col("rnk") == 1)
+            | ((F.col("vid") < n_queries) & (F.col("rnk") <= max_p))
+        )
+        .select("vid", "cid", "rnk")
+    )
+    cells = assign.filter(F.col("rnk") == 1).select(
+        "vid", F.col("cid").alias("cell")
+    )
+    probes = assign.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("cid").alias("cell"),
+        F.col("rnk").alias("prnk"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"), "prnk")
+    )
+    qv = emb.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
+    cv = emb.select(F.col("vid").alias("cand_id"), F.col("vec").alias("cv_vec"))
+    pair_cos = portable_round(
+        cosine_sim(F.col("q_vec"), F.col("cv_vec")), 6
+    )
+    scored = barrier(
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", "prnk", pair_cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
     parts = []
     for p in PROBE_SWEEP:
-        approx = ivf_topk(embeddings, k=k, n_queries=n_queries, n_probe=p).select(
-            F.lit(p).alias("n_probe"), "query_id", "cand_id"
+        parts.append(
+            scored.filter(F.col("prnk") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.lit(p).alias("n_probe"), "query_id", "cand_id")
         )
-        parts.append(approx)
     approx_all = parts[0]
     for part in parts[1:]:
         approx_all = approx_all.unionByName(part)

@@ -1171,8 +1171,14 @@ def _bpe_apply_round(t: DataFrame) -> DataFrame:
     sequential state.  Both engines replay the identical windows."""
     from pyspark.sql import Window
 
+    # r09 (§2.4): the round's input `t` already carries the successor token
+    # (`nxt`, computed inside the PREVIOUS round's merge window pass or the
+    # initial explode barrier) — before, `withnxt = t + lead window` fed both
+    # the top-pair aggregate and the merge pass, so the lead sort+window (and
+    # in round 0 the whole parquet+split+explode subtree) planned and ran
+    # TWICE per round.
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    withnxt = t.withColumn("nxt", F.lead("tok").over(wdoc))
+    withnxt = t
     # top pair as a GLOBAL AGGREGATE (min of (-count, tok, nxt) struct), not
     # orderBy+limit: the aggregate always yields exactly one row, so a
     # pairless corpus produces (NULL, NULL) instead of an empty frame that
@@ -1209,12 +1215,19 @@ def _bpe_apply_round(t: DataFrame) -> DataFrame:
     x = x.withColumn(
         "skip", F.coalesce(F.lag("m_start").over(wdoc), F.lit(False))
     )
-    out = x.filter(~F.col("skip")).select(
-        "doc_id",
+    # the merged token expression, emitted together with its successor via a
+    # lead over the SAME (doc_id, old-pos) window that renumbers positions —
+    # one sort serves row_number and lead, and the next round starts with
+    # `nxt` already attached (no second window pass over the corpus)
+    new_tok = (
         F.when(F.col("m_start"), F.concat(F.col("tok"), F.col("nxt")))
         .otherwise(F.col("tok"))
-        .alias("tok"),
+    )
+    out = x.filter(~F.col("skip")).select(
+        "doc_id",
+        new_tok.alias("tok"),
         F.row_number().over(wdoc).alias("pos"),
+        F.lead(new_tok).over(wdoc).alias("nxt"),
     )
     return out
 
@@ -1232,11 +1245,21 @@ def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     rounds so AQE elides repeats), with a lineage barrier per round.
     Output: (doc_id, n_tokens, digest) — token count and md5 of the
     space-joined merged stream, exact in both engines."""
+    from pyspark.sql import Window
+
+    from spj_query_engine_spark.operators.core import barrier
+
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
     )
-    t = (
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # r09 (§2.4): seed the round loop with (doc_id, pos, tok, nxt) behind a
+    # barrier — each round consumes `nxt` twice (top-pair count + merge pass)
+    # and re-emits it from its own merge window, so the per-round lead pass
+    # (and the doubled round-0 explode) disappears.  See _bpe_apply_round.
+    t = barrier(
         docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("nxt", F.lead("tok").over(wdoc))
     )
     for _ in range(rounds):
         t = _bpe_apply_round(t).localCheckpoint(eager=True)
