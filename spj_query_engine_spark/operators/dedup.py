@@ -511,7 +511,13 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     (pigeonhole: Hamming ≤ k pairs share ≥1 of k+1 bands — with 4 bands this
     is exact for Hamming ≤ 3 and a high-recall heuristic above), equi-join on
     (band, chunk), verify with bit_count(xor) ≤ SIMHASH_MAX_HAMMING."""
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): the band self-join consumes `bands` on BOTH sides, so the
+    # whole fingerprint derivation (token explode + 61-aggregate shuffle)
+    # planned and ran twice.  The fingerprint frame is n x 2 longs —
+    # materialize it once and let both join sides read the barrier.
+    fp = barrier(simhash_fingerprints(docs, text_col, id_col))
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = fp.select(
@@ -532,7 +538,11 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.chunk")
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # r09 (§2.3): hamming is a pure function of the pair's fingerprints, so
+    # verify BEFORE the dedup exchange — only surviving pairs shuffle, and
+    # the distinct runs over (doc_a, doc_b, hamming), which (doc_a, doc_b)
+    # determines, so the surviving pair set is unchanged.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
@@ -543,12 +553,10 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            ham.cast("int").alias("hamming"),
         )
-        .distinct()
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -1068,23 +1068,30 @@ def dsir_selection(
         F.col(group_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    bucketed = tok.select(
-        id_col, group_col, F.pmod(h32(F.col("tok")), F.lit(B)).alias("b")
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): `bucketed` fed the raw census, target census, totals AND
+    # the per-doc rollup — four tokenize+explode passes over the corpus.
+    # One materialized token-bucket frame + ONE census rollup (conditional
+    # count replaces the raw/tgt pair and their left join; totals are the
+    # census's own column sums) + a materialized per-doc frame (it feeds
+    # both the percentile cutoff and the final rollup) → one corpus pass.
+    bucketed = barrier(
+        tok.select(
+            id_col, group_col, F.pmod(h32(F.col("tok")), F.lit(B)).alias("b")
+        )
     )
-    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
-    tgt = (
-        bucketed.filter(F.col(group_col) == target_lang)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    census = barrier(
+        bucketed.groupBy("b").agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.count(F.when(F.col(group_col) == target_lang, 1)).alias("t_cnt"),
+        )
     )
-    totals = bucketed.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.count(F.when(F.col(group_col) == target_lang, 1)).alias("t_total"),
+    totals = census.agg(
+        F.sum("r_cnt").alias("r_total"), F.sum("t_cnt").alias("t_total")
     )
     weights = (
-        raw.join(tgt, "b", "left")
-        .na.fill({"t_cnt": 0})
-        .crossJoin(F.broadcast(totals))
+        census.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.expr(
@@ -1093,7 +1100,7 @@ def dsir_selection(
             ).alias("w"),
         )
     )
-    per_doc = (
+    per_doc = barrier(
         bucketed.join(F.broadcast(weights), "b")
         .groupBy(id_col, group_col)
         .agg(F.expr("sum(w) div count(*)").alias("avg_w"))

@@ -263,7 +263,14 @@ def lsh_topk(
     # exist in the data, so plane rows beyond the true dimensionality never
     # join and contribute nothing; a corpus wider than the cap (no conf set)
     # would silently ignore the tail, hence the cap is deliberately large.
-    with_bucket = _sign_buckets(embeddings, vec_col, id_col)
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): the bucket frame feeds FOUR consumers (query ids, corpus
+    # band chunks, query vectors, candidate vectors) — as a lazy subtree the
+    # explode + 13-aggregate bucket derivation planned and ran once per
+    # consumer (column pruning narrowed two of them, but each still paid the
+    # n x dim explode shuffle).  One linear materialization serves all four.
+    with_bucket = barrier(_sign_buckets(embeddings, vec_col, id_col))
     mask = (1 << _BAND_WIDTH) - 1
 
     # Band-chunk keys as IDS ONLY: the multi-probe dedup below needs just
@@ -1619,8 +1626,15 @@ def lsh_recall(embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
     construction — so every join here is broadcast-size regardless of
     corpus scale; the cost is the two underlying index scans, which share
     nothing and parallelize independently."""
-    exact = brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
-        "query_id", "cand_id"
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): `exact` feeds both the semi-join and the per-query frame —
+    # as a lazy plan the whole brute-force corpus scan ran twice for an
+    # n_queries x k result.  Materialize the tiny result once.
+    exact = barrier(
+        brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+            "query_id", "cand_id"
+        )
     )
     approx = lsh_topk(embeddings, k=k, n_queries=n_queries).select(
         "query_id", "cand_id"
@@ -2538,15 +2552,21 @@ def multiprobe_lsh_topk(
     Scale shape: identical to s02 — the corpus is a projection + equi-join
     on a few-bit key; the probe fan-out multiplies only n_queries rows.
     At 100 TB multiprobe is THE lever when memory caps the table count."""
-    with_bucket = _sign_buckets(embeddings, vec_col, id_col)
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4, §2.3): (a) the bucket frame feeds the corpus chunks, probe
+    # chunks, query vectors and candidate vectors — materialize the
+    # derivation once instead of once per consumer; (b) the candidate dedup
+    # runs over (query_id, cand_id) IDS ONLY (s02's treatment — vid
+    # determines its vector, so the distinct result set is unchanged) and
+    # the two 64-double vectors attach after the dedup, not through it.
+    with_bucket = barrier(_sign_buckets(embeddings, vec_col, id_col))
     mask = (1 << _BAND_WIDTH) - 1
     chunk_of = lambda b: (  # noqa: E731
         F.shiftright(F.col("bucket"), b * _BAND_WIDTH).bitwiseAND(F.lit(mask))
     )
     corpus = with_bucket.select(
         F.col("vid").alias("cand_id"),
-        F.col("vec").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
         F.explode(
             F.array(
                 *[
@@ -2555,11 +2575,9 @@ def multiprobe_lsh_topk(
                 ]
             )
         ).alias("bc"),
-    ).select("cand_id", "c_vec", "c_norm", "bc.band", "bc.chunk")
+    ).select("cand_id", "bc.band", "bc.chunk")
     probes = with_bucket.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
         F.explode(
             F.array(
                 *[
@@ -2576,12 +2594,26 @@ def multiprobe_lsh_topk(
                 ]
             )
         ).alias("bc"),
-    ).select("query_id", "q_vec", "q_norm", "bc.band", "bc.chunk")
-    cand = (
+    ).select("query_id", "bc.band", "bc.chunk")
+    cand_ids = (
         corpus.join(F.broadcast(probes), ["band", "chunk"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "q_norm", "cand_id", "c_vec", "c_norm")
+        .select("query_id", "cand_id")
         .distinct()
+    )
+    q_vecs = with_bucket.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        with_bucket.select(
+            F.col("vid").alias("cand_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+        .join(cand_ids, "cand_id")
+        .join(F.broadcast(q_vecs), "query_id")
     )
     sim = portable_round(
         dot_product(F.col("q_vec"), F.col("c_vec"))

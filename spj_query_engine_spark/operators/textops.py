@@ -986,7 +986,11 @@ def bigram_novelty(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
-    doc_bigrams = (
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): doc_bigrams feeds the DF rollup AND the per-doc rollup —
+    # lazily the tokenize+explode pass over the corpus ran twice.
+    doc_bigrams = barrier(
         docs.select(F.col(id_col), toks.alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
@@ -1082,7 +1086,11 @@ def bigram_lm_score(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
-    occ = (
+    from spj_query_engine_spark.operators.core import barrier
+
+    # r09 (§2.4): occ feeds the bigram-count chain AND the per-doc rollup —
+    # lazily the tokenize+explode pass over the corpus ran twice.
+    occ = barrier(
         docs.select(F.col(id_col), toks.alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
@@ -1247,17 +1255,20 @@ def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     space-joined merged stream, exact in both engines."""
     from pyspark.sql import Window
 
-    from spj_query_engine_spark.operators.core import barrier
-
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # r09 (§2.4): seed the round loop with (doc_id, pos, tok, nxt) behind a
-    # barrier — each round consumes `nxt` twice (top-pair count + merge pass)
-    # and re-emits it from its own merge window, so the per-round lead pass
-    # (and the doubled round-0 explode) disappears.  See _bpe_apply_round.
-    t = barrier(
+    # r09 (§2.4): seed the round loop with (doc_id, pos, tok, nxt) — every
+    # round AFTER the first then reads `nxt` straight from its input
+    # checkpoint (the previous round's merge window emits it for free) and
+    # skips the per-round lead pass that used to run in both the top-pair
+    # and merge branches.  The seed itself stays LAZY: round 0 plans the
+    # lead window twice exactly as before (ReuseExchange shares the
+    # exchange), which an A/B measured cheaper than an extra eager
+    # materialization of the full exploded token stream (barrier variant:
+    # 1.15x SLOWER at sf0.1).  See _bpe_apply_round.
+    t = (
         docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "tok"))
         .withColumn("nxt", F.lead("tok").over(wdoc))
     )
@@ -1961,14 +1972,21 @@ def doc_keyphrases(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
+    from spj_query_engine_spark.operators.core import barrier
+
     base = docs.select(F.col(id_col), toks.alias("toks"))
-    uni = (
+    # r09 (§2.4): `uni` feeds the two lift joins AND the corpus total, and
+    # `doc_bg` feeds the bigram rollup AND the final per-doc join — lazily
+    # that was FIVE tokenize+explode passes over the corpus.  Materialize
+    # the vocabulary-bounded unigram rollup and the distinct doc-bigram
+    # postings once each → two passes.
+    uni = barrier(
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
     total = uni.agg(F.sum("n_w").alias("n_total")).filter(F.col("n_total") > 0)
-    doc_bg = (
+    doc_bg = barrier(
         base.filter(F.size("toks") >= 2)
         .select(
             F.col(id_col),
