@@ -3,6 +3,13 @@
 Usage: python scripts/dump_plans.py <outdir> <suffix> <name...>
 Writes <outdir>/<name>_<suffix>.txt for each entry.  SPJ_LAZY_PLANS is NOT
 set, so the plans show exactly what executes (barriers included).
+
+With SPJ_DUMP_LAZY=1, barriers/coarse scopes no-op (the plan-hygiene
+suite's SPJ_LAZY_PLANS escape hatch, enabled here by faking the pytest
+marker env var) so the file shows the FULL logical subtree a barrier would
+otherwise hide behind `Scan ExistingRDD` — the view needed to check
+exchange/scan-count claims for operators whose registry wrapper
+materializes them.
 """
 from __future__ import annotations
 
@@ -21,6 +28,11 @@ def main() -> None:
     outdir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     os.makedirs(outdir, exist_ok=True)
+    if os.environ.get("SPJ_DUMP_LAZY") == "1":
+        # barrier()/coarse_materialize() honor SPJ_LAZY_PLANS only under
+        # pytest; fake the marker so the dumped plan keeps the full subtree
+        os.environ["SPJ_LAZY_PLANS"] = "1"
+        os.environ.setdefault("PYTEST_CURRENT_TEST", "dump_plans_lazy_view")
     spark = get_spark("dump_plans", master="local[32]")
     for name in names:
         wq = REGISTRY[name]

@@ -1179,14 +1179,8 @@ def _bpe_apply_round(t: DataFrame) -> DataFrame:
     sequential state.  Both engines replay the identical windows."""
     from pyspark.sql import Window
 
-    # r09 (§2.4): the round's input `t` already carries the successor token
-    # (`nxt`, computed inside the PREVIOUS round's merge window pass or the
-    # initial explode barrier) — before, `withnxt = t + lead window` fed both
-    # the top-pair aggregate and the merge pass, so the lead sort+window (and
-    # in round 0 the whole parquet+split+explode subtree) planned and ran
-    # TWICE per round.
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    withnxt = t
+    withnxt = t.withColumn("nxt", F.lead("tok").over(wdoc))
     # top pair as a GLOBAL AGGREGATE (min of (-count, tok, nxt) struct), not
     # orderBy+limit: the aggregate always yields exactly one row, so a
     # pairless corpus produces (NULL, NULL) instead of an empty frame that
@@ -1223,19 +1217,12 @@ def _bpe_apply_round(t: DataFrame) -> DataFrame:
     x = x.withColumn(
         "skip", F.coalesce(F.lag("m_start").over(wdoc), F.lit(False))
     )
-    # the merged token expression, emitted together with its successor via a
-    # lead over the SAME (doc_id, old-pos) window that renumbers positions —
-    # one sort serves row_number and lead, and the next round starts with
-    # `nxt` already attached (no second window pass over the corpus)
-    new_tok = (
-        F.when(F.col("m_start"), F.concat(F.col("tok"), F.col("nxt")))
-        .otherwise(F.col("tok"))
-    )
     out = x.filter(~F.col("skip")).select(
         "doc_id",
-        new_tok.alias("tok"),
+        F.when(F.col("m_start"), F.concat(F.col("tok"), F.col("nxt")))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
         F.row_number().over(wdoc).alias("pos"),
-        F.lead(new_tok).over(wdoc).alias("nxt"),
     )
     return out
 
@@ -1253,24 +1240,11 @@ def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     rounds so AQE elides repeats), with a lineage barrier per round.
     Output: (doc_id, n_tokens, digest) — token count and md5 of the
     space-joined merged stream, exact in both engines."""
-    from pyspark.sql import Window
-
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # r09 (§2.4): seed the round loop with (doc_id, pos, tok, nxt) — every
-    # round AFTER the first then reads `nxt` straight from its input
-    # checkpoint (the previous round's merge window emits it for free) and
-    # skips the per-round lead pass that used to run in both the top-pair
-    # and merge branches.  The seed itself stays LAZY: round 0 plans the
-    # lead window twice exactly as before (ReuseExchange shares the
-    # exchange), which an A/B measured cheaper than an extra eager
-    # materialization of the full exploded token stream (barrier variant:
-    # 1.15x SLOWER at sf0.1).  See _bpe_apply_round.
     t = (
         docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "tok"))
-        .withColumn("nxt", F.lead("tok").over(wdoc))
     )
     for _ in range(rounds):
         t = _bpe_apply_round(t).localCheckpoint(eager=True)
