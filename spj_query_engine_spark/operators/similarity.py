@@ -2554,12 +2554,15 @@ def multiprobe_lsh_topk(
     At 100 TB multiprobe is THE lever when memory caps the table count."""
     from spj_query_engine_spark.operators.core import barrier
 
-    # r09 (§2.4, §2.3): (a) the bucket frame feeds the corpus chunks, probe
-    # chunks, query vectors and candidate vectors — materialize the
-    # derivation once instead of once per consumer; (b) the candidate dedup
-    # runs over (query_id, cand_id) IDS ONLY (s02's treatment — vid
-    # determines its vector, so the distinct result set is unchanged) and
-    # the two 64-double vectors attach after the dedup, not through it.
+    # r09 (§2.4): the bucket frame feeds the corpus chunks and the probe
+    # chunks — materialize the explode+13-aggregate derivation once instead
+    # of once per consumer.  (An ids-only candidate dedup with the vectors
+    # attached after the distinct — s02's treatment — was ALSO tried and
+    # measured 1.16x SLOWER in an interleaved same-session A/B at sf0.1
+    # (med 1.94 vs 1.67 s): s18's candidate volume is bounded by the fixed
+    # query count times probed-bucket size, so the narrow distinct saves
+    # little here while the two extra attach joins add stages.  The wide
+    # distinct therefore stays.)
     with_bucket = barrier(_sign_buckets(embeddings, vec_col, id_col))
     mask = (1 << _BAND_WIDTH) - 1
     chunk_of = lambda b: (  # noqa: E731
@@ -2567,6 +2570,8 @@ def multiprobe_lsh_topk(
     )
     corpus = with_bucket.select(
         F.col("vid").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
         F.explode(
             F.array(
                 *[
@@ -2575,9 +2580,11 @@ def multiprobe_lsh_topk(
                 ]
             )
         ).alias("bc"),
-    ).select("cand_id", "bc.band", "bc.chunk")
+    ).select("cand_id", "c_vec", "c_norm", "bc.band", "bc.chunk")
     probes = with_bucket.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
         F.explode(
             F.array(
                 *[
@@ -2594,26 +2601,12 @@ def multiprobe_lsh_topk(
                 ]
             )
         ).alias("bc"),
-    ).select("query_id", "bc.band", "bc.chunk")
-    cand_ids = (
+    ).select("query_id", "q_vec", "q_norm", "bc.band", "bc.chunk")
+    cand = (
         corpus.join(F.broadcast(probes), ["band", "chunk"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id")
+        .select("query_id", "q_vec", "q_norm", "cand_id", "c_vec", "c_norm")
         .distinct()
-    )
-    q_vecs = with_bucket.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    cand = (
-        with_bucket.select(
-            F.col("vid").alias("cand_id"),
-            F.col("vec").alias("c_vec"),
-            F.col("norm").alias("c_norm"),
-        )
-        .join(cand_ids, "cand_id")
-        .join(F.broadcast(q_vecs), "query_id")
     )
     sim = portable_round(
         dot_product(F.col("q_vec"), F.col("c_vec"))
