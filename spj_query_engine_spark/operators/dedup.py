@@ -1154,6 +1154,16 @@ def embedding_near_dup_2level(
         .select("id", "v", "norm", F.explode("tops").alias("t"))
         .select(F.col("t.leaf").alias("blk"), "id", "v", "norm")
     )
+    # r09 (§2.4): `blocked` feeds BOTH sides of the pair self-join, and the
+    # executed adaptive plan shows the whole two-level assignment chain
+    # (two BNLJ scoring passes + three aggregates) planned AND run twice —
+    # AQE stage reuse does not fire across the aliased sides.  One barrier
+    # bounds it to a single execution (n×n_assign rows, linear in the
+    # corpus).  Two-tree A/B: d12 0.92, d14 0.85.  The SAME barrier in the
+    # FLAT variant measured 1.6x slower (d06) — its assignment is one
+    # pipelined BNLJ+aggregate, cheaper than the materialization — so only
+    # the two-level chain pays for the barrier.
+    blocked = barrier(blocked)
     a = blocked.select(
         F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"),
         F.col("norm").alias("norm_a"),

@@ -77,6 +77,24 @@ def test_embedding_near_dup(emb):
     assert (0, 30) not in pairs  # cross-block pairs are never considered
 
 
+def test_embedding_near_dup_2level_assignment_runs_once(emb):
+    """r09: the two-level assignment chain feeds BOTH sides of the pair
+    self-join; without a barrier the whole chain (two BNLJ scoring passes
+    + three aggregates) plans and runs twice — AQE stage reuse does not
+    fire across the aliased sides.  The barrier replaces it with one
+    materialized frame, so the final plan must scan ExistingRDD on the
+    join sides and contain NO BroadcastNestedLoopJoin (the scoring already
+    ran inside the barrier) — and the pair values are unchanged."""
+    df = dedup.embedding_near_dup_2level(emb, n_cells=4, branch=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
+    assert (0, 10) in pairs and pairs[(0, 10)] > 0.9
+    assert (30, 40) in pairs
+    assert not any(p[0] == 20 or p[1] == 20 for p in pairs)
+
+
 def test_brute_force_topk_order(emb):
     got = similarity.brute_force_topk(emb, k=2, n_queries=1).collect()
     by_rank = {r["rank"]: r["cand_id"] for r in got}
