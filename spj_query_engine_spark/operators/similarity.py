@@ -413,27 +413,15 @@ def ivf_topk(
     ).select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
     pair_sim = cosine_sim(F.col("vec"), F.col("c_vec"))
     aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
-    from spj_query_engine_spark.operators.core import barrier
-
-    # r09 (§2.4): cells (rnk=1, all vectors) and probes (query vectors,
-    # rnk<=n_probe) were two filters over the unmaterialized assignment
-    # window, so the whole crossJoin+window chain planned and ran twice
-    # (the s06/s09 fix applied here; serves s03/s04/s05/s15).  Materialize
-    # the pruned narrow assignment once — linear in the corpus, no vectors.
-    assign = barrier(
+    ranked = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vid", "cid", pair_sim.alias("sim"))
+        .select("vid", "vec", "cid", pair_sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(aw))
-        .filter(
-            (F.col("rnk") == 1)
-            | ((F.col("vid") < n_queries) & (F.col("rnk") <= n_probe))
-        )
-        .select("vid", "cid", "rnk")
     )
-    cells = assign.filter(F.col("rnk") == 1).select("vid", F.col("cid").alias("cell"))
-    probes = assign.filter(
-        (F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)
-    ).select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"))
+    cells = ranked.filter(F.col("rnk") == 1).select("vid", F.col("cid").alias("cell"))
+    probes = ranked.filter((F.col("vid") < n_queries) & (F.col("rnk") <= n_probe)).select(
+        F.col("vid").alias("query_id"), F.col("cid").alias("cell")
+    )
     cand = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))
