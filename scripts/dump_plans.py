@@ -1,15 +1,17 @@
 """Dump .explain('formatted') for the named registry entries to files.
 
 Usage: python scripts/dump_plans.py <outdir> <suffix> <name...>
-Writes <outdir>/<name>_<suffix>.txt for each entry.  SPJ_LAZY_PLANS is NOT
-set, so the plans show exactly what executes (barriers included).
+Writes <outdir>/<name>_<suffix>.txt for each entry.
 
-With SPJ_DUMP_LAZY=1, barriers/coarse scopes no-op (the plan-hygiene
-suite's SPJ_LAZY_PLANS escape hatch, enabled here by faking the pytest
-marker env var) so the file shows the FULL logical subtree a barrier would
-otherwise hide behind `Scan ExistingRDD` — the view needed to check
-exchange/scan-count claims for operators whose registry wrapper
-materializes them.
+LAZY MODE IS THE DEFAULT (r10, VERDICT r09 item 8): barriers/coarse scopes
+no-op (the plan-hygiene suite's SPJ_LAZY_PLANS escape hatch, enabled here
+by faking the pytest marker env var) so every file shows the FULL logical
+subtree — before/after pairs stay comparable instead of an eager "after"
+dump truncating to `Scan ExistingRDD` at the first barrier.
+
+With SPJ_DUMP_EAGER=1 the barriers execute and the dump shows exactly the
+plan that runs in production (useful to verify a barrier IS in place, at
+the cost of running the materialization jobs and truncating the subtree).
 """
 from __future__ import annotations
 
@@ -28,7 +30,7 @@ def main() -> None:
     outdir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     os.makedirs(outdir, exist_ok=True)
-    if os.environ.get("SPJ_DUMP_LAZY") == "1":
+    if os.environ.get("SPJ_DUMP_EAGER") != "1":
         # barrier()/coarse_materialize() honor SPJ_LAZY_PLANS only under
         # pytest; fake the marker so the dumped plan keeps the full subtree
         os.environ["SPJ_LAZY_PLANS"] = "1"

@@ -102,8 +102,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan operator: the reference's full-table ``Scan``
     (``src/qp/operators/Scan.java:43-86``) is a parquet DataFrame source —
     column pruning and predicate pushdown then happen at the scan, which the
-    reference never does (its projection sits only at the plan root)."""
+    reference never does (its projection sits only at the plan root).
+
+    The built frame is cached PER SESSION (an attribute on the session
+    object, so it dies with the session and can never leak across
+    sessions), keyed (path, mtime) like the metadata cache.  A DataFrame
+    is an immutable LAZY plan — reusing the object skips the ~6 py4j round
+    trips of reader construction + timestamp canonicalization per call
+    (~0.05 s × every table load of every query, r10 floor profile) while
+    every execution still scans the parquet from scratch; this caches no
+    result, and an overwrite of the files invalidates via mtime."""
     path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    cache_key = (os.path.abspath(path), mtime)
+    cache = getattr(spark, "_spj_table_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._spj_table_cache = cache
+        except Exception:
+            cache = None
+    if cache is not None:
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return hit
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -126,6 +151,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # corpus (resolve_quantizer_cells): saves a count() JOB per query —
         # metadata, not a cached result, invalidated with the schema cache
         df._spj_rowcount = n_rows
+    if cache is not None:
+        cache[cache_key] = df
     return df
 
 

@@ -1626,19 +1626,32 @@ def lsh_recall(embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
     construction — so every join here is broadcast-size regardless of
     corpus scale; the cost is the two underlying index scans, which share
     nothing and parallelize independently."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from spj_query_engine_spark.operators.core import barrier
 
     # r09 (§2.4): `exact` feeds both the semi-join and the per-query frame —
     # as a lazy plan the whole brute-force corpus scan ran twice for an
     # n_queries x k result.  Materialize the tiny result once.
-    exact = barrier(
-        brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+    # r10 (§2.6): that barrier and lsh_topk's internal bucket barrier are
+    # independent jobs that used to run back-to-back at construction time;
+    # submit them from two driver threads so the wall is max, not sum.
+    def exact_leg() -> DataFrame:
+        return barrier(
+            brute_force_topk(embeddings, k=k, n_queries=n_queries).select(
+                "query_id", "cand_id"
+            )
+        )
+
+    def approx_leg() -> DataFrame:
+        return lsh_topk(embeddings, k=k, n_queries=n_queries).select(
             "query_id", "cand_id"
         )
-    )
-    approx = lsh_topk(embeddings, k=k, n_queries=n_queries).select(
-        "query_id", "cand_id"
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(exact_leg)
+        f_approx = pool.submit(approx_leg)
+        exact, approx = f_exact.result(), f_approx.result()
     hits = exact.join(approx, ["query_id", "cand_id"], "left_semi")
     per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     return (
@@ -2348,13 +2361,35 @@ def rrf_fusion(
     Every term is an exact BIGINT (integer div), so the fused ranking
     value-replays in SQL.  Cost: both source rankings are already bounded
     pipelines; fusion is a full-outer join of two (queries × pool)-row
-    frames + one window."""
-    exact = brute_force_topk(
-        embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
-    ).select("query_id", "cand_id", F.col("rank").alias("r1"))
-    approx = lsh_topk(
-        embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
-    ).select("query_id", "cand_id", F.col("rank").alias("r2"))
+    frames + one window.
+
+    Execution shape (r10, guide §2.6): ``lsh_topk`` materializes its
+    bucket frame EAGERLY (barrier) during plan construction, which used to
+    serialize the whole corpus×queries brute-force leg strictly after the
+    bucket job.  The two legs are independent — materialize the exact
+    ranking (queries × pool rows, bounded at any scale) on a driver thread
+    concurrently with the bucket barrier, so the wall is max(leg) + fusion
+    instead of the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spj_query_engine_spark.operators.core import barrier
+
+    def exact_leg() -> DataFrame:
+        return barrier(
+            brute_force_topk(
+                embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
+            ).select("query_id", "cand_id", F.col("rank").alias("r1"))
+        )
+
+    def approx_leg() -> DataFrame:
+        return lsh_topk(
+            embeddings, vec_col, id_col, k=RRF_POOL, n_queries=n_queries
+        ).select("query_id", "cand_id", F.col("rank").alias("r2"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(exact_leg)
+        f_approx = pool.submit(approx_leg)
+        exact, approx = f_exact.result(), f_approx.result()
     fused = exact.join(approx, ["query_id", "cand_id"], "full_outer")
     contrib1 = F.when(
         F.col("r1").isNotNull(), F.expr(f"{RRF_SCALE} div ({RRF_K} + r1)")

@@ -62,8 +62,12 @@ class _PlanBuilder:
             if name not in tables:
                 raise PlanError(f"unknown table {name!r}")
             df = tables[name]
-            renamed = df.select(
-                *[F.col(f.name).alias(_mangle(Attr(name, f.name))) for f in df.schema.fields]
+            # toDF = ONE py4j round trip for the whole-table mangle rename;
+            # the per-column col().alias() select cost 2 hops per column ×
+            # every table of every dialect query (r10 floor profile: the
+            # builder's rename was the largest single build-phase item)
+            renamed = df.toDF(
+                *[_mangle(Attr(name, f.name)) for f in df.schema.fields]
             )
             self.base[name] = renamed
             for f in df.schema.fields:

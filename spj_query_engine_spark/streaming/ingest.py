@@ -116,10 +116,34 @@ def resolve_stream_partitions(
     return max(4, min(cur, -(-size // STREAM_STATE_TARGET_BYTES)))
 
 
+#: stream sub-sessions, ONE per (applicationId, resolved partition count) —
+#: the r09 design cloned per QUERY, and ``clone_session``'s ~30-conf py4j
+#: mirror + ``newSession()`` landed a measurable fixed cost on every one of
+#: ~46 streaming entries (driver r09: e10 0.51×, e13 0.61×, e50 0.55× vs
+#: r08).  The partition count takes only a handful of values per corpus, so
+#: caching restores r08's per-query cost while keeping r09's isolation: the
+#: caller's session still never sees a stream conf.  Same pattern as
+#: ``operators.core._COARSE_SUBSESSIONS``.
+_STREAM_SUBSESSIONS: dict[tuple[str, int], SparkSession] = {}
+
+#: ``spj.*`` conf keys streaming runners read AFTER swapping to the stream
+#: session — re-synced from the parent on every cache hit, because tests
+#: toggle them on the parent between invocations and a cached clone would
+#: otherwise serve the value frozen at first-clone time.
+_STREAM_SYNC_KEYS = (
+    "spj.stream.sink",
+    "spj.stream.state.partitions",
+    "spj.stream.session.buckets",
+    "spj.stream.session.api",
+    "spj.stream.asof.api",
+    "spj.embedding.dim",
+)
+
+
 def stream_session(
     spark: SparkSession, sf_dir: str, table: str = "events"
 ) -> SparkSession:
-    """An ISOLATED session for one streaming query, with
+    """An ISOLATED session for streaming queries, with
     ``spark.sql.shuffle.partitions`` set to the resolved stream-state count
     (the count is baked into the query's state layout at start; each
     runner uses a fresh checkpoint, so no stored state can disagree).
@@ -129,12 +153,30 @@ def stream_session(
     replay was in flight silently ran at the stream's (usually tiny) state
     partition count.  :func:`…session.clone_session` mirrors the parent's
     explicit conf — including test-set ``spj.*`` overrides — into a fresh
-    ``newSession``, so each runner swaps its local ``spark`` to the clone
-    as its first statement and every frame, sink table, and post-replay
-    read lives there; the caller's session is untouched by construction."""
-    return clone_session(
-        spark, resolve_stream_partitions(spark, sf_dir, table)
-    )
+    ``newSession``; each runner swaps its local ``spark`` to the stream
+    session as its first statement and every frame, sink table, and
+    post-replay read lives there; the caller's session is untouched by
+    construction.  One clone is cached per (application, partition count)
+    and the ``spj.*`` keys are re-synced from the parent per call — queries
+    that resolve the same state partitioning share one sub-session instead
+    of each paying the clone's conf-mirror cost."""
+    parts = resolve_stream_partitions(spark, sf_dir, table)
+    key = (spark.sparkContext.applicationId, parts)
+    sub = _STREAM_SUBSESSIONS.get(key)
+    if sub is None:
+        sub = clone_session(spark, parts)
+        _STREAM_SUBSESSIONS[key] = sub
+    else:
+        for conf_key in _STREAM_SYNC_KEYS:
+            val = spark.conf.get(conf_key, None)
+            try:
+                if val is None:
+                    sub.conf.unset(conf_key)
+                else:
+                    sub.conf.set(conf_key, val)
+            except Exception:
+                pass
+    return sub
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -77,7 +77,7 @@ def test_embedding_near_dup(emb):
     assert (0, 30) not in pairs  # cross-block pairs are never considered
 
 
-def test_embedding_near_dup_2level_assignment_runs_once(emb):
+def test_embedding_near_dup_2level_assignment_runs_once(emb, monkeypatch):
     """r09: the two-level assignment chain feeds BOTH sides of the pair
     self-join; without a barrier the whole chain (two BNLJ scoring passes
     + three aggregates) plans and runs twice — AQE stage reuse does not
@@ -85,6 +85,10 @@ def test_embedding_near_dup_2level_assignment_runs_once(emb):
     materialized frame, so the final plan must scan ExistingRDD on the
     join sides and contain NO BroadcastNestedLoopJoin (the scoring already
     ran inside the barrier) — and the pair values are unchanged."""
+    # this test asserts the EXECUTED (barriered) plan shape, so the
+    # plan-hygiene suite's barrier-bypass flag must not leak in from the
+    # developer's environment (ADVICE r09)
+    monkeypatch.delenv("SPJ_LAZY_PLANS", raising=False)
     df = dedup.embedding_near_dup_2level(emb, n_cells=4, branch=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan

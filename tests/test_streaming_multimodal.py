@@ -779,6 +779,47 @@ def test_resolve_stream_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_stream_session_cached_per_partition_count(spark):
+    """r10: stream sub-sessions are cached per (application, resolved
+    partition count) — the r09 per-query clone_session cost landed on
+    every streaming entry.  The cache must (a) return the SAME sub-session
+    for the same resolved count, (b) give a different count its own
+    isolated sub-session, (c) re-sync spj.* overrides from the parent on
+    cache hits (tests toggle them between runs), and (d) never touch the
+    caller's conf."""
+    from spj_query_engine_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.01"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    sub1 = ingest.stream_session(spark, sf)
+    sub2 = ingest.stream_session(spark, sf)
+    assert sub1 is sub2
+    assert sub1 is not spark
+
+    spark.conf.set("spj.stream.state.partitions", "7")
+    try:
+        sub7 = ingest.stream_session(spark, sf)
+        assert sub7 is not sub1
+        assert int(sub7.conf.get("spark.sql.shuffle.partitions")) == 7
+        # cache hit re-syncs spj.* keys set on the parent…
+        spark.conf.set("spj.stream.sink", "parquet")
+        assert (
+            ingest.stream_session(spark, sf).conf.get("spj.stream.sink")
+            == "parquet"
+        )
+        # …and clears ones unset on the parent
+        spark.conf.unset("spj.stream.sink")
+        assert (
+            ingest.stream_session(spark, sf).conf.get("spj.stream.sink", None)
+            is None
+        )
+    finally:
+        spark.conf.unset("spj.stream.state.partitions")
+    # caller's conf untouched throughout
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+
 def test_fold_sessions_matches_scalar_loop():
     """The vectorized gap-split must be bit-identical to the per-event
     scalar fold it replaced (including carry merge, carry close, and the
