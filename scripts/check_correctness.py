@@ -90,6 +90,23 @@ def main() -> int:
             results[name] = {"status": "match", "rows": len(actual)}
             print(f"  {name}: match ({len(actual)} rows) [{time.time() - t0:.1f}s]")
 
+    out_path = os.environ.get("SPJ_CORRECTNESS_OUT")
+    if out_path:
+        import datetime
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "ts": datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds")
+                    .replace("+00:00", "Z"),
+                    "failed": failed,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     print(json.dumps({"sf_dir": sf_dir, "failed": failed, "total": len(results)}))
     return 1 if failed else 0
 
