@@ -37,7 +37,10 @@ from spj_query_engine_spark.workload import REGISTRY  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 SCALE100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/spj_scale100")
-SCALE1000 = os.environ.get("SPARK_GRAFT_SCALE1000_DIR", "/tmp/spj_scale1000")
+# pair families run on the pair-structure-CONTROLLED level-2 corpus
+# (bench_scale_1000.build_scaled_pairs) — the plain level-2 corpus has no
+# embeddings table and deliberately-unsalted duplicate structure
+SCALE1000 = os.environ.get("SPARK_GRAFT_SCALE1000P_DIR", "/tmp/spj_scale1000p")
 
 
 def _noop(df) -> None:
