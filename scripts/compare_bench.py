@@ -67,6 +67,8 @@ def prior_times() -> dict[str, float]:
     overrides_path = os.path.join(ROOT, "BENCH_FLOOR_OVERRIDES.json")
     if os.path.exists(overrides_path):
         for name, sec in json.load(open(overrides_path)).items():
+            if name.startswith("__"):  # reserved: __rationale__ etc. (same
+                continue  # convention bench.py's prior_floors applies)
             best[name] = float(sec)
     return best
 

@@ -135,6 +135,12 @@ def test_overrides_are_documented_subset():
     floors_path = os.path.join(ROOT, "BENCH_FLOORS.json")
     known = set(json.load(open(floors_path))) if os.path.exists(floors_path) else set()
     for name, sec in overrides.items():
+        if name.startswith("__"):
+            # reserved documentation keys (__rationale__) — the same
+            # convention bench.prior_floors and compare_bench.prior_times
+            # apply when reading this file
+            assert isinstance(sec, str) and sec, name
+            continue
         assert isinstance(sec, (int, float)) and sec > 0, name
         assert name in known, f"override for unknown query {name}"
 
