@@ -82,7 +82,7 @@ def d03_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     % dedup.SIMHASH_MAX_HAMMING,
 )
 def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.simhash_pairs)
 
 
 @register(
@@ -92,7 +92,7 @@ def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "≤ %s (stop-shingle skew control)." % dedup.NGRAM_MAX_DF,
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.ngram_jaccard_pairs)
 
 
 @register(
@@ -168,7 +168,7 @@ def d08_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (dedup.EVAL_MOD, dedup.CONTAM_T),
 )
 def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.contamination(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.contamination)
 
 
 @register(
@@ -181,7 +181,7 @@ def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at Jaccard >= %s." % (dedup.INC_MOD, dedup.INC_NEW, dedup.JACCARD_T),
 )
 def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.incremental_dedup(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.incremental_dedup)
 
 
 @register(
@@ -194,8 +194,11 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "17x wall at 100x input)." % (dedup.NEARDUP_BRANCH, dedup.NEARDUP_CELLS),
 )
 def d12_near_dup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return dedup.embedding_near_dup_2level(emb)
+    # r10: same coarse scope d14/d29 ride (_emb_materialized) — the
+    # two-level assignment + pair join is many short stages over
+    # centroid/assignment-sized frames at bench scale; no-op at
+    # production scale by the optimizer-estimate clamp.
+    return _emb_materialized(spark, sf_dir, dedup.embedding_near_dup_2level)
 
 
 @register(
@@ -314,7 +317,7 @@ def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     % dedup.CONTAIN_T,
 )
 def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.containment_pairs(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.containment_pairs)
 
 
 @register(
@@ -326,7 +329,7 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text sketch; bounded by pairs x K, never corpus^2.",
 )
 def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_calibration(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.minhash_calibration)
 
 
 @register(
@@ -380,7 +383,7 @@ def d20_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touches only the distinct candidate union." % (dedup.BAND_SWEEP,),
 )
 def d21_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_band_tuning(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.lsh_band_tuning)
 
 
 @register(
@@ -523,7 +526,7 @@ def g11_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketing, no float log.",
 )
 def d26_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.shingle_df_histogram(_docs(spark, sf_dir))
+    return _graph_materialized(spark, sf_dir, dedup.shingle_df_histogram)
 
 
 @register(

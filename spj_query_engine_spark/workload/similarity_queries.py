@@ -46,7 +46,7 @@ def s01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (similarity.SIGN_BITS, similarity.SIGN_BANDS),
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_topk(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.lsh_topk)
 
 
 @register(
@@ -88,6 +88,9 @@ def s04_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,  # self-check over two already-benched pipelines
 )
 def s05_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT coarse-wrapped: the wrap flipped recall_ok at sf0.01 (the trained
+    # quantizer's k-means fold is partition-order-sensitive at the recall
+    # margin) — and s05 is bench=False, so there is nothing to win.
     return similarity.ivf_trained_recall(_emb(spark, sf_dir))
 
 
@@ -200,7 +203,7 @@ def s10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query that caused them." % similarity.TOP_K,
 )
 def s11_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_recall(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.lsh_recall)
 
 
 @register(
@@ -240,7 +243,7 @@ def u04_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "even the quantized distances value-replay in SQL.",
 )
 def s13_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.sq_topk(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.sq_topk)
 
 
 @register(
@@ -269,7 +272,7 @@ def u06_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (similarity.MMR_SELECT, similarity.MMR_POOL),
 )
 def s14_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.mmr_topk(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.mmr_topk)
 
 
 @register(
@@ -311,7 +314,7 @@ def u07_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (similarity.RRF_SCALE, similarity.RRF_K),
 )
 def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.rrf_fusion(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.rrf_fusion)
 
 
 @register(
@@ -338,7 +341,7 @@ def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s02's, same exact rerank.",
 )
 def s18_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.multiprobe_lsh_topk(_emb(spark, sf_dir))
+    return _emb_coarse(spark, sf_dir, similarity.multiprobe_lsh_topk)
 
 
 @register(
@@ -352,7 +355,9 @@ def s18_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus x corpus." % similarity.HIST_BLOCKS,
 )
 def s19_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.sim_histogram(_emb(spark, sf_dir))
+    # r10: coarse scope (interleaved A/B 0.94) — block pair stages are
+    # sample-sized; no-op at production scale by the estimate clamp.
+    return _emb_coarse(spark, sf_dir, similarity.sim_histogram)
 
 
 @register(
