@@ -301,6 +301,8 @@ def coarse_materialize(
     df: DataFrame,
     floor: int = 8,
     per_partition: int = 1 << 20,
+    aqe: bool = True,
+    coalesce: bool = True,
 ) -> DataFrame:
     """Materialize ``barrier(build(df))`` with every shuffle in the built
     plan running at a coarse partition count — per-plan, on an isolated
@@ -332,6 +334,29 @@ def coarse_materialize(
     100 TB safety is unchanged from r07: the target comes from
     :func:`_coarse_target`'s optimizer-estimate clamp, so terabyte inputs
     (or unknown estimates) take the plain ``barrier(build(df))`` path.
+
+    ``aqe=False`` / ``coalesce=False`` (r10) tune adaptive execution INSIDE
+    the scope only.  AQE exists to re-plan large shuffles; within a
+    provably-KB-scale materialization two of its behaviors can be pure
+    overhead, measured per entry by interleaved A/B
+    (scripts/ab_coarse_aqe_r10.py, both knob variants in git history):
+
+    * ``coalesce=False`` keeps AQE's runtime join re-planning but stops the
+      advisory-size coalescer from collapsing every tiny exchange to ONE
+      task — which serializes the compute-carrying stages (per-candidate
+      dot-product folds) of the embedding chains: s06 0.30, s09 0.35,
+      d12 0.35, s17 0.38, d14 0.56, t19 0.87 vs full AQE.
+    * ``aqe=False`` additionally drops the per-stage re-planning rounds —
+      the better trade for one-shot pair/graph rollups whose stages carry
+      trivial compute: g10 0.74, g04 0.76, d10 0.84, d26 0.85, d17 0.85,
+      g08 0.86, g03 0.86, s18 0.87, g09 0.88, d29 0.89, d18 0.89, g01 0.89,
+      d05 0.75.
+    * iterative star/label loops measured FASTER with full AQE (d07 1.10+,
+      g02 1.04-1.52, d25, g07, g11, q45, p07) and keep the default.
+
+    Both flags default on and only take effect when the coarse scope is
+    live, so production-scale inputs always run full AQE via the same
+    estimate clamp.
     Nested scopes (e.g. ``lsh_pairs_ckpt`` invoked inside a graph builder
     that is itself coarse-materializing) detect the sub-session marker and
     no-op into the enclosing scope's conf.
@@ -358,6 +383,13 @@ def coarse_materialize(
         return barrier(build(df))
     sub = _coarse_subsession(spark)
     sub.conf.set("spark.sql.shuffle.partitions", str(target))
+    # always set explicitly: the sub-session is shared across scopes, so a
+    # previous scope's choice must never leak into this one
+    sub.conf.set("spark.sql.adaptive.enabled", "true" if aqe else "false")
+    sub.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "true" if coalesce else "false",
+    )
     out = barrier(build(_reroot(df, sub)))
     return _reroot(out, spark)
 

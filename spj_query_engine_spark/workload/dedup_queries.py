@@ -8,7 +8,9 @@ from spj_query_engine_spark.catalog import load_tables
 from spj_query_engine_spark.operators import dedup
 from spj_query_engine_spark.workload.registry import register
 
-def _graph_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _graph_materialized(
+    spark: SparkSession, sf_dir: str, build, aqe: bool = True, coalesce: bool = True
+) -> DataFrame:
     """Materialize an iterative graph query under a coarse scope.
 
     The graph family's plans are many short join/agg stages over tiny
@@ -23,7 +25,7 @@ def _graph_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     """
     from spj_query_engine_spark.operators.core import coarse_materialize
 
-    return coarse_materialize(build, _docs(spark, sf_dir))
+    return coarse_materialize(build, _docs(spark, sf_dir), aqe=aqe, coalesce=coalesce)
 
 
 
@@ -31,7 +33,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
-def _emb_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _emb_materialized(
+    spark: SparkSession, sf_dir: str, build, aqe: bool = True, coalesce: bool = True
+) -> DataFrame:
     """d14/d29's twin of :func:`_graph_materialized` over the embeddings
     table: the quantizer pair derivation PLUS the connected-component
     iteration (many short join/agg stages over pair-sized frames)
@@ -41,7 +45,7 @@ def _emb_materialized(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     from spj_query_engine_spark.operators.core import coarse_materialize
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return coarse_materialize(build, emb)
+    return coarse_materialize(build, emb, aqe=aqe, coalesce=coalesce)
 
 
 @register(
@@ -92,7 +96,7 @@ def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "≤ %s (stop-shingle skew control)." % dedup.NGRAM_MAX_DF,
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.ngram_jaccard_pairs)
+    return _graph_materialized(spark, sf_dir, dedup.ngram_jaccard_pairs, aqe=False)
 
 
 @register(
@@ -168,7 +172,7 @@ def d08_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (dedup.EVAL_MOD, dedup.CONTAM_T),
 )
 def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.contamination)
+    return _graph_materialized(spark, sf_dir, dedup.contamination, aqe=False)
 
 
 @register(
@@ -198,7 +202,7 @@ def d12_near_dup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-level assignment + pair join is many short stages over
     # centroid/assignment-sized frames at bench scale; no-op at
     # production scale by the optimizer-estimate clamp.
-    return _emb_materialized(spark, sf_dir, dedup.embedding_near_dup_2level)
+    return _emb_materialized(spark, sf_dir, dedup.embedding_near_dup_2level, coalesce=False)
 
 
 @register(
@@ -223,7 +227,7 @@ def d13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vectors - the embedding twin of d08.",
 )
 def d14_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_materialized(spark, sf_dir, dedup.apply_embedding_dedup)
+    return _emb_materialized(spark, sf_dir, dedup.apply_embedding_dedup, coalesce=False)
 
 
 @register(
@@ -251,7 +255,7 @@ def d15_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PageRank never is." % dedup.PR_ITERS,
 )
 def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.pagerank_neardup)
+    return _graph_materialized(spark, sf_dir, dedup.pagerank_neardup, aqe=False)
 
 
 @register(
@@ -292,7 +296,7 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the shrinking edge list." % (dedup.KCORE_ROUNDS, dedup.KCORE_K),
 )
 def g03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.kcore_members)
+    return _graph_materialized(spark, sf_dir, dedup.kcore_members, aqe=False)
 
 
 @register(
@@ -304,7 +308,7 @@ def g03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hop budget is fixed." % (dedup.BFS_SEED_MOD, dedup.BFS_HOPS),
 )
 def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.bfs_distances)
+    return _graph_materialized(spark, sf_dir, dedup.bfs_distances, aqe=False)
 
 
 @register(
@@ -317,7 +321,7 @@ def g04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     % dedup.CONTAIN_T,
 )
 def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.containment_pairs)
+    return _graph_materialized(spark, sf_dir, dedup.containment_pairs, aqe=False)
 
 
 @register(
@@ -329,7 +333,7 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text sketch; bounded by pairs x K, never corpus^2.",
 )
 def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.minhash_calibration)
+    return _graph_materialized(spark, sf_dir, dedup.minhash_calibration, aqe=False)
 
 
 @register(
@@ -440,7 +444,7 @@ def d23_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (dedup.PPR_SEED_MOD, dedup.PR_ITERS),
 )
 def g08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.personalized_pagerank)
+    return _graph_materialized(spark, sf_dir, dedup.personalized_pagerank, aqe=False)
 
 
 @register(
@@ -467,7 +471,7 @@ def d24_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     % (dedup.HC_RADIUS, dedup.HC_HUB_CAP),
 )
 def g09_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.harmonic_centrality)
+    return _graph_materialized(spark, sf_dir, dedup.harmonic_centrality, aqe=False)
 
 
 @register(
@@ -498,7 +502,7 @@ def d25_neardup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double.",
 )
 def g10_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.degree_assortativity)
+    return _graph_materialized(spark, sf_dir, dedup.degree_assortativity, aqe=False)
 
 
 @register(
@@ -526,7 +530,7 @@ def g11_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketing, no float log.",
 )
 def d26_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph_materialized(spark, sf_dir, dedup.shingle_df_histogram)
+    return _graph_materialized(spark, sf_dir, dedup.shingle_df_histogram, aqe=False)
 
 
 @register(
@@ -574,4 +578,4 @@ def d28_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step one id-only left join - vectors never shuffle after scoring.",
 )
 def d29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_materialized(spark, sf_dir, dedup.semantic_dedup)
+    return _emb_materialized(spark, sf_dir, dedup.semantic_dedup, aqe=False)

@@ -14,7 +14,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
-def _emb_coarse(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _emb_coarse(
+    spark: SparkSession, sf_dir: str, build, aqe: bool = True, coalesce: bool = True
+) -> DataFrame:
     """Materialize a multi-stage embedding query under the coarse scope
     (the d07/_graph_materialized treatment): assignment aggregates,
     candidate joins, rerank windows and iteration barriers are dozens of
@@ -23,7 +25,7 @@ def _emb_coarse(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     optimizer-estimate clamp; values and oracles untouched."""
     from spj_query_engine_spark.operators.core import coarse_materialize
 
-    return coarse_materialize(build, _emb(spark, sf_dir))
+    return coarse_materialize(build, _emb(spark, sf_dir), aqe=aqe, coalesce=coalesce)
 
 
 @register(
@@ -120,7 +122,7 @@ def u01_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs." % (similarity.KNN_K, similarity.N_PROBE),
 )
 def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_coarse(spark, sf_dir, similarity.knn_join)
+    return _emb_coarse(spark, sf_dir, similarity.knn_join, coalesce=False)
 
 
 @register(
@@ -165,7 +167,7 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the leaf id.",
 )
 def s09_knn_join_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_coarse(spark, sf_dir, similarity.knn_join_2level)
+    return _emb_coarse(spark, sf_dir, similarity.knn_join_2level, coalesce=False)
 
 
 @register(
@@ -328,7 +330,7 @@ def s16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the middle vertex, never all-pairs.",
 )
 def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_coarse(spark, sf_dir, similarity.nn_descent_round)
+    return _emb_coarse(spark, sf_dir, similarity.nn_descent_round, coalesce=False)
 
 
 @register(
@@ -341,7 +343,7 @@ def s17_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s02's, same exact rerank.",
 )
 def s18_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _emb_coarse(spark, sf_dir, similarity.multiprobe_lsh_topk)
+    return _emb_coarse(spark, sf_dir, similarity.multiprobe_lsh_topk, aqe=False)
 
 
 @register(

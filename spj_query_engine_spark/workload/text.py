@@ -243,7 +243,7 @@ def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-round window passes + lineage barriers are many short stages at
     # bench scale — materialize under the coarse scope (no-op at 100 TB)
-    return coarse_materialize(textops.bpe_apply, _docs(spark, sf_dir))
+    return coarse_materialize(textops.bpe_apply, _docs(spark, sf_dir), coalesce=False)
 
 
 @register(
