@@ -356,7 +356,11 @@ def t26_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t27_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return textops.doc_keyphrases(docs)
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    # r10: coarse scope + coalescing off (interleaved A/B 0.853,
+    # scripts/ab_coarse4_r10.py); plain wrap measured 1.12 in batch 1
+    return coarse_materialize(textops.doc_keyphrases, docs, coalesce=False)
 
 
 @register(
