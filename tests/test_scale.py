@@ -302,3 +302,56 @@ def test_coarse_materialize_nested_scopes_noop(spark):
     # both levels planned on the SAME private session (inner no-oped)
     assert sessions[0] is sessions[1]
     assert sessions[0] is not spark
+
+
+def test_coarse_materialize_aqe_knobs(spark):
+    """r10: the per-operator AQE knobs (aqe=, coalesce=) apply INSIDE the
+    coarse sub-session only, are re-set on every scope (no leak between
+    entries sharing the sub-session), and are unreachable when the
+    estimate clamp declines the scope — production-scale inputs always
+    run full AQE."""
+    from spj_query_engine_spark.operators import core
+    from spj_query_engine_spark.operators.core import coarse_materialize
+
+    tiny = spark.range(0, 1000, 1, 4).withColumn("k", F.col("id") % 7)
+    seen = {}
+
+    def build(d):
+        s = d.sparkSession
+        seen["aqe"] = s.conf.get("spark.sql.adaptive.enabled")
+        seen["coal"] = s.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        )
+        return d.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+    # knob off -> sub-session sees it off; caller conf untouched
+    coarse_materialize(build, tiny, floor=2, aqe=False).count()
+    assert seen == {"aqe": "false", "coal": "true"}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    coarse_materialize(build, tiny, floor=2, coalesce=False).count()
+    assert seen == {"aqe": "true", "coal": "false"}
+    # defaults restore full AQE on the SHARED sub-session (no leak from
+    # the previous scope's choice)
+    coarse_materialize(build, tiny, floor=2).count()
+    assert seen == {"aqe": "true", "coal": "true"}
+
+    # clamp declines (production-scale estimate): build runs on the CALLER
+    # session and the knobs are never applied anywhere
+    orig = core._coarse_target
+    core._coarse_target = lambda df, floor, per_partition: None
+    try:
+        sessions = []
+
+        def build2(d):
+            sessions.append(d.sparkSession)
+            return d.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+        coarse_materialize(build2, tiny, aqe=False, coalesce=False).count()
+        assert sessions[0] is spark
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+            == "true"
+        )
+    finally:
+        core._coarse_target = orig
