@@ -159,13 +159,32 @@ def stream_session(
     construction.  One clone is cached per (application, partition count)
     and the ``spj.*`` keys are re-synced from the parent per call — queries
     that resolve the same state partitioning share one sub-session instead
-    of each paying the clone's conf-mirror cost."""
+    of each paying the clone's conf-mirror cost.
+
+    AQE on the stream session (r10): the per-micro-batch jobs a finite
+    replay runs (foreachBatch transforms, sink writes, post-replay reads)
+    are BATCH queries, so AQE's per-stage re-planning applies to each one
+    — pure latency when the replay is provably tiny (interleaved A/B:
+    e50 0.88, e06 0.89, e10 0.92, trivial rollups flat).  AQE is disabled
+    on the clone ONLY when the byte-derived partition count came out
+    below the session parallelism (input < STREAM_STATE_TARGET_BYTES ×
+    cores — the same provably-small clamp shape as
+    ``operators.core.coarse_materialize``); an explicit
+    ``spj.stream.state.partitions`` override or an at-scale input keeps
+    AQE on, so production replays are untouched."""
     parts = resolve_stream_partitions(spark, sf_dir, table)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tiny = parts < cur and not spark.conf.get(
+        "spj.stream.state.partitions", None
+    )
     key = (spark.sparkContext.applicationId, parts)
     sub = _STREAM_SUBSESSIONS.get(key)
     if sub is None:
         sub = clone_session(spark, parts)
         _STREAM_SUBSESSIONS[key] = sub
+        sub.conf.set(
+            "spark.sql.adaptive.enabled", "false" if tiny else "true"
+        )
     else:
         for conf_key in _STREAM_SYNC_KEYS:
             val = spark.conf.get(conf_key, None)
@@ -176,6 +195,11 @@ def stream_session(
                     sub.conf.set(conf_key, val)
             except Exception:
                 pass
+        # re-derive per call: an override set between calls must restore
+        # full AQE even when the partition count (the cache key) matches
+        sub.conf.set(
+            "spark.sql.adaptive.enabled", "false" if tiny else "true"
+        )
     return sub
 
 
